@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place for engine session config so Verify, Bench, and tests agree.
+  *
+  * Scale notes: shuffle partitions default to the local core count here; on a
+  * real cluster this would be left to AQE coalescing
+  * (spark.sql.adaptive.coalescePartitions, enabled by default in Spark 4).
+  */
+object Spark {
+  def session(appName: String = "graft", cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+    val spark = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // driver testdata writes TIMESTAMP(NANOS) parquet; read as long ns
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar Column expressions mirroring the reference's scalar-function surface
+  * (SURVEY.md §2.8). Everything here compiles to built-in Catalyst expressions
+  * (codegen'd, no UDFs), so it stays inside whole-stage codegen at any scale.
+  *
+  * Reference semantics:
+  *  - phred/unphred: ugvc/utils/math_utils.py:31-101
+  *  - safe_divide:   ugvc/utils/math_utils.py:9-28
+  *  - precision/recall/F1 scalars: ugvc/utils/stats_utils.py:76-138
+  *    (precision is defined as `1 - fp/(fp+tp)` with a configurable default
+  *     when the denominator is zero)
+  *  - revcomp [absent; inferred]: used at ugvc/pipelines/run_no_gt_report.py:37
+  *  - motif construction: ugvc/pipelines/run_no_gt_report.py:143
+  *  - labeled binning (pd.cut): ugvc/pipelines/sv_stats_collect.py:12-13,38-44
+  */
+object Genomics {
+
+  /** phred(p) = -10 * log10(p) */
+  def phred(p: Column): Column = lit(-10.0) * log10(p)
+
+  /** unphred(q) = 10 ^ (-q / 10) */
+  def unphred(q: Column): Column = pow(lit(10.0), -q / 10.0)
+
+  /** n / d, or `default` when d == 0. */
+  def safeDivide(n: Column, d: Column, default: Column): Column =
+    when(d === 0, default).otherwise(n / d)
+
+  /** Precision as the reference defines it: 1 - fp/(fp+tp); `default` at 0 denom. */
+  def precisionScore(tp: Column, fp: Column, default: Column = lit(1.0)): Column =
+    when(fp + tp === 0, default).otherwise(lit(1.0) - fp / (fp + tp))
+
+  /** Recall = tp/(tp+fn); `default` at 0 denom. */
+  def recallScore(tp: Column, fn: Column, default: Column = lit(0.0)): Column =
+    when(tp + fn === 0, default).otherwise(tp / (tp + fn))
+
+  /** F1 = 2*p*r/(p+r); 0 when p+r == 0. */
+  def f1Score(p: Column, r: Column): Column =
+    when(p + r === 0, lit(0.0)).otherwise(lit(2.0) * p * r / (p + r))
+
+  /** Reverse complement of a DNA string (IUPAC ACGT upper/lower). */
+  def revcomp(s: Column): Column =
+    translate(reverse(s), "ACGTacgt", "TGCAtgca")
+
+  /** 3-mer motif: last base of the left flank + ref + first base of the right flank. */
+  def motif(leftFlank: Column, ref: Column, rightFlank: Column): Column =
+    concat(substring(leftFlank, -1, 1), ref, substring(rightFlank, 1, 1))
+
+  /** pd.cut-style labeled binning: half-open [lo, hi) buckets with string labels.
+    * `edges` has labels.size + 1 entries; values outside fall to null.
+    * Compiles to a when-chain (single codegen'd CASE expression).
+    */
+  def labeledBins(c: Column, edges: Seq[Double], labels: Seq[String]): Column = {
+    require(edges.size == labels.size + 1, "edges must be labels.size + 1")
+    labels.zipWithIndex.foldLeft(lit(null: String).cast("string")) {
+      case (acc, (label, i)) =>
+        when(c >= edges(i) && c < edges(i + 1), lit(label)).otherwise(acc)
+    }
+  }
+
+  /** Genotype classifiers (F13): gt is array<int> with nullable elements. */
+  def isHom(gt: Column): Column = element_at(gt, 1) === element_at(gt, 2)
+  def isCalled(gt: Column): Column = element_at(gt, 1).isNotNull
+
+  /** clip(x, lo, hi) */
+  def clip(c: Column, lo: Double, hi: Double): Column =
+    least(greatest(c, lit(lo)), lit(hi))
+}

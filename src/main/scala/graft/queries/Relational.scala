@@ -1,0 +1,492 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Genomics
+
+/** Relational operator inventory (SURVEY.md §2.2–2.4, §2.6–2.8) expressed on
+  * the driver's TPC-H-ish tables. Each query has a matching DuckDB oracle in
+  * [[oracles]]; column names/aliases are kept identical on both sides.
+  *
+  * Scale notes (100 TB design):
+  *  - all aggregations are partial+final hash aggregates (map-side combine);
+  *  - small dimensions (region/nation/supplier/customer-at-dim-scale) are
+  *    broadcast explicitly so the big fact side never shuffles for the join;
+  *  - double-typed aggregates are rounded on BOTH sides so the oracle hash
+  *    is insensitive to summation order (Spark partial-agg order differs
+  *    between runs and engines);
+  *  - windows over raw facts are always partitioned (by a key) — the only
+  *    unpartitioned windows run over already-aggregated, small domains
+  *    (e.g. a value histogram) where a single reducer is the right plan.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ----- A1: group-by sum, partial+final (ugvc coverage_analysis.py:491-520)
+    "a1_groupby_sum" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+    // ----- A2: counting histogram of a value column (coverage_analysis.py:717-742)
+    "a2_value_histogram" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_quantity").cast("int").as("coverage"))
+        .agg(count(lit(1)).as("cnt"))
+    },
+    // ----- A3: tumbling-window mean, hierarchical re-agg (coverage_analysis.py:546-592,798-857)
+    // level-1 bins of 100 re-aggregated to level-2 bins of 1000 via (sum,count) —
+    // associative mean, exactly the reference's pyramid. l_quantity is
+    // integral-valued so sums are exact in double across engines.
+    "a3_binned_mean_pyramid" -> { (s, d) =>
+      val l1 = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("chrom"),
+                 floor(col("l_extendedprice") / 100).as("bin1"))
+        .agg(sum("l_quantity").as("s"), count(lit(1)).as("c"))
+      l1.groupBy(col("chrom"), floor(col("bin1") / 10).as("bin"))
+        .agg(round(sum(col("s")) / sum(col("c")), 6).as("mean_qty"),
+             sum(col("c")).as("n"))
+    },
+    // ----- A4: value_counts (sv_stats_collect.py:45-46)
+    "a4_value_counts" -> { (s, d) =>
+      Tables.orders(s, d).groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+    },
+    // ----- A5: group-by size → pivot cross-tab (sv_stats_collect.py:48-54)
+    "a5_pivot_crosstab" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("O", "F"))
+        .count()
+        .na.fill(0L, Seq("O", "F"))
+    },
+    // ----- A6: group-by count with dense-domain reindex + fill 0 (run_no_gt_report.py:110-172)
+    "a6_domain_reindex" -> { (s, d) =>
+      import s.implicits._
+      val domain = Seq("A", "N", "R").flatMap(f => Seq("O", "F").map(st => (f, st)))
+        .toDF("l_returnflag", "l_linestatus")
+      val counts = Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 45)
+        .groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("n"))
+      domain.join(counts, Seq("l_returnflag", "l_linestatus"), "left")
+        .na.fill(0L, Seq("n"))
+    },
+    // ----- A7: fixed-bin numeric histogram (run_no_gt_report.py:72-87)
+    "a7_fixed_bin_histogram" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(floor(col("l_discount") * 100).as("bin"))
+        .agg(count(lit(1)).as("n"))
+    },
+    // ----- A8: pd.cut labeled binning (sv_stats_collect.py:12-13,38-44)
+    "a8_labeled_binning" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("qty_bin", Genomics.labeledBins(col("l_quantity"),
+          Seq(0, 10, 20, 30, 40, 100), Seq("0-10", "10-20", "20-30", "30-40", "40+")))
+        .groupBy("qty_bin").agg(count(lit(1)).as("n"))
+    },
+    // ----- A10: percentiles from a histogram via cumulative fraction (coverage_analysis.py:522)
+    // The unpartitioned window runs over the ~50-row aggregated histogram, not
+    // the fact table — correct single-reducer plan at any scale.
+    "a10_hist_percentiles" -> { (s, d) =>
+      import s.implicits._
+      val hist = Tables.lineitem(s, d)
+        .groupBy(col("l_quantity").cast("int").as("cov"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy("cov").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("cum", sum("cnt").over(w))
+        .withColumn("total", sum("cnt").over(Window.partitionBy()))
+      val qs = Seq(5, 25, 50, 75, 95).toDF("q")
+      cum.crossJoin(qs)
+        .filter(col("cum") >= col("q") / lit(100.0) * col("total"))
+        .groupBy("q").agg(min("cov").as("value"))
+    },
+    // ----- A11: confusion-matrix aggregate → precision/recall/F1 (report_utils.py:415-505)
+    "a11_confusion_metrics" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .withColumn("tp", (col("o_orderstatus") === "F").cast("long"))
+        .withColumn("fp", (col("o_orderstatus") === "O").cast("long"))
+        .withColumn("fn", (col("o_orderstatus") === "P").cast("long"))
+        .groupBy("o_orderpriority")
+        .agg(sum("tp").as("tp"), sum("fp").as("fp"), sum("fn").as("fn"))
+      val p = Genomics.precisionScore(col("tp"), col("fp"))
+      val r = Genomics.recallScore(col("tp"), col("fn"))
+      o.select(col("o_orderpriority"), col("tp"), col("fp"), col("fn"),
+        round(p, 6).as("precision"), round(r, 6).as("recall"),
+        round(Genomics.f1Score(p, r), 6).as("f1"))
+    },
+    // ----- A12/A17: manual rollup → native rollup (sv_stats_collect.py:176-199)
+    "a12_rollup" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
+    },
+    // ----- A13: rowwise least + groupwise min (denovo_refinement.py:69-74)
+    "a13_min_reduce" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("pair_min", least(col("l_discount"), col("l_tax")))
+        .groupBy("l_orderkey")
+        .agg(round(min("pair_min"), 6).as("min_pair"), count(lit(1)).as("n_lines"))
+    },
+    // ----- A15: bedtools-groupby-style rate aggregate (train_lib_prep_recalibration_model.py:104-107)
+    "a15_rate_agg" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_partkey")
+        .agg(round(countDistinct("l_suppkey").cast("double") / count(lit(1)), 6).as("supp_rate"),
+             count(lit(1)).as("n"))
+    },
+    // ----- A16: distinct/dedup (remove_vcf_duplicates.sh)
+    "a16_distinct" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity").cast("int").as("qty"))
+        .distinct()
+    },
+
+    // ----- P1: boolean-mask filter (run_no_gt_report.py:50-62)
+    "p1_mask_filter" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 45 && col("l_discount") >= 0.05 && !(col("l_returnflag") === "N"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
+    },
+    // ----- P2: SQL-string filter (sv_stats_collect.py:37)
+    "p2_sql_filter" -> { (s, d) =>
+      Tables.orders(s, d)
+        .where("(o_orderstatus = 'F' OR o_orderstatus = 'P') AND o_totalprice > 1000")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    },
+    // ----- P3+F9: named category-predicate library, rows tagged with every
+    // stratum they belong to via explode (report_utils.py:507-538, :206-222)
+    "p3_category_strata" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val cats = array(
+        lit("ALL"),
+        when(col("l_quantity") > 40, lit("HIGH_QTY")),
+        when(col("l_discount") > 0.05, lit("DISCOUNTED")),
+        when(col("l_tax") > 0.04, lit("TAXED")))
+      li.withColumn("category", explode(filter(cats, c => c.isNotNull)))
+        .groupBy("category")
+        .agg(count(lit(1)).as("n"), round(avg("l_extendedprice"), 4).as("avg_price"))
+    },
+    // ----- P4: projection / pruning (report_data_loader.py:66-104)
+    "p4_projection" -> { (s, d) =>
+      Tables.part(s, d).select(col("p_partkey"), col("p_brand"),
+        (col("p_retailprice") * 2).as("double_price"))
+    },
+    // ----- P6: partition/range restriction (correct_genotypes_by_imputation.py:133-138)
+    "p6_range_restrict" -> { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_type") === "click" && col("value") > 100 && col("value") <= 300)
+        .select("event_id", "user_id", "value")
+    },
+    // ----- P7: null-normalizing projection (coalesce / fillna)
+    "p7_null_normalize" -> { (s, d) =>
+      val dim = Tables.part(s, d).filter(col("p_size") > 25)
+        .select(col("p_partkey"), col("p_brand"))
+      Tables.lineitem(s, d).filter(col("l_quantity") > 48)
+        .join(broadcast(dim), col("l_partkey") === col("p_partkey"), "left")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          coalesce(col("p_brand"), lit("NA")).as("brand"))
+    },
+
+    // ----- J1: inner equi-join, broadcast dim (variant_hit_fraction_caller.py:40)
+    "j1_inner_equi_join" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      Tables.orders(s, d)
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+    },
+    // ----- J2: multi-key equi-join (train_lib_prep_recalibration_model.py:95-97)
+    "j2_multikey_join" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val keyed = li.groupBy("l_orderkey", "l_linenumber")
+        .agg(max("l_quantity").as("max_qty"))
+      li.join(keyed, Seq("l_orderkey", "l_linenumber"), "inner")
+        .filter(col("l_quantity") === col("max_qty"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    },
+    // ----- J3: index-aligned outer column join (denovo_refinement.py:30-35)
+    "j3_outer_align_join" -> { (s, d) =>
+      val oagg = Tables.orders(s, d).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total_spent"))
+      Tables.customer(s, d)
+        .join(oagg, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("total_spent"), lit(0.0)).as("total_spent"))
+    },
+    // ----- J4: broadcast lookup join + min agg (denovo_refinement.py:95-99)
+    "j4_lookup_min" -> { (s, d) =>
+      val n = Tables.nation(s, d)
+      Tables.supplier(s, d)
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"), "inner")
+        .groupBy("n_regionkey")
+        .agg(round(min("s_acctbal"), 2).as("min_bal"), count(lit(1)).as("n_supp"))
+    },
+    // ----- J8: exact-key vs position-only set intersect (create_somatic_gt_file.py:74-126)
+    "j8_exact_vs_loose_isec" -> { (s, d) =>
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      val probe = li.filter(col("l_suppkey") <= 50)
+      val exact = li.join(probe.withColumnRenamed("l_suppkey", "ps"),
+        Seq("l_orderkey", "l_partkey"), "left_semi").agg(count(lit(1)).as("n")).select(lit("exact").as("mode"), col("n"))
+      val loose = li.join(probe.select(col("l_orderkey").as("ok2")).distinct(),
+        col("l_orderkey") === col("ok2"), "left_semi").agg(count(lit(1)).as("n")).select(lit("loose").as("mode"), col("n"))
+      exact.unionByName(loose)
+    },
+    // ----- J9: point-in-region broadcast semi-join (convert_haploid_regions.py:26-35)
+    "j9_point_in_region" -> { (s, d) =>
+      val regions = Tables.supplier(s, d)
+        .select((col("s_acctbal") - 500).as("lo"), (col("s_acctbal") + 500).as("hi"))
+      Tables.customer(s, d)
+        .join(broadcast(regions),
+          col("c_acctbal") > col("lo") && col("c_acctbal") <= col("hi"), "left_semi")
+        .select("c_custkey", "c_acctbal")
+    },
+
+    // ----- O2: genomic sort (chrom,pos analog) — set-checked, exercises range sort
+    "o2_sorted_keys" -> { (s, d) =>
+      Tables.lineitem(s, d).orderBy("l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+    },
+    // ----- O4: top-k by value with deterministic tiebreak (report notebooks)
+    "o4_topk" -> { (s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    },
+    // ----- O5: deterministic stratified sample-k per group (collect_hpol_table.py:105-115)
+    "o5_stratified_sample" -> { (s, d) =>
+      val rnd = (col("l_orderkey") * lit(2654435761L) + col("l_linenumber") * lit(97L)) % lit(999999937L)
+      val w = Window.partitionBy("l_returnflag").orderBy(rnd.asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      Tables.lineitem(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "rk")
+    },
+
+    // ----- U1: union (row concat)
+    "u1_union_all" -> { (s, d) =>
+      val a = Tables.customer(s, d).select(col("c_custkey").as("id"), lit("customer").as("src"))
+      val b = Tables.supplier(s, d).select(col("s_suppkey").as("id"), lit("supplier").as("src"))
+      a.unionByName(b)
+    },
+    // ----- U2: intersect
+    "u2_intersect" -> { (s, d) =>
+      val a = Tables.lineitem(s, d).select(col("l_partkey").as("k")).distinct()
+      val b = Tables.part(s, d).filter(col("p_size") > 25).select(col("p_partkey").as("k"))
+      a.intersect(b)
+    },
+    // ----- U3: except / anti
+    "u3_except" -> { (s, d) =>
+      val a = Tables.customer(s, d).select(col("c_custkey").as("k"))
+      val b = Tables.orders(s, d).select(col("o_custkey").as("k")).distinct()
+      a.except(b)
+    },
+
+    // ----- F1/F2/F6/F7/F12: scalar function suite (math_utils.py, run_no_gt_report.py:143)
+    "f_scalar_suite" -> { (s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        round(Genomics.phred(col("p_retailprice") / 10000.0), 6).as("phred"),
+        round(Genomics.unphred(col("p_size").cast("double")), 6).as("unphred"),
+        round(Genomics.safeDivide(col("p_retailprice"), col("p_size") - 25, lit(-1.0)), 6).as("safe_div"),
+        Genomics.revcomp(col("p_brand")).as("revcomp_brand"),
+        Genomics.motif(col("p_name"), col("p_brand"), col("p_type")).as("motif"),
+        round(Genomics.clip(col("p_retailprice"), 500.0, 1500.0), 2).as("clipped"))
+    },
+    // ----- F17: regex extraction (test_sv_stats_collect.py:41-42)
+    "f17_regex_extract" -> { (s, d) =>
+      Tables.part(s, d).select(col("p_partkey"),
+        regexp_extract(col("p_type"), "([A-Z]+)$", 1).as("last_word"))
+    },
+    // ----- F18: date/time functions
+    "f18_datetime" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("DAY", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+    },
+    // ----- F19: JSON extraction (correct_genotypes_by_imputation.py:380-391)
+    "f19_json_extract" -> { (s, d) =>
+      Tables.events(s, d).select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a1_groupby_sum" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),4) AS sum_qty,
+         round(sum(l_extendedprice),2) AS sum_base_price,
+         round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
+         round(avg(l_quantity),6) AS avg_qty, round(avg(l_discount),6) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "a2_value_histogram" ->
+      "SELECT CAST(l_quantity AS INT) AS coverage, count(*) AS cnt FROM lineitem GROUP BY 1",
+    "a3_binned_mean_pyramid" ->
+      """WITH l1 AS (
+           SELECT l_returnflag AS chrom, CAST(floor(l_extendedprice/100) AS BIGINT) AS bin1,
+                  sum(l_quantity) AS s, count(*) AS c
+           FROM lineitem GROUP BY 1,2)
+         SELECT chrom, CAST(floor(bin1/10) AS BIGINT) AS bin,
+                round(sum(s)/sum(c),6) AS mean_qty, CAST(sum(c) AS BIGINT) AS n
+         FROM l1 GROUP BY 1,2""",
+    "a4_value_counts" ->
+      "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1",
+    "a5_pivot_crosstab" ->
+      """SELECT l_returnflag,
+         count(*) FILTER (l_linestatus = 'O') AS "O",
+         count(*) FILTER (l_linestatus = 'F') AS "F"
+         FROM lineitem GROUP BY 1""",
+    "a6_domain_reindex" ->
+      """WITH domain AS (SELECT f.f AS l_returnflag, st.st AS l_linestatus
+           FROM (VALUES ('A'),('N'),('R')) f(f) CROSS JOIN (VALUES ('O'),('F')) st(st)),
+         counts AS (SELECT l_returnflag, l_linestatus, count(*) AS n
+           FROM lineitem WHERE l_quantity > 45 GROUP BY 1,2)
+         SELECT d.l_returnflag, d.l_linestatus, coalesce(c.n, 0) AS n
+         FROM domain d LEFT JOIN counts c USING (l_returnflag, l_linestatus)""",
+    "a7_fixed_bin_histogram" ->
+      "SELECT CAST(floor(l_discount*100) AS BIGINT) AS bin, count(*) AS n FROM lineitem GROUP BY 1",
+    "a8_labeled_binning" ->
+      """SELECT CASE WHEN l_quantity >= 40 AND l_quantity < 100 THEN '40+'
+                     WHEN l_quantity >= 30 AND l_quantity < 40 THEN '30-40'
+                     WHEN l_quantity >= 20 AND l_quantity < 30 THEN '20-30'
+                     WHEN l_quantity >= 10 AND l_quantity < 20 THEN '10-20'
+                     WHEN l_quantity >= 0  AND l_quantity < 10 THEN '0-10'
+                END AS qty_bin, count(*) AS n
+         FROM lineitem GROUP BY 1""",
+    "a10_hist_percentiles" ->
+      """WITH hist AS (SELECT CAST(l_quantity AS INT) AS cov, count(*) AS cnt
+           FROM lineitem GROUP BY 1),
+         cum AS (SELECT cov, sum(cnt) OVER (ORDER BY cov) AS cum, sum(cnt) OVER () AS total FROM hist)
+         SELECT q, min(cov) AS value
+         FROM cum CROSS JOIN (VALUES (5),(25),(50),(75),(95)) qs(q)
+         WHERE cum >= q/100.0*total GROUP BY q""",
+    "a11_confusion_metrics" ->
+      """WITH agg AS (SELECT o_orderpriority,
+           CAST(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS fn
+           FROM orders GROUP BY 1),
+         pr AS (SELECT *,
+           CASE WHEN fp+tp = 0 THEN 1.0 ELSE 1.0 - fp*1.0/(fp+tp) END AS p,
+           CASE WHEN tp+fn = 0 THEN 0.0 ELSE tp*1.0/(tp+fn) END AS r
+           FROM agg)
+         SELECT o_orderpriority, tp, fp, fn, round(p,6) AS precision,
+                round(r,6) AS recall,
+                round(CASE WHEN p+r = 0 THEN 0.0 ELSE 2.0*p*r/(p+r) END, 6) AS f1
+         FROM pr""",
+    "a12_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity),4) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "a13_min_reduce" ->
+      """SELECT l_orderkey, round(min(least(l_discount, l_tax)),6) AS min_pair, count(*) AS n_lines
+         FROM lineitem GROUP BY 1""",
+    "a15_rate_agg" ->
+      """SELECT l_partkey, round(count(DISTINCT l_suppkey)*1.0/count(*),6) AS supp_rate,
+         count(*) AS n FROM lineitem GROUP BY 1""",
+    "a16_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus, CAST(l_quantity AS INT) AS qty FROM lineitem",
+
+    "p1_mask_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+         FROM lineitem WHERE l_quantity > 45 AND l_discount >= 0.05 AND NOT l_returnflag = 'N'""",
+    "p2_sql_filter" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         WHERE (o_orderstatus = 'F' OR o_orderstatus = 'P') AND o_totalprice > 1000""",
+    "p3_category_strata" ->
+      """WITH tagged AS (
+           SELECT 'ALL' AS category, l_extendedprice FROM lineitem
+           UNION ALL SELECT 'HIGH_QTY', l_extendedprice FROM lineitem WHERE l_quantity > 40
+           UNION ALL SELECT 'DISCOUNTED', l_extendedprice FROM lineitem WHERE l_discount > 0.05
+           UNION ALL SELECT 'TAXED', l_extendedprice FROM lineitem WHERE l_tax > 0.04)
+         SELECT category, count(*) AS n, round(avg(l_extendedprice),4) AS avg_price
+         FROM tagged GROUP BY 1""",
+    "p4_projection" ->
+      "SELECT p_partkey, p_brand, p_retailprice*2 AS double_price FROM part",
+    "p6_range_restrict" ->
+      """SELECT event_id, user_id, value FROM events
+         WHERE event_type = 'click' AND value > 100 AND value <= 300""",
+    "p7_null_normalize" ->
+      """SELECT l_orderkey, l_linenumber, coalesce(p_brand, 'NA') AS brand
+         FROM lineitem LEFT JOIN (SELECT p_partkey, p_brand FROM part WHERE p_size > 25) p
+           ON l_partkey = p_partkey
+         WHERE l_quantity > 48""",
+    "j1_inner_equi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice),2) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1""",
+    "j2_multikey_join" ->
+      """WITH keyed AS (SELECT l_orderkey, l_linenumber, max(l_quantity) AS max_qty
+           FROM lineitem GROUP BY 1,2)
+         SELECT l_returnflag, count(*) AS n
+         FROM lineitem JOIN keyed USING (l_orderkey, l_linenumber)
+         WHERE l_quantity = max_qty GROUP BY 1""",
+    "j3_outer_align_join" ->
+      """WITH oagg AS (SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice),2) AS total_spent
+           FROM orders GROUP BY 1)
+         SELECT c_custkey, c_mktsegment, coalesce(n_orders, 0) AS n_orders,
+                coalesce(total_spent, 0.0) AS total_spent
+         FROM customer LEFT JOIN oagg ON c_custkey = o_custkey""",
+    "j4_lookup_min" ->
+      """SELECT n_regionkey, round(min(s_acctbal),2) AS min_bal, count(*) AS n_supp
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY 1""",
+    "j8_exact_vs_loose_isec" ->
+      """SELECT 'exact' AS mode, count(*) AS n FROM lineitem a
+         WHERE EXISTS (SELECT 1 FROM lineitem b WHERE b.l_suppkey <= 50
+                       AND b.l_orderkey = a.l_orderkey AND b.l_partkey = a.l_partkey)
+         UNION ALL
+         SELECT 'loose' AS mode, count(*) AS n FROM lineitem a
+         WHERE EXISTS (SELECT 1 FROM lineitem b WHERE b.l_suppkey <= 50
+                       AND b.l_orderkey = a.l_orderkey)""",
+    "j9_point_in_region" ->
+      """SELECT c_custkey, c_acctbal FROM customer c
+         WHERE EXISTS (SELECT 1 FROM supplier s
+                       WHERE c.c_acctbal > s.s_acctbal - 500 AND c.c_acctbal <= s.s_acctbal + 500)""",
+    "o2_sorted_keys" ->
+      "SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem ORDER BY 1,2",
+    "o4_topk" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""",
+    "o5_stratified_sample" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, rk FROM (
+           SELECT l_returnflag, l_orderkey, l_linenumber,
+                  row_number() OVER (PARTITION BY l_returnflag
+                    ORDER BY (l_orderkey*2654435761 + l_linenumber*97) % 999999937 ASC,
+                             l_orderkey ASC, l_linenumber ASC) AS rk
+           FROM lineitem) WHERE rk <= 5""",
+    "u1_union_all" ->
+      """SELECT c_custkey AS id, 'customer' AS src FROM customer
+         UNION ALL SELECT s_suppkey AS id, 'supplier' AS src FROM supplier""",
+    "u2_intersect" ->
+      """SELECT DISTINCT l_partkey AS k FROM lineitem
+         INTERSECT SELECT p_partkey AS k FROM part WHERE p_size > 25""",
+    "u3_except" ->
+      """SELECT c_custkey AS k FROM customer
+         EXCEPT SELECT DISTINCT o_custkey AS k FROM orders""",
+    "f_scalar_suite" ->
+      """SELECT p_partkey,
+         round(-10.0*log10(p_retailprice/10000.0),6) AS phred,
+         round(pow(10.0, -CAST(p_size AS DOUBLE)/10.0),6) AS unphred,
+         round(CASE WHEN p_size - 25 = 0 THEN -1.0 ELSE p_retailprice/(p_size-25) END,6) AS safe_div,
+         translate(reverse(p_brand), 'ACGTacgt', 'TGCAtgca') AS revcomp_brand,
+         concat(substr(p_name, length(p_name), 1), p_brand, substr(p_type, 1, 1)) AS motif,
+         round(least(greatest(p_retailprice, 500.0), 1500.0),2) AS clipped
+         FROM part""",
+    "f17_regex_extract" ->
+      "SELECT p_partkey, coalesce(regexp_extract(p_type, '([A-Z]+)$', 1), '') AS last_word FROM part",
+    "f18_datetime" ->
+      """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
+         round(sum(value),4) AS sum_value FROM events GROUP BY 1,2""",
+    "f19_json_extract" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events"
+  )
+}
