@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Ordered / stateful single-pass operators (SURVEY.md §2.5).
+  *
+  * All windows are partitioned by a key column — at scale each partition
+  * sorts independently after a range shuffle; there is no global-order
+  * single-reducer stage except where the input is already a small aggregate.
+  */
+object Ordered {
+
+  /** W1 — cumulative precision/recall sweep (ugvc/reports/report_utils.py:493-505).
+    * Sort by `score` (descending = accept-best-first), running cumsum of
+    * tp/fp; at each prefix: precision = ctp/(ctp+cfp), recall = ctp/(total tp).
+    * `tieBreak` makes the sweep deterministic.
+    * The caller is expected to have pre-aggregated or be willing to pay a
+    * single-partition sort — a P/R sweep is inherently a total order; for
+    * large inputs pre-bucket scores (histogram) first as the reference does.
+    */
+  def prCurve(df: DataFrame, score: Column, tp: Column, fp: Column,
+              tieBreak: Column): DataFrame = {
+    val w = Window.orderBy(col("score").desc, col("tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    df.select(score.as("score"), tp.cast("long").as("tp"), fp.cast("long").as("fp"),
+        tieBreak.as("tb"))
+      .withColumn("rank", row_number().over(Window.orderBy(col("score").desc, col("tb").asc)))
+      .withColumn("ctp", sum("tp").over(w))
+      .withColumn("cfp", sum("fp").over(w))
+      .withColumn("precision", col("ctp") / (col("ctp") + col("cfp")))
+      .withColumn("recall", col("ctp") / sum("tp").over(tot))
+      .drop("tb")
+  }
+
+  /** W2 (relaxed, lag-expressible) — gaps-and-islands sessionization: a new
+    * session starts when the gap to the previous event exceeds `gapSeconds`.
+    * (The strict gVCF block automaton with running-block state lives in
+    * [[BlockCompress]].) */
+  def sessionize(df: DataFrame, partCol: String, tsCol: String,
+                 gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(partCol).orderBy(tsCol)
+    // microsecond arithmetic: second-truncating unix_timestamp would
+    // misclassify sub-second boundary gaps
+    df.withColumn("_prev", lag(col(tsCol), 1).over(w))
+      .withColumn("_new",
+        when(col("_prev").isNull ||
+             unix_micros(col(tsCol)) - unix_micros(col("_prev")) > gapSeconds * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_prev", "_new")
+  }
+
+  /** W4 — monotone extent filter (ugvc/joint/gvcf_bed.py:56-61): keep rows
+    * whose `value` strictly exceeds the running max of all previous rows in
+    * the partition (record highs). */
+  def recordHighs(df: DataFrame, partCol: String, orderCol: String,
+                  valueCol: String): DataFrame = {
+    val wPrev = Window.partitionBy(partCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("_prevMax", max(col(valueCol)).over(wPrev))
+      .filter(col("_prevMax").isNull || col(valueCol) > col("_prevMax"))
+      .drop("_prevMax")
+  }
+
+  /** W7 — keep every k-th row per partition in the given order. */
+  def everyKth(df: DataFrame, partCol: String, orderCols: Seq[String],
+               k: Int): DataFrame = {
+    val w = Window.partitionBy(partCol).orderBy(orderCols.map(col): _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") % k === 0)
+      .drop("_rn")
+  }
+}

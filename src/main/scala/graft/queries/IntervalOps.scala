@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Intervals, Ordered => Ord}
+
+/** Interval-algebra (J5–J7, W5) and ordered-operator (W1/W2/W4/W7) queries,
+  * expressed on the TPC-H-ish tables by synthesizing half-open intervals
+  * from numeric columns:
+  *   - supplier → intervals (chrom = nationkey, [acctbal*100, +50000))
+  *   - customer → intervals (chrom = nationkey, [acctbal*100, +30000)) or
+  *     points ([acctbal*100, +1))
+  * `round(x*100)` (not cast) keeps the double→long conversion identical
+  * between Spark and DuckDB.
+  */
+object IntervalOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def suppIntervals(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d).select(
+      col("s_suppkey"),
+      col("s_nationkey").cast("string").as("chrom"),
+      round(col("s_acctbal") * 100, 0).cast("long").as("bstart"))
+      .withColumn("bend", col("bstart") + 50000L)
+
+  private def custIntervals(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      col("c_nationkey").cast("string").as("chrom"),
+      round(col("c_acctbal") * 100, 0).cast("long").as("start"))
+      .withColumn("end", col("start") + 30000L)
+
+  val queries: Map[String, Q] = Map(
+    // ----- J5: point-in-interval overlap join, bin-bucketed (bedtools intersect)
+    "j5_interval_overlap" -> { (s, d) =>
+      val points = Tables.customer(s, d).select(
+        col("c_custkey"),
+        col("c_nationkey").cast("string").as("chrom"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("start"))
+        .withColumn("end", col("start") + 1L)
+      Intervals.overlapJoin(points, suppIntervals(s, d), broadcastB = true)
+        .groupBy("c_custkey").agg(count(lit(1)).as("n_hits"))
+    },
+    // ----- J6: pairwise interval intersection, clipped spans (intersect_bed_files)
+    "j6_interval_intersect" -> { (s, d) =>
+      Intervals.intersectSets(custIntervals(s, d), suppIntervals(s, d).drop("s_suppkey"))
+        .groupBy("chrom")
+        .agg(count(lit(1)).as("n_pairs"),
+             sum(col("end") - col("start")).as("clipped_len"))
+    },
+    // ----- J7: interval subtraction (bedtools subtract)
+    "j7_interval_subtract" -> { (s, d) =>
+      Intervals.subtract(custIntervals(s, d), suppIntervals(s, d).drop("s_suppkey"))
+        .groupBy("chrom")
+        .agg(count(lit(1)).as("n_pieces"),
+             sum(col("end") - col("start")).as("surv_len"))
+    },
+    // ----- W5: union-merge of overlapping intervals (bedtools merge)
+    "w5_interval_merge" -> { (s, d) =>
+      Intervals.merge(custIntervals(s, d).drop("c_custkey"))
+    },
+    // ----- W1: cumulative precision/recall sweep over a score
+    "w1_pr_curve" -> { (s, d) =>
+      val o = Tables.orders(s, d).filter(col("o_orderstatus").isin("F", "O"))
+      Ord.prCurve(o, col("o_totalprice"), col("o_orderstatus") === "F",
+          col("o_orderstatus") === "O", col("o_orderkey"))
+        .select(col("rank"),
+          round(col("precision"), 6).as("precision"),
+          round(col("recall"), 6).as("recall"))
+    },
+    // ----- W2 (lag form): gaps-and-islands sessionization on the event stream
+    "w2_sessionize" -> { (s, d) =>
+      Ord.sessionize(Tables.events(s, d), "user_id", "ts", 600L)
+        .groupBy("user_id")
+        .agg(max("session_id").as("n_sessions"), count(lit(1)).as("n_events"))
+    },
+    // ----- W4: monotone running-max extent filter (gvcf_bed record emission)
+    "w4_record_highs" -> { (s, d) =>
+      Ord.recordHighs(Tables.orders(s, d), "o_custkey", "o_orderkey", "o_totalprice")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    },
+    // ----- W7: every-k-th-row downsample per group
+    "w7_downsample" -> { (s, d) =>
+      Ord.everyKth(Tables.lineitem(s, d), "l_returnflag",
+          Seq("l_orderkey", "l_linenumber"), 100)
+        .select("l_returnflag", "l_orderkey", "l_linenumber")
+    },
+    // ----- A9: 2-D histogram (dims × pivoted category)
+    "a9_2d_histogram" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("qty_bin", floor(col("l_quantity") / 10).cast("long"))
+        .groupBy("l_returnflag", "qty_bin")
+        .pivot("l_linestatus", Seq("O", "F")).count()
+        .na.fill(0L, Seq("O", "F"))
+    }
+  )
+
+  private val suppSql =
+    """SELECT CAST(s_nationkey AS VARCHAR) AS chrom,
+       CAST(round(s_acctbal*100) AS BIGINT) AS s,
+       CAST(round(s_acctbal*100) AS BIGINT) + 50000 AS e FROM supplier"""
+  private val custSql =
+    """SELECT c_custkey, CAST(c_nationkey AS VARCHAR) AS chrom,
+       CAST(round(c_acctbal*100) AS BIGINT) AS s,
+       CAST(round(c_acctbal*100) AS BIGINT) + 30000 AS e FROM customer"""
+
+  val oracles: Map[String, String] = Map(
+    "j5_interval_overlap" ->
+      s"""WITH b AS ($suppSql),
+          p AS (SELECT c_custkey, CAST(c_nationkey AS VARCHAR) AS chrom,
+                CAST(round(c_acctbal*100) AS BIGINT) AS pos FROM customer)
+          SELECT c_custkey, count(*) AS n_hits
+          FROM p JOIN b ON p.chrom = b.chrom AND p.pos >= b.s AND p.pos < b.e
+          GROUP BY 1""",
+    "j6_interval_intersect" ->
+      s"""WITH a AS ($custSql), b AS ($suppSql)
+          SELECT a.chrom, count(*) AS n_pairs,
+                 CAST(sum(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT) AS clipped_len
+          FROM a JOIN b ON a.chrom = b.chrom AND a.s < b.e AND b.s < a.e
+          GROUP BY 1""",
+    "j7_interval_subtract" ->
+      s"""WITH a AS ($custSql), b AS ($suppSql),
+          hit AS (SELECT a.c_custkey AS id, a.chrom, a.s, a.e,
+                         greatest(a.s, b.s) AS cs, least(a.e, b.e) AS ce
+                  FROM a JOIN b ON a.chrom = b.chrom AND a.s < b.e AND b.s < a.e),
+          w AS (SELECT *, max(ce) OVER (PARTITION BY id ORDER BY cs, ce
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM hit),
+          isl AS (SELECT *, sum(CASE WHEN pmax IS NULL OR cs > pmax THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY id ORDER BY cs, ce) AS g FROM w),
+          m AS (SELECT id, chrom, s, e, g, min(cs) AS ms, max(ce) AS me
+                FROM isl GROUP BY id, chrom, s, e, g),
+          cov AS (SELECT id, chrom, s, e, count(*) AS nisl, sum(me - ms) AS covlen,
+                         min(ms) AS first_s, max(me) AS last_e
+                  FROM m GROUP BY id, chrom, s, e),
+          pieces AS (
+            SELECT chrom,
+              (nisl - 1) + (CASE WHEN first_s > s THEN 1 ELSE 0 END)
+                         + (CASE WHEN last_e < e THEN 1 ELSE 0 END) AS np,
+              (e - s) - covlen AS sl
+            FROM cov
+            UNION ALL
+            SELECT a.chrom, 1 AS np, (a.e - a.s) AS sl FROM a
+            WHERE NOT EXISTS (SELECT 1 FROM b
+              WHERE b.chrom = a.chrom AND a.s < b.e AND b.s < a.e))
+          SELECT chrom, CAST(sum(np) AS BIGINT) AS n_pieces,
+                 CAST(sum(sl) AS BIGINT) AS surv_len
+          FROM pieces GROUP BY chrom
+          HAVING sum(np) > 0""",
+    "w5_interval_merge" ->
+      s"""WITH a AS ($custSql),
+          w AS (SELECT chrom, s, e, max(e) OVER (PARTITION BY chrom ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM a),
+          isl AS (SELECT *, sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY chrom ORDER BY s, e) AS g FROM w)
+          SELECT chrom, min(s) AS "start", max(e) AS "end"
+          FROM isl GROUP BY chrom, g""",
+    "w1_pr_curve" ->
+      """WITH t AS (SELECT o_totalprice AS score, o_orderkey AS tb,
+           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS tp,
+           CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS fp
+           FROM orders WHERE o_orderstatus IN ('F', 'O')),
+         c AS (SELECT row_number() OVER (ORDER BY score DESC, tb) AS rank,
+           sum(tp) OVER (ORDER BY score DESC, tb
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ctp,
+           sum(fp) OVER (ORDER BY score DESC, tb
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cfp,
+           sum(tp) OVER () AS ttp FROM t)
+         SELECT rank, round(ctp*1.0/(ctp+cfp), 6) AS precision,
+                round(ctp*1.0/ttp, 6) AS recall FROM c""",
+    "w2_sessionize" ->
+      """WITH g AS (SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                     > 600 * 1000000 THEN 1 ELSE 0 END AS brk
+           FROM events)
+         SELECT user_id, CAST(max(sid) AS BIGINT) AS n_sessions, count(*) AS n_events
+         FROM (SELECT user_id, sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM g)
+         GROUP BY 1""",
+    "w4_record_highs" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  max(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+           FROM orders)
+         WHERE pmax IS NULL OR o_totalprice > pmax""",
+    "w7_downsample" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber FROM (
+           SELECT l_returnflag, l_orderkey, l_linenumber,
+                  row_number() OVER (PARTITION BY l_returnflag
+                    ORDER BY l_orderkey, l_linenumber) AS rn
+           FROM lineitem)
+         WHERE rn % 100 = 0""",
+    "a9_2d_histogram" ->
+      """SELECT l_returnflag, CAST(floor(l_quantity/10) AS BIGINT) AS qty_bin,
+         count(*) FILTER (l_linestatus = 'O') AS "O",
+         count(*) FILTER (l_linestatus = 'F') AS "F"
+         FROM lineitem GROUP BY 1, 2"""
+  )
+}
