@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline primitives for large-scale training-data curation:
+  * tokenization, portable 32-bit hashing, shingling, MinHash, SimHash,
+  * rolling-hash fingerprints, quality/language scores.
+  *
+  * Everything is a composition of built-in Catalyst expressions (split /
+  * transform / aggregate / array_min …) — scalar per row, no UDFs, no
+  * shuffle — so the whole suite stays inside whole-stage codegen and scales
+  * embarrassingly parallel over document partitions. The hash is
+  * `int(md5_hex[0:8])`, chosen because it is bit-identical in any engine
+  * (the DuckDB oracle replays it as `CAST('0x'||substr(md5(x),1,8) AS BIGINT)`).
+  */
+object Text {
+
+  /** Portable 32-bit hash: first 8 hex digits of md5 as a long. */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Sliding word n-grams joined by spaces: ["a b c", "b c d", ...]. */
+  def shingles(toks: Column, n: Int): Column =
+    transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
+
+  /** One MinHash value: min over shingles of hash32(salt:shingle).
+    * k salted calls give a k-permutation signature. */
+  def minhash(sh: Column, salt: Int): Column =
+    array_min(transform(sh, s => hash32(concat(lit(s"$salt:"), s))))
+
+  /** SimHash over token hashes: bit j of the result is the sign of
+    * sum(+-1 per token depending on bit j of the token hash). Scalar-only:
+    * `bits` aggregate passes over the token array, no explode. */
+  def simhash(toks: Column, bits: Int): Column = {
+    val hashes = transform(toks, t => hash32(t))
+    (0 until bits).map { j =>
+      val bitsum = aggregate(hashes, lit(0L),
+        (acc, h) => acc + (shiftright(h, j).bitwiseAND(1) * 2 - 1))
+      when(bitsum > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Order-sensitive rolling fingerprint: fold h = (h*31 + hash32(tok)) mod p. */
+  def fingerprint(toks: Column, p: Long = 1000000007L): Column =
+    aggregate(transform(toks, t => hash32(t)), lit(0L),
+      (acc, h) => (acc * 31 + h) % p)
+
+  /** Fraction of tokens found in `vocab` (stopword ratio / language score). */
+  def vocabRatio(toks: Column, vocab: Seq[String]): Column = {
+    val inVocab = size(filter(toks, t => t.isin(vocab.map(lit): _*)))
+    inVocab.cast("double") / size(toks)
+  }
+
+  /** Jaccard similarity of two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+}

@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Text
+
+/** Training-data curation suite over the `documents` table: token stats,
+  * quality scoring, language scoring, exact + fuzzy deduplication
+  * (fingerprint, MinHash+LSH, SimHash, n-gram Jaccard).
+  *
+  * Scale design: every per-document computation (hashing, shingling,
+  * signatures) is scalar inside whole-stage codegen — zero shuffles until
+  * the final small aggregate. The only shuffles are (a) groupBy on a hash
+  * key for dedup (combiner-friendly, near-unique keys) and (b) the LSH
+  * band self-join, which is an equi-join on band keys — exactly the
+  * shape that lets 100 TB of documents dedup without any pairwise scan.
+  */
+object TextDedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K = 8        // minhash permutations
+  private val BANDS = 4    // LSH bands (2 rows each)
+
+  private def withMinhash(docs: DataFrame): DataFrame = {
+    val sh = Text.shingles(Text.tokens(col("text")), 3)
+    (1 to K).foldLeft(docs.withColumn("_sh", sh)) { (df, i) =>
+      df.withColumn(s"mh$i", Text.minhash(col("_sh"), i))
+    }
+  }
+
+  /** doc_id + exploded (band_id, band_key) rows. */
+  private def bandRows(s: SparkSession, d: String): DataFrame = {
+    val mh = withMinhash(Tables.documents(s, d)).select("doc_id", (1 to K).map(i => s"mh$i"): _*)
+    val bands = array((1 to BANDS).map { b =>
+      struct(lit(b).as("bid"),
+        concat_ws("_", col(s"mh${2 * b - 1}"), col(s"mh${2 * b}")).as("key"))
+    }: _*)
+    mh.select(col("doc_id"), explode(bands).as("band"))
+      .select(col("doc_id"), col("band.bid").as("bid"), col("band.key").as("key"))
+  }
+
+  /** Distinct candidate near-dup pairs (a < b) sharing >= 1 LSH band. */
+  private def lshPairs(s: SparkSession, d: String): DataFrame = {
+    val bands = bandRows(s, d)
+    bands.as("a").join(bands.as("b"),
+        col("a.bid") === col("b.bid") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  val queries: Map[String, Q] = Map(
+    // ----- X1: token counting (whitespace + regex word count)
+    "x1_token_stats" -> { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(Text.tokens(col("text"))).as("n_tokens"),
+        size(split(col("text"), "[^a-z0-9]+")).as("n_words_re"),
+        col("n_chars"))
+    },
+    // ----- X2: quality scoring (length / distinct-token ratio / mean token len)
+    "x2_quality_score" -> { (s, d) =>
+      val toks = Text.tokens(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        round(size(array_distinct(toks)).cast("double") / size(toks), 6).as("distinct_ratio"),
+        round((col("n_chars") - size(toks) + 1).cast("double") / size(toks), 6).as("mean_tok_len"),
+        round(least(size(toks).cast("double") / 100.0, lit(1.0)) *
+          (size(array_distinct(toks)).cast("double") / size(toks)), 6).as("quality"))
+    },
+    // ----- X3: language-ID heuristic (stopword-vocabulary ratio)
+    "x3_langid" -> { (s, d) =>
+      val toks = Text.tokens(col("text"))
+      val enScore = Text.vocabRatio(toks, Seq("the", "a", "of", "and", "to"))
+      Tables.documents(s, d)
+        .withColumn("en_score", round(enScore, 6))
+        .withColumn("pred", when(col("en_score") > 0.05, lit("en")).otherwise(lit("other")))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n"),
+          round(avg("en_score"), 6).as("avg_score"))
+    },
+    // ----- X4: rolling-hash document fingerprint
+    "x4_fingerprint" -> { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        Text.fingerprint(Text.tokens(col("text"))).as("fp"))
+    },
+    // ----- D1: exact dedup on a normalized prefix key (hash-groupBy)
+    "d1_exact_dedup" -> { (s, d) =>
+      val prefixKey = Text.hash32(concat_ws(" ",
+        slice(Text.tokens(col("text")), 1, 10)))
+      Tables.documents(s, d)
+        .withColumn("pkey", prefixKey)
+        .groupBy("pkey")
+        .agg(min("doc_id").as("canonical"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+    },
+    // ----- D2: MinHash signatures (k=8, 3-word shingles)
+    "d2_minhash" -> { (s, d) =>
+      withMinhash(Tables.documents(s, d))
+        .select("doc_id", (1 to K).map(i => s"mh$i"): _*)
+    },
+    // ----- D3: LSH candidate pairs + estimated similarity
+    "d3_lsh_pairs" -> { (s, d) =>
+      val mh = withMinhash(Tables.documents(s, d))
+        .select("doc_id", (1 to K).map(i => s"mh$i"): _*)
+      val est = (1 to K).map(i =>
+        when(col(s"a.mh$i") === col(s"b.mh$i"), 1.0).otherwise(0.0))
+        .reduce(_ + _) / K
+      lshPairs(s, d)
+        .join(mh.as("a"), col("doc_a") === col("a.doc_id"))
+        .join(mh.as("b"), col("doc_b") === col("b.doc_id"))
+        .select(col("doc_a"), col("doc_b"), round(est, 6).as("est_sim"))
+    },
+    // ----- D4: exact n-gram Jaccard, verified only on LSH candidates
+    "d4_jaccard_verify" -> { (s, d) =>
+      val sh = array_distinct(Text.shingles(Text.tokens(col("text")), 3))
+      val docs = Tables.documents(s, d).select(col("doc_id"), sh.as("sh"))
+      lshPairs(s, d)
+        .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
+        .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          round(Text.jaccard(col("da.sh"), col("db.sh")), 6).as("jaccard"))
+    },
+    // ----- D5: SimHash (16-bit, scalar-only, no explode)
+    "d5_simhash" -> { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        Text.simhash(Text.tokens(col("text")), 16).as("simhash"))
+    }
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  private val hx = (e: String) => s"CAST(('0x'||substr(md5($e),1,8)) AS BIGINT)"
+  private val shSql =
+    "list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2])"
+  private def mhSql(i: Int) =
+    s"list_min(list_transform(sh, s -> ${hx(s"'$i:'||s")})) AS mh$i"
+  private val mhCte =
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        shin AS (SELECT doc_id, $shSql AS sh FROM tok),
+        mh AS (SELECT doc_id, ${(1 to K).map(mhSql).mkString(", ")} FROM shin)"""
+  private val bandSql =
+    (1 to BANDS).map(b =>
+      s"SELECT doc_id, $b AS bid, mh${2 * b - 1}||'_'||mh${2 * b} AS key FROM mh")
+      .mkString(" UNION ALL ")
+  private val pairsCte =
+    s"""bands AS ($bandSql),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM bands a JOIN bands b
+                    ON a.bid = b.bid AND a.key = b.key AND a.doc_id < b.doc_id)"""
+
+  val oracles: Map[String, String] = Map(
+    "x1_token_stats" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         len(regexp_split_to_array(text, '[^a-z0-9]+')) AS n_words_re, n_chars
+         FROM documents""",
+    "x2_quality_score" ->
+      """WITH tok AS (SELECT doc_id, n_chars, string_split(text, ' ') AS t FROM documents)
+         SELECT doc_id, len(t) AS n_tokens,
+           round(len(list_distinct(t))*1.0/len(t), 6) AS distinct_ratio,
+           round((n_chars - len(t) + 1)*1.0/len(t), 6) AS mean_tok_len,
+           round(least(len(t)/100.0, 1.0) * (len(list_distinct(t))*1.0/len(t)), 6) AS quality
+         FROM tok""",
+    "x3_langid" ->
+      """WITH sc AS (SELECT lang,
+           round(len(list_filter(string_split(text,' '),
+             x -> x IN ('the','a','of','and','to')))*1.0
+             / len(string_split(text,' ')), 6) AS en_score
+           FROM documents)
+         SELECT lang, CASE WHEN en_score > 0.05 THEN 'en' ELSE 'other' END AS pred,
+           count(*) AS n, round(avg(en_score), 6) AS avg_score
+         FROM sc GROUP BY 1, 2""",
+    "x4_fingerprint" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+          SELECT doc_id, list_reduce(
+            list_concat([CAST(0 AS BIGINT)],
+              list_transform(t, x -> ${hx("x")})),
+            (a, b) -> (a*31 + b) % 1000000007) AS fp
+          FROM tok""",
+    "d1_exact_dedup" ->
+      s"""WITH k AS (SELECT doc_id,
+            ${hx("array_to_string(list_slice(string_split(text,' '),1,10), ' ')")} AS pkey
+          FROM documents)
+          SELECT pkey, min(doc_id) AS canonical, count(*) AS n_copies
+          FROM k GROUP BY 1 HAVING count(*) > 1""",
+    "d2_minhash" ->
+      s"$mhCte SELECT * FROM mh",
+    "d3_lsh_pairs" ->
+      s"""$mhCte, $pairsCte
+          SELECT doc_a, doc_b,
+            round((${(1 to K).map(i =>
+              s"CASE WHEN a.mh$i = b.mh$i THEN 1.0 ELSE 0.0 END").mkString(" + ")})/$K, 6) AS est_sim
+          FROM pairs JOIN mh a ON doc_a = a.doc_id JOIN mh b ON doc_b = b.doc_id""",
+    "d4_jaccard_verify" ->
+      s"""$mhCte, $pairsCte,
+          ds AS (SELECT doc_id, list_distinct(sh) AS sh FROM shin)
+          SELECT doc_a, doc_b,
+            round(len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0 /
+              (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))), 6) AS jaccard
+          FROM pairs JOIN ds a ON doc_a = a.doc_id JOIN ds b ON doc_b = b.doc_id""",
+    "d5_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, list_transform(string_split(text, ' '),
+            x -> ${hx("x")}) AS h FROM documents)
+          SELECT doc_id, (${(0 until 16).map(j =>
+            s"CASE WHEN list_sum(list_transform(h, x -> ((x >> $j) & 1)*2 - 1)) > 0 THEN ${1L << j} ELSE 0 END")
+            .mkString(" + ")}) AS simhash
+          FROM tok"""
+  )
+}
