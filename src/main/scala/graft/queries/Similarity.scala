@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (vec_id, embedding: array<float>, label).
+  *
+  * e1 — brute-force cosine top-k: the exactness baseline. Queries are a
+  * small deterministic subset, broadcast against the full collection; the
+  * dot product is a scalar fold (`aggregate(zip_with(...))`) inside
+  * whole-stage codegen. At 100 TB this is the per-partition inner loop of
+  * any ANN verifier — no shuffle, collection scanned once per query batch.
+  *
+  * e2 — IVF-style ANN: k-means-free variant with deterministic "centroids"
+  * (first C vectors). Every vector is assigned to its nearest centroid
+  * (broadcast, scalar argmax), then search only touches the query's own
+  * cluster — the classic inverted-file pruning that turns O(N·Q) into
+  * O(N·Q/C) probes. Cluster assignment doubles as the partition key a real
+  * deployment would bucket-write by.
+  *
+  * Float arrays are cast to double before any arithmetic so the left-fold
+  * sum is bit-identical to the DuckDB oracle; similarities are rounded to
+  * 6 dp BEFORE ranking so rank order cannot differ by float noise.
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val TOPK = 5
+  private val NCENT = 8
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  /** embeddings with double vector + precomputed norm. */
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  val queries: Map[String, Q] = Map(
+    // ----- E1: brute-force cosine top-k (exact baseline)
+    "e1_knn_cosine" -> { (s, d) =>
+      val all = vecs(s, d)
+      val q = all.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+      val sims = all.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("sim"))
+      val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+      sims.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TOPK)
+        .select("qid", "rank", "vec_id", "sim")
+    },
+    // ----- E2: IVF-bucketed ANN (cluster-pruned search)
+    "e2_ivf_ann" -> { (s, d) =>
+      val all = vecs(s, d)
+      val cents = all.filter(col("vec_id") < NCENT)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
+      val assigned = all.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+          round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6).as("csim"))
+        .withColumn("crank", row_number().over(wAssign))
+        .filter(col("crank") === 1)
+        .select("vec_id", "v", "nrm", "cid")
+      val q = assigned.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qnrm"), col("cid").as("qcid"))
+      val wRank = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+      assigned.join(broadcast(q), col("cid") === col("qcid") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("sim"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= TOPK)
+        .select("qid", "rank", "vec_id", "sim")
+    }
+  )
+
+  private val vecsCte =
+    """vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+       n AS (SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM vv)"""
+  private val dotSql =
+    "list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*q.qv[i]))"
+
+  val oracles: Map[String, String] = Map(
+    "e1_knn_cosine" ->
+      s"""WITH $vecsCte,
+          q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id % 100 = 0),
+          p AS (SELECT q.qid, a.vec_id,
+                  round($dotSql/(a.nrm*q.qnrm), 6) AS sim
+                FROM n a CROSS JOIN q WHERE a.vec_id <> q.qid),
+          r AS (SELECT qid, vec_id, sim,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+                FROM p)
+          SELECT qid, rank, vec_id, sim FROM r WHERE rank <= $TOPK""",
+    "e2_ivf_ann" ->
+      s"""WITH $vecsCte,
+          c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $NCENT),
+          asg0 AS (SELECT a.vec_id, a.v, a.nrm, c.cid,
+                     round(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*c.cv[i]))
+                       /(a.nrm*c.cnrm), 6) AS csim
+                   FROM n a CROSS JOIN c),
+          asg AS (SELECT vec_id, v, nrm, cid FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY csim DESC, cid) AS crank FROM asg0)
+                  WHERE crank = 1),
+          q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cid AS qcid
+                FROM asg WHERE vec_id % 100 = 0),
+          p AS (SELECT q.qid, a.vec_id,
+                  round($dotSql/(a.nrm*q.qnrm), 6) AS sim
+                FROM asg a JOIN q ON a.cid = q.qcid AND a.vec_id <> q.qid),
+          r AS (SELECT qid, vec_id, sim,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+                FROM p)
+          SELECT qid, rank, vec_id, sim FROM r WHERE rank <= $TOPK"""
+  )
+}
