@@ -1,0 +1,52 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eval1(c: org.apache.spark.sql.Column): Any =
+    spark.range(1).select(c).head.get(0)
+
+  test("hash32 is the first 8 md5 hex digits as a long (portable to DuckDB)") {
+    // golden value cross-checked against DuckDB:
+    //   SELECT CAST(('0x'||substr(md5('1:a b c'),1,8)) AS BIGINT) = 674514811
+    assert(eval1(Text.hash32(lit("1:a b c"))) == 674514811L)
+  }
+
+  test("shingles produce overlapping word n-grams") {
+    val out = eval1(Text.shingles(Text.tokens(lit("w1 w2 w3 w4 w5")), 3))
+    assert(out == Seq("w1 w2 w3", "w2 w3 w4", "w3 w4 w5"))
+  }
+
+  test("minhash is permutation-stable and order-insensitive across shingle order") {
+    val a = eval1(Text.minhash(Text.shingles(Text.tokens(lit("a b c d e")), 3), 1))
+    val b = eval1(Text.minhash(Text.shingles(Text.tokens(lit("a b c d e")), 3), 1))
+    val other = eval1(Text.minhash(Text.shingles(Text.tokens(lit("x y z w v")), 3), 1))
+    assert(a == b && a != other)
+  }
+
+  test("simhash: near-identical docs differ in few bits, disjoint docs in many") {
+    def sh(s: String): Long =
+      eval1(Text.simhash(Text.tokens(lit(s)), 16)).asInstanceOf[Long]
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.replace("today", "tomorrow")
+    val far = "completely different words describing some other topic entirely now ok"
+    assert(hamming(sh(base), sh(near)) < hamming(sh(base), sh(far)))
+  }
+
+  test("jaccard on distinct arrays") {
+    val j = eval1(Text.jaccard(
+      array_distinct(split(lit("a b c"), " ")),
+      array_distinct(split(lit("b c d"), " ")))).asInstanceOf[Double]
+    assert(math.abs(j - 0.5) < 1e-12)
+  }
+
+  test("fingerprint is order-sensitive (rolling, not bag-of-words)") {
+    val f1 = eval1(Text.fingerprint(Text.tokens(lit("a b c"))))
+    val f2 = eval1(Text.fingerprint(Text.tokens(lit("c b a"))))
+    assert(f1 != f2)
+  }
+}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class OrderedSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("prCurve endpoints (stats_utils.py:141-210 shape)") {
+    // scores 5..1; tp at scores 5,4,2; fp at 3,1
+    val df = Seq((5.0, 1, 0, 1L), (4.0, 1, 0, 2L), (3.0, 0, 1, 3L), (2.0, 1, 0, 4L), (1.0, 0, 1, 5L))
+      .toDF("score", "tp", "fp", "id")
+    val out = Ordered.prCurve(df, col("score"), col("tp") === 1, col("fp") === 1, col("id"))
+      .orderBy("rank")
+      .select("rank", "precision", "recall")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.head == ((1, 1.0, 1.0 / 3)))          // best-score prefix: pure TP
+    assert(out.last._2 == 3.0 / 5 && out.last._3 == 1.0) // full set: all tp recalled
+    // recall is monotone nondecreasing along the sweep
+    assert(out.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+  }
+
+  test("sessionize splits on gaps > threshold") {
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val df = Seq((1L, ts(0)), (1L, ts(100)), (1L, ts(2000)), (1L, ts(2100)), (2L, ts(0)))
+      .toDF("user_id", "ts")
+    val out = Ordered.sessionize(df, "user_id", "ts", 600)
+      .groupBy("user_id").agg(max("session_id").as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("recordHighs keeps strictly increasing running maxima") {
+    val df = Seq((1, 1, 10.0), (1, 2, 5.0), (1, 3, 12.0), (1, 4, 12.0), (2, 1, 1.0))
+      .toDF("g", "o", "v")
+    val out = Ordered.recordHighs(df, "g", "o", "v")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq.sorted
+    assert(out == Seq((1, 1), (1, 3), (2, 1)))
+  }
+
+  test("everyKth keeps rows at positions k, 2k, ...") {
+    val df = (1 to 10).map(i => ("g", i)).toDF("g", "o")
+    val out = Ordered.everyKth(df, "g", Seq("o"), 3).collect().map(_.getInt(1)).toSeq.sorted
+    assert(out == Seq(3, 6, 9))
+  }
+}
