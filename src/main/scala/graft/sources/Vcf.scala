@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** VCF text reader/writer (SURVEY.md §2.1 S2/S3/S10).
+  *
+  * The reference flattens VCF records into a frame via `get_vcf_df`
+  * [absent; inferred — call sites ugvc/pipelines/run_no_gt_report.py:307-312,
+  * ugvc/comparison/variant_hit_fraction_caller.py:33-40] with lower-cased
+  * field names, and streams records with pysam (compress_gvcf.py:122-212).
+  *
+  * Spark-first: `spark.read.text` → line split → typed columns; INFO
+  * becomes `map<string,string>` plus opt-in typed extraction; the
+  * first-sample FORMAT fields become `gt array<int>` (nullable elements
+  * for no-calls), `ad`/`pl` int arrays, `dp`/`gq` ints. Everything is
+  * built-in expressions, so column pruning reaches the text scan and
+  * unneeded per-sample parsing is dropped by Catalyst.
+  *
+  * At scale: VCFs are line-delimited, so the text source splits files by
+  * range and parses in parallel; downstream genomic operators should
+  * `repartitionByRange($"chrom", $"pos")` once and reuse that partitioning.
+  */
+object Vcf {
+
+  /** Columns: chrom, pos (long), id, ref, alleles array<string>, qual double,
+    * filter, info map<string,string>, format, sample fields gt/ad/pl/dp/gq. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val lines = spark.read.text(path).filter(!col("value").startsWith("#"))
+    val f = split(col("value"), "\t")
+    def fld(i: Int): Column = element_at(f, i)
+
+    val fmtKeys = split(element_at(f, 9), ":")
+    val fmtVals = split(element_at(f, 10), ":")
+    val sample = map_from_arrays(fmtKeys, fmtVals)
+
+    lines.select(
+      fld(1).as("chrom"),
+      fld(2).cast("long").as("pos"),
+      fld(3).as("id"),
+      fld(4).as("ref"),
+      concat(array(fld(4)), split(fld(5), ",")).as("alleles"),
+      when(fld(6) === ".", null).otherwise(fld(6)).cast("double").as("qual"),
+      fld(7).as("filter"),
+      str_to_map(fld(8), lit(";"), lit("=")).as("info"),
+      sample.as("sample"))
+      .withColumn("gt",
+        transform(split(regexp_replace(element_at(col("sample"), "GT"), "\\|", "/"), "/"),
+          g => when(g === "." || g === "", null).otherwise(g).cast("int")))
+      .withColumn("ad", intArray(element_at(col("sample"), "AD")))
+      .withColumn("pl", intArray(element_at(col("sample"), "PL")))
+      .withColumn("dp", element_at(col("sample"), "DP").cast("int"))
+      .withColumn("gq", element_at(col("sample"), "GQ").cast("int"))
+  }
+
+  private def intArray(c: Column): Column =
+    when(c.isNull, null).otherwise(transform(split(c, ","), x => x.cast("int")))
+
+  /** Typed INFO accessor: `infoField(df, "END")` as long, etc. */
+  def infoLong(name: String): Column = element_at(col("info"), name).cast("long")
+  def infoDouble(name: String): Column = element_at(col("info"), name).cast("double")
+  def infoFlag(name: String): Column = map_contains_key(col("info"), name)
+
+  /** Write a variant frame back to VCF body text (single sample), sorted by
+    * (chrom, pos) within range partitions — S10 minus the tabix step, which
+    * is an external indexing concern. */
+  def write(df: DataFrame, path: String, header: Seq[String] = defaultHeader): Unit = {
+    val body = df
+      .repartitionByRange(col("chrom"), col("pos"))
+      .sortWithinPartitions("chrom", "pos")
+      .select(concat_ws("\t",
+        col("chrom"), col("pos"), coalesce(col("id"), lit(".")),
+        element_at(col("alleles"), 1),
+        array_join(slice(col("alleles"), 2, 100), ","),
+        coalesce(col("qual").cast("string"), lit(".")),
+        coalesce(col("filter"), lit(".")),
+        coalesce(aggregate(map_entries(col("info")),
+          lit(null).cast("string"),
+          (acc, e) => when(acc.isNull, concat(e.getField("key"), lit("="), e.getField("value")))
+            .otherwise(concat(acc, lit(";"), e.getField("key"), lit("="), e.getField("value")))),
+          lit("."))).as("value"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    header.toDF("value").unionByName(body).coalesce(1)
+      .write.mode("overwrite").text(path)
+  }
+
+  val defaultHeader: Seq[String] = Seq(
+    "##fileformat=VCFv4.2",
+    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO")
+}

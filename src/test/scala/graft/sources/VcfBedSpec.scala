@@ -1,0 +1,72 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class VcfBedSpec extends SparkSpec {
+
+  private val vcfLines = Seq(
+    "##fileformat=VCFv4.2",
+    "##INFO=<ID=DP,Number=1,Type=Integer>",
+    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1",
+    "chr1\t100\trs1\tA\tT\t50.5\tPASS\tDP=30;AF=0.5\tGT:AD:DP:GQ:PL\t0/1:10,20:30:99:50,0,80",
+    "chr1\t200\t.\tG\tC,T\t.\t.\tDP=10\tGT:DP\t1|2:10",
+    "chr2\t5\t.\tT\tA\t10\tLowQual\tEND=8\tGT:DP\t./.:7")
+
+  private lazy val vcfDir = {
+    val d = Files.createTempDirectory("graftvcf")
+    Files.writeString(d.resolve("t.vcf"), vcfLines.mkString("\n"))
+    d.resolve("t.vcf").toString
+  }
+
+  test("VCF read: positions, alleles, INFO map, typed sample fields") {
+    val df = Vcf.read(spark, vcfDir).orderBy("chrom", "pos")
+    val rows = df.collect()
+    assert(rows.length == 3)
+    val r0 = rows(0)
+    assert(r0.getAs[String]("chrom") == "chr1" && r0.getAs[Long]("pos") == 100L)
+    assert(r0.getSeq[String](r0.fieldIndex("alleles")).toSeq == Seq("A", "T"))
+    assert(r0.getAs[Double]("qual") == 50.5)
+    assert(r0.getAs[Map[String, String]]("info") == Map("DP" -> "30", "AF" -> "0.5"))
+    assert(r0.getSeq[Integer](r0.fieldIndex("gt")).toSeq == Seq(0, 1))
+    assert(r0.getSeq[Integer](r0.fieldIndex("ad")).toSeq == Seq(10, 20))
+    assert(r0.getSeq[Integer](r0.fieldIndex("pl")).toSeq == Seq(50, 0, 80))
+    assert(r0.getAs[Int]("dp") == 30 && r0.getAs[Int]("gq") == 99)
+    // phased multi-allelic genotype normalizes to the same array form
+    assert(rows(1).getSeq[Integer](rows(1).fieldIndex("gt")).toSeq == Seq(1, 2))
+    assert(rows(1).getSeq[String](rows(1).fieldIndex("alleles")).toSeq == Seq("G", "C", "T"))
+    assert(rows(1).isNullAt(rows(1).fieldIndex("qual")))
+    // no-call genotype has null elements
+    assert(rows(2).getSeq[Integer](rows(2).fieldIndex("gt")).toSeq == Seq(null, null))
+    // typed INFO accessors evaluate against the map column
+    val ends = Vcf.read(spark, vcfDir).select(Vcf.infoLong("END")).collect().map(_.get(0))
+    assert(ends.count(_ != null) == 1 && ends.contains(8L))
+  }
+
+  test("VCF write round-trips coordinates and alleles") {
+    val df = Vcf.read(spark, vcfDir)
+    val out = Files.createTempDirectory("graftvcfout").resolve("out").toString
+    Vcf.write(df, out)
+    val back = Vcf.read(spark, out)
+    val a = df.select("chrom", "pos", "ref", "filter").collect().map(_.toSeq).toSet
+    val b = back.select("chrom", "pos", "ref", "filter").collect().map(_.toSeq).toSet
+    // '.' filter round-trips to "." string; compare on normalized form
+    def norm(s: Set[Seq[Any]]) = s.map(_.map { case null => "."; case x => x })
+    assert(norm(a) == norm(b))
+  }
+
+  test("BED read/write round-trip with half-open intervals") {
+    val d = Files.createTempDirectory("graftbed")
+    Files.writeString(d.resolve("t.bed"), "chr1\t0\t100\nchr1\t150\t300\nchr2\t10\t20\n")
+    val df = Bed.read(spark, d.resolve("t.bed").toString)
+    assert(df.count() == 3)
+    assert(df.filter(col("chrom") === "chr1").agg(sum(col("end") - col("start")))
+      .head.getLong(0) == 250L)
+    val out = d.resolve("out").toString
+    Bed.write(df, out)
+    val back = Bed.read(spark, out)
+    assert(back.select("chrom", "start", "end").collect().map(_.toSeq).toSet ==
+      df.select("chrom", "start", "end").collect().map(_.toSeq).toSet)
+  }
+}
