@@ -1,0 +1,48 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Genomics
+
+/** SV stats collection (reference: ugvc/pipelines/sv_stats_collect.py) —
+  * the SURVEY §7.2 first-milestone slice: PASS filter → SVLEN binning →
+  * svtype × length-bin cross-tab, plus concordance-with-truth counts.
+  */
+object SvStats {
+
+  /** The reference's fixed SV length domain (sv_stats_collect.py:12-13). */
+  val svBins: Seq[Double] = Seq(50, 100, 300, 1000, 3000, 10000, 30000,
+    100000, 300000, 1000000, Double.MaxValue)
+  val svLabels: Seq[String] = Seq("50-100", "100-300", "300-1k", "1k-3k",
+    "3k-10k", "10k-30k", "30k-100k", "100k-300k", "300k-1M", ">1M")
+
+  /** PASS filter (P2) + abs-length labeled binning (A8). */
+  def prepare(sv: DataFrame): DataFrame =
+    sv.where("filter = 'PASS' OR filter = '' OR filter = '.'")
+      .withColumn("binned_svlen",
+        Genomics.labeledBins(abs(col("svlen")), svBins, svLabels))
+
+  /** A5 — svtype × length-bin cross-tab with the fixed label domain. */
+  def typeLengthCrosstab(sv: DataFrame): DataFrame =
+    prepare(sv)
+      .groupBy("svtype")
+      .pivot("binned_svlen", svLabels)
+      .count()
+      .na.fill(0L, svLabels)
+
+  /** A11 shape — concordance counts per svtype from TP/FP/FN labels, with
+    * the manual ALL rollup the reference builds by looping
+    * (sv_stats_collect.py:176-199) expressed as a native rollup. */
+  def concordanceStats(labeled: DataFrame): DataFrame = {
+    val agg = labeled.rollup("svtype")
+      .agg(sum((col("label") === "TP").cast("long")).as("tp"),
+           sum((col("label") === "FP").cast("long")).as("fp"),
+           sum((col("label") === "FN").cast("long")).as("fn"))
+      .withColumn("svtype", coalesce(col("svtype"), lit("ALL")))
+    val p = Genomics.precisionScore(col("tp"), col("fp"))
+    val r = Genomics.recallScore(col("tp"), col("fn"))
+    agg.select(col("svtype"), col("tp"), col("fp"), col("fn"),
+      round(p, 6).as("precision"), round(r, 6).as("recall"),
+      round(Genomics.f1Score(p, r), 6).as("f1"))
+  }
+}
