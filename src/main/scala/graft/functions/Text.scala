@@ -28,10 +28,18 @@ object Text {
     transform(sequence(lit(1), size(toks) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
 
-  /** One MinHash value: min over shingles of hash32(salt:shingle).
-    * k salted calls give a k-permutation signature. */
-  def minhash(sh: Column, salt: Int): Column =
-    array_min(transform(sh, s => hash32(concat(lit(s"$salt:"), s))))
+  /** Largest 32-bit prime; modulus for the MinHash permutation family. */
+  val MinhashP: Long = 4294967291L
+
+  /** Base hashes for a shingle array — computed ONCE, then permuted
+    * arithmetically per MinHash row (8x fewer md5 evaluations than salting
+    * the md5 input per permutation). */
+  def shingleHashes(sh: Column): Column = transform(sh, s => hash32(s))
+
+  /** One MinHash value from precomputed base hashes: min of (a*h + b) mod p.
+    * With h < 2^32 and small a the product stays well inside a long. */
+  def minhashPerm(hashes: Column, a: Long, b: Long): Column =
+    array_min(transform(hashes, h => (h * a + b) % MinhashP))
 
   /** SimHash over token hashes: bit j of the result is the sign of
     * sum(+-1 per token depending on bit j of the token hash). Scalar-only:

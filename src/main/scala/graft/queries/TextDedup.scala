@@ -25,8 +25,9 @@ object TextDedup {
 
   private def withMinhash(docs: DataFrame): DataFrame = {
     val sh = Text.shingles(Text.tokens(col("text")), 3)
-    (1 to K).foldLeft(docs.withColumn("_sh", sh)) { (df, i) =>
-      df.withColumn(s"mh$i", Text.minhash(col("_sh"), i))
+    val base = docs.withColumn("_hs", Text.shingleHashes(sh))
+    (1 to K).foldLeft(base) { (df, i) =>
+      df.withColumn(s"mh$i", Text.minhashPerm(col("_hs"), 2L * i + 1, 97L * i))
     }
   }
 
@@ -136,11 +137,12 @@ object TextDedup {
   private val shSql =
     "list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2])"
   private def mhSql(i: Int) =
-    s"list_min(list_transform(sh, s -> ${hx(s"'$i:'||s")})) AS mh$i"
+    s"list_min(list_transform(hs, h -> (h*${2 * i + 1} + ${97 * i}) % 4294967291)) AS mh$i"
   private val mhCte =
     s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         shin AS (SELECT doc_id, $shSql AS sh FROM tok),
-        mh AS (SELECT doc_id, ${(1 to K).map(mhSql).mkString(", ")} FROM shin)"""
+        hsh AS (SELECT doc_id, list_transform(sh, s -> ${hx("s")}) AS hs FROM shin),
+        mh AS (SELECT doc_id, ${(1 to K).map(mhSql).mkString(", ")} FROM hsh)"""
   private val bandSql =
     (1 to BANDS).map(b =>
       s"SELECT doc_id, $b AS bid, mh${2 * b - 1}||'_'||mh${2 * b} AS key FROM mh")

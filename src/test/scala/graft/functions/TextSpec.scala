@@ -21,10 +21,13 @@ class TextSpec extends SparkSpec {
   }
 
   test("minhash is permutation-stable and order-insensitive across shingle order") {
-    val a = eval1(Text.minhash(Text.shingles(Text.tokens(lit("a b c d e")), 3), 1))
-    val b = eval1(Text.minhash(Text.shingles(Text.tokens(lit("a b c d e")), 3), 1))
-    val other = eval1(Text.minhash(Text.shingles(Text.tokens(lit("x y z w v")), 3), 1))
-    assert(a == b && a != other)
+    def mh(text: String, i: Int) =
+      eval1(Text.minhashPerm(Text.shingleHashes(
+        Text.shingles(Text.tokens(lit(text)), 3)), 2L * i + 1, 97L * i))
+    assert(mh("a b c d e", 1) == mh("a b c d e", 1))
+    assert(mh("a b c d e", 1) != mh("x y z w v", 1))
+    // different permutations give independent values
+    assert(mh("a b c d e", 1) != mh("a b c d e", 2))
   }
 
   test("simhash: near-identical docs differ in few bits, disjoint docs in many") {
