@@ -68,4 +68,48 @@ object Genomics {
   /** clip(x, lo, hi) */
   def clip(c: Column, lo: Double, hi: Double): Column =
     least(greatest(c, lit(lo)), lit(hi))
+
+  /** F15 — length of the homopolymer run of `base` centered at/adjacent to
+    * the locus in a reference-context string (scan +-k around the middle;
+    * ugvc/pipelines/vcfbed/calibrate_bridging_snvs.py:9-66 [absent
+    * submodule; semantics inferred from the caller]). Pure function + UDF. */
+  def hmerLengthAt(context: String, base: Char): Int = {
+    if (context == null || context.isEmpty) return 0
+    val mid = context.length / 2
+    var lo = mid
+    while (lo > 0 && context(lo - 1) == base) lo -= 1
+    var hi = mid
+    while (hi < context.length && context(hi) == base) hi += 1
+    hi - lo
+  }
+  val hmerLengthUdf: (Column, Column) => Column = {
+    val f = udf((ctx: String, b: String) =>
+      if (ctx == null || b == null || b.isEmpty) 0 else hmerLengthAt(ctx, b.head))
+    (c, b) => f(c, b)
+  }
+
+  /** F16 — flow-space key: run-length encode a base sequence in flow order
+    * (TGCA cycled); generate_key_from_sequence [absent; inferred — call site
+    * ugvc/scripts/collect_hpol_table.py:98-114]. Returns the per-flow
+    * incorporation counts. */
+  def flowKey(seq: String, flowOrder: String = "TGCA"): Seq[Int] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    var flow = 0
+    while (i < seq.length) {
+      if (seq(i) == flowOrder(flow % flowOrder.length)) {
+        var run = 0
+        while (i < seq.length && seq(i) == flowOrder(flow % flowOrder.length)) {
+          run += 1; i += 1
+        }
+        out += run
+      } else out += 0
+      flow += 1
+    }
+    out.toSeq
+  }
+  val flowKeyUdf: Column => Column = {
+    val f = udf((s: String) => if (s == null) null else flowKey(s))
+    c => f(c)
+  }
 }

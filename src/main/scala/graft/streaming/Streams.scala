@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface.
+  *
+  * The reference is pure batch (SURVEY.md §2.10) — nothing here is needed
+  * for parity — but its ordered stateful scans have exact streaming
+  * analogues, and a 100 TB deployment would ingest depth/variant records
+  * continuously. This module provides the two shapes:
+  *
+  *  - W2 (GQ-band merge) == session windows with a gap condition →
+  *    `session_window` + watermark;
+  *  - A1/A2 histograms == windowed streaming aggregation.
+  *
+  * Both run identically on a batch DataFrame (Spark's unified semantics),
+  * which is how the spec exercises them plus a MemoryStream run.
+  */
+object Streams {
+
+  /** Watermarked session aggregation over an event stream — the streaming
+    * form of Ordered.sessionize. Appends one row per closed session. */
+  def sessionAgg(events: DataFrame, gap: String = "10 minutes",
+                 watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("session"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("user_id"), col("session.start").as("session_start"),
+        col("session.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  /** Tumbling-window value histogram — the streaming form of the coverage
+    * histogram (A2): per window, per integer-bucketed value, a count. */
+  def windowedHistogram(events: DataFrame, window: String = "1 hour",
+                        watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window).as("w"),
+        col("value").cast("int").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start"), col("bucket"), col("cnt"))
+}

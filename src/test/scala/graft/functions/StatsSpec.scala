@@ -1,0 +1,60 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** F4/F5/F15/F16 golden values (test_stats_utils.py:18-110 style). */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scaleContingencyTable rescales counts to target sum with rounding") {
+    val out = Seq(Tuple1(Seq(1L, 1L, 2L))).toDF("arr")
+      .select(Stats.scaleContingencyTable(col("arr"), lit(100)))
+      .head.getSeq[Long](0)
+    assert(out.toSeq == Seq(25L, 25L, 50L))
+  }
+
+  test("correctMultinomialFrequencies applies add-one smoothing") {
+    val out = Seq(Tuple1(Seq(0L, 1L, 3L))).toDF("arr")
+      .select(Stats.correctMultinomialFrequencies(col("arr")))
+      .head.getSeq[Double](0)
+    assert(out.toSeq == Seq(1.0 / 7, 2.0 / 7, 4.0 / 7))
+  }
+
+  test("lgamma matches factorials") {
+    for (n <- 1 to 10)
+      assert(math.abs(Stats.lgammaD(n + 1.0) - math.log((1 to n).map(_.toDouble).product)) < 1e-10)
+  }
+
+  test("multinomial log-likelihood matches closed form") {
+    // Binomial(n=3, p=0.5) at x=2: C(3,2)*0.5^3 = 0.375
+    val ll = Stats.multinomialLogLikelihood(Seq(2L, 1L), Seq(0.5, 0.5))
+    assert(math.abs(math.exp(ll) - 0.375) < 1e-12)
+    // perfect-frequency ratio is 1
+    assert(math.abs(Stats.multinomialLikelihoodRatio(Seq(2L, 2L), Seq(0.5, 0.5)) - 1.0) < 1e-12)
+    // mismatched frequencies give ratio < 1
+    assert(Stats.multinomialLikelihoodRatio(Seq(9L, 1L), Seq(0.5, 0.5)) < 1.0)
+  }
+
+  test("multinomial UDF evaluates in a plan") {
+    val r = Seq((Seq(2L, 1L), Seq(0.5, 0.5))).toDF("xs", "ps")
+      .select(Stats.multinomialLogLikelihoodUdf(col("xs"), col("ps")))
+      .head.getDouble(0)
+    assert(math.abs(math.exp(r) - 0.375) < 1e-12)
+  }
+
+  test("hmerLengthAt scans the run around the locus midpoint (F15)") {
+    assert(Genomics.hmerLengthAt("ACTTTGA", 'T') == 3) // mid=3 is inside TTT
+    assert(Genomics.hmerLengthAt("ACTGACT", 'G') == 1)
+    assert(Genomics.hmerLengthAt("AAAAAAA", 'A') == 7)
+    assert(Genomics.hmerLengthAt("ACTGACT", 'C') == 0) // mid not a C run
+  }
+
+  test("flowKey run-length encodes in TGCA flow order (F16)") {
+    // T G C A cycle: "TTG" -> T:2, G:1
+    assert(Genomics.flowKey("TTG") == Seq(2, 1))
+    // "GT": skip T flow (0), G:1, then C,A skipped (0,0), T:1
+    assert(Genomics.flowKey("GT") == Seq(0, 1, 0, 0, 1))
+    assert(Genomics.flowKey("") == Seq())
+  }
+}
