@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class OverlapSuppressSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(rs: Seq[SuppressRecord]): Seq[(Long, Boolean)] =
+    OverlapSuppress.suppress(rs.toDS()).collect().toSeq
+      .sortBy(r => (r.chrom, r.pos)).map(r => (r.pos, r.uncalledGt))
+
+  test("uncalled records under a deletion with a called variant are dropped") {
+    val rs = Seq(
+      SuppressRecord("1", 10, 20, called = true, uncalledGt = false), // del spans to 30
+      SuppressRecord("1", 15, 0, called = false, uncalledGt = true),  // dropped
+      SuppressRecord("1", 25, 0, called = false, uncalledGt = true),  // dropped
+      SuppressRecord("1", 40, 0, called = false, uncalledGt = true))  // outside span, kept
+    assert(run(rs).map(_._1) == Seq(10L, 40L))
+  }
+
+  test("without any called record the buffered group passes through") {
+    val rs = Seq(
+      SuppressRecord("1", 10, 20, called = false, uncalledGt = false),
+      SuppressRecord("1", 15, 0, called = false, uncalledGt = true))
+    assert(run(rs).map(_._1) == Seq(10L, 15L))
+  }
+
+  test("chained deletions extend the overlap group") {
+    val rs = Seq(
+      SuppressRecord("1", 10, 10, called = false, uncalledGt = false), // spans to 20
+      SuppressRecord("1", 15, 20, called = true, uncalledGt = false),  // extends to 35
+      SuppressRecord("1", 30, 0, called = false, uncalledGt = true))   // inside → dropped
+    assert(run(rs).map(_._1) == Seq(10L, 15L))
+  }
+
+  test("chromosome change closes the group") {
+    val rs = Seq(
+      SuppressRecord("1", 10, 100, called = true, uncalledGt = false),
+      SuppressRecord("2", 15, 0, called = false, uncalledGt = true)) // other chrom, kept
+    assert(run(rs).map(_._1) == Seq(10L, 15L))
+  }
+}
