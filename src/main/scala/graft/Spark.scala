@@ -13,6 +13,7 @@ object Spark {
     val spark = SparkSession.builder()
       .appName(appName)
       .master(s"local[$cpus]")
+      .withExtensions(graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

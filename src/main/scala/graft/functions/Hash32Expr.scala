@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for the engine's portable 32-bit hash:
+  * the first 4 bytes of md5(utf8(s)) as an unsigned long — bit-identical to
+  * `conv(substring(md5(s),1,8),16,10)` (and to the DuckDB oracle's
+  * `CAST('0x'||substr(md5(s),1,8) AS BIGINT)`), but without materializing
+  * the 32-char hex string and re-parsing it per call.
+  *
+  * This is the SURVEY §2.11 "custom Expression only if UDF perf matters"
+  * case: hash32 runs millions of times per document batch (every shingle of
+  * every doc), so the hex round-trip is measurable. `doGenCode` emits a
+  * direct static call, keeping the whole pipeline inside whole-stage
+  * codegen.
+  */
+case class Hash32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hash32"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Hash32Util.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hash32Util.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Hash32 =
+    copy(child = newChild)
+}
+
+object Hash32Util {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 4 md5 bytes, big-endian unsigned — equals parsing the first 8
+    * lowercase hex digits. */
+  def compute(s: UTF8String): Long = {
+    val d = md.get()
+    d.reset()
+    val digest = d.digest(s.getBytes)
+    ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
+      ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
+  }
+}
+
+/** SparkSessionExtensions hook registering `graft_hash32` so plans can call
+  * it via `call_function` / SQL. Wired in [[graft.Spark.session]]. */
+object GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("graft_hash32"),
+      new ExpressionInfo(classOf[Hash32].getName, "graft_hash32"),
+      (exprs: Seq[Expression]) => Hash32(exprs.head)))
+  }
+}

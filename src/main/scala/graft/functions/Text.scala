@@ -16,8 +16,18 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
-  /** Portable 32-bit hash: first 8 hex digits of md5 as a long. */
-  def hash32(c: Column): Column =
+  /** Portable 32-bit hash: first 8 hex digits of md5 as a long. Uses the
+    * native [[Hash32]] expression when the session registered it
+    * (graft.Spark.session does), falling back to the built-in composition
+    * on a vanilla session. Both are bit-identical. */
+  def hash32(c: Column): Column = {
+    val active = org.apache.spark.sql.SparkSession.active
+    if (active.catalog.functionExists("graft_hash32")) call_function("graft_hash32", c)
+    else hash32Builtin(c)
+  }
+
+  /** Built-in-only form (what the DuckDB oracle replays). */
+  def hash32Builtin(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   /** Whitespace tokenization. */

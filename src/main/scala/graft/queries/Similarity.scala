@@ -59,6 +59,23 @@ object Similarity {
         .filter(col("rank") <= TOPK)
         .select("qid", "rank", "vec_id", "sim")
     },
+    // ----- D6: embedding-cosine near-dup pairs (label-blocked pairwise scan)
+    // Blocking on `label` is the IVF-cluster analogue for dedup: pairwise
+    // cost drops from N^2 to sum of block^2 — the only way a cosine dedup
+    // survives at 100 TB (blocks = coarse quantizer cells there).
+    "d6_cosine_dedup" -> { (s, d) =>
+      val all = Tables.embeddings(s, d).select(
+        col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", norm(col("v")))
+      val b = all.select(col("label"), col("vec_id").as("vec_b"),
+        col("v").as("vb"), col("nrm").as("nrmb"))
+      all.join(b, Seq("label"))
+        .filter(col("vec_id") < col("vec_b"))
+        .select(col("vec_id").as("vec_a"), col("vec_b"),
+          round(dot(col("v"), col("vb")) / (col("nrm") * col("nrmb")), 6).as("sim"))
+        .filter(col("sim") >= 0.4)
+    },
     // ----- E2: IVF-bucketed ANN (cluster-pruned search)
     "e2_ivf_ann" -> { (s, d) =>
       val all = vecs(s, d)
@@ -103,6 +120,16 @@ object Similarity {
                   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
                 FROM p)
           SELECT qid, rank, vec_id, sim FROM r WHERE rank <= $TOPK""",
+    "d6_cosine_dedup" ->
+      s"""WITH vv AS (SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+          n AS (SELECT vec_id, label, v,
+            sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM vv),
+          p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+            round(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]))
+              /(a.nrm*b.nrm), 6) AS sim
+            FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+          SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.4""",
     "e2_ivf_ann" ->
       s"""WITH $vecsCte,
           c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $NCENT),

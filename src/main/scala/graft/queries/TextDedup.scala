@@ -31,9 +31,17 @@ object TextDedup {
     }
   }
 
+  /** MinHash signature frame, persisted: it is tiny (doc_id + K longs) and
+    * every LSH consumer scans it from both sides of a self-join — caching
+    * turns 2-4 full shingle+md5 passes into one. (At 100 TB the same role
+    * is played by checkpointing signatures to parquet once.) */
+  private def cachedMinhash(s: SparkSession, d: String): DataFrame =
+    withMinhash(Tables.documents(s, d))
+      .select("doc_id", (1 to K).map(i => s"mh$i"): _*)
+      .persist()
+
   /** doc_id + exploded (band_id, band_key) rows. */
-  private def bandRows(s: SparkSession, d: String): DataFrame = {
-    val mh = withMinhash(Tables.documents(s, d)).select("doc_id", (1 to K).map(i => s"mh$i"): _*)
+  private def bandRows(mh: DataFrame): DataFrame = {
     val bands = array((1 to BANDS).map { b =>
       struct(lit(b).as("bid"),
         concat_ws("_", col(s"mh${2 * b - 1}"), col(s"mh${2 * b}")).as("key"))
@@ -43,8 +51,8 @@ object TextDedup {
   }
 
   /** Distinct candidate near-dup pairs (a < b) sharing >= 1 LSH band. */
-  private def lshPairs(s: SparkSession, d: String): DataFrame = {
-    val bands = bandRows(s, d)
+  private def lshPairs(mh: DataFrame): DataFrame = {
+    val bands = bandRows(mh)
     bands.as("a").join(bands.as("b"),
         col("a.bid") === col("b.bid") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -104,12 +112,11 @@ object TextDedup {
     },
     // ----- D3: LSH candidate pairs + estimated similarity
     "d3_lsh_pairs" -> { (s, d) =>
-      val mh = withMinhash(Tables.documents(s, d))
-        .select("doc_id", (1 to K).map(i => s"mh$i"): _*)
+      val mh = cachedMinhash(s, d)
       val est = (1 to K).map(i =>
         when(col(s"a.mh$i") === col(s"b.mh$i"), 1.0).otherwise(0.0))
         .reduce(_ + _) / K
-      lshPairs(s, d)
+      lshPairs(mh)
         .join(mh.as("a"), col("doc_a") === col("a.doc_id"))
         .join(mh.as("b"), col("doc_b") === col("b.doc_id"))
         .select(col("doc_a"), col("doc_b"), round(est, 6).as("est_sim"))
@@ -117,8 +124,8 @@ object TextDedup {
     // ----- D4: exact n-gram Jaccard, verified only on LSH candidates
     "d4_jaccard_verify" -> { (s, d) =>
       val sh = array_distinct(Text.shingles(Text.tokens(col("text")), 3))
-      val docs = Tables.documents(s, d).select(col("doc_id"), sh.as("sh"))
-      lshPairs(s, d)
+      val docs = Tables.documents(s, d).select(col("doc_id"), sh.as("sh")).persist()
+      lshPairs(cachedMinhash(s, d))
         .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
         .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
         .select(col("doc_a"), col("doc_b"),

@@ -13,6 +13,18 @@ class TextSpec extends SparkSpec {
     // golden value cross-checked against DuckDB:
     //   SELECT CAST(('0x'||substr(md5('1:a b c'),1,8)) AS BIGINT) = 674514811
     assert(eval1(Text.hash32(lit("1:a b c"))) == 674514811L)
+    assert(eval1(Text.hash32Builtin(lit("1:a b c"))) == 674514811L)
+  }
+
+  test("native Hash32 expression is bit-identical to the builtin composition") {
+    import spark.implicits._
+    assert(spark.catalog.functionExists("graft_hash32"), "extension not registered")
+    val docs = (1 to 500).map(i => s"doc $i content ${i * 37}").toDF("t")
+    val diff = docs.select(
+        Text.hash32(col("t")).as("native"),
+        Text.hash32Builtin(col("t")).as("builtin"))
+      .filter(col("native") =!= col("builtin")).count()
+    assert(diff == 0)
   }
 
   test("shingles produce overlapping word n-grams") {
