@@ -46,6 +46,19 @@ object Text {
     * the md5 input per permutation). */
   def shingleHashes(sh: Column): Column = transform(sh, s => hash32(s))
 
+  /** Per-token hashes. */
+  def tokenHashes(toks: Column): Column = transform(toks, t => hash32(t))
+
+  /** 3-gram shingle hashes combined arithmetically from token hashes:
+    * h = (h1*299 + h2*991 + h3) mod p. One md5 per TOKEN (not per 3-word
+    * shingle string) and zero string concatenation — the order-sensitive
+    * combine keeps "a b c" != "c b a". */
+  def shingleHashes3(tokHashes: Column): Column =
+    transform(sequence(lit(1), size(tokHashes) - 2),
+      i => (element_at(tokHashes, i) * 299L +
+            element_at(tokHashes, i + 1) * 991L +
+            element_at(tokHashes, i + 2)) % MinhashP)
+
   /** One MinHash value from precomputed base hashes: min of (a*h + b) mod p.
     * With h < 2^32 and small a the product stays well inside a long. */
   def minhashPerm(hashes: Column, a: Long, b: Long): Column =

@@ -24,8 +24,12 @@ object TextDedup {
   private val BANDS = 4    // LSH bands (2 rows each)
 
   private def withMinhash(docs: DataFrame): DataFrame = {
-    val sh = Text.shingles(Text.tokens(col("text")), 3)
-    val base = docs.withColumn("_hs", Text.shingleHashes(sh))
+    // token hashes land in their own column BEFORE the shingle combine:
+    // inlining them into shingleHashes3's lambda re-evaluates the whole
+    // token-hash array per element_at (O(tokens^2) md5 calls)
+    val base = docs
+      .withColumn("_th", Text.tokenHashes(Text.tokens(col("text"))))
+      .withColumn("_hs", Text.shingleHashes3(col("_th")))
     (1 to K).foldLeft(base) { (df, i) =>
       df.withColumn(s"mh$i", Text.minhashPerm(col("_hs"), 2L * i + 1, 97L * i))
     }
@@ -147,8 +151,10 @@ object TextDedup {
     s"list_min(list_transform(hs, h -> (h*${2 * i + 1} + ${97 * i}) % 4294967291)) AS mh$i"
   private val mhCte =
     s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        th AS (SELECT doc_id, t, list_transform(t, x -> ${hx("x")}) AS h FROM tok),
+        hsh AS (SELECT doc_id, t, list_transform(range(1, len(h)-1),
+          i -> (h[i]*299 + h[i+1]*991 + h[i+2]) % 4294967291) AS hs FROM th),
         shin AS (SELECT doc_id, $shSql AS sh FROM tok),
-        hsh AS (SELECT doc_id, list_transform(sh, s -> ${hx("s")}) AS hs FROM shin),
         mh AS (SELECT doc_id, ${(1 to K).map(mhSql).mkString(", ")} FROM hsh)"""
   private val bandSql =
     (1 to BANDS).map(b =>
