@@ -19,6 +19,12 @@ object Spark {
       .config("spark.ui.enabled", "false")
       // driver testdata writes TIMESTAMP(NANOS) parquet; read as long ns
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // explicit AQE posture (defaults in Spark 4, pinned for clarity):
+      // runtime partition coalescing + skew-join splitting are the first
+      // line of defense for hot contigs/keys at scale
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -125,10 +125,14 @@ object TextDedup {
         .join(mh.as("b"), col("doc_b") === col("b.doc_id"))
         .select(col("doc_a"), col("doc_b"), round(est, 6).as("est_sim"))
     },
-    // ----- D4: exact n-gram Jaccard, verified only on LSH candidates
+    // ----- D4: n-gram Jaccard over distinct shingle-hash sets, verified
+    // only on LSH candidates (long-array intersect, not string compares)
     "d4_jaccard_verify" -> { (s, d) =>
-      val sh = array_distinct(Text.shingles(Text.tokens(col("text")), 3))
-      val docs = Tables.documents(s, d).select(col("doc_id"), sh.as("sh")).persist()
+      val docs = Tables.documents(s, d)
+        .withColumn("_th", Text.tokenHashes(Text.tokens(col("text"))))
+        .select(col("doc_id"),
+          array_distinct(Text.shingleHashes3(col("_th"))).as("sh"))
+        .persist()
       lshPairs(cachedMinhash(s, d))
         .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
         .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
@@ -145,8 +149,6 @@ object TextDedup {
   // ---------------------------------------------------------------- oracles
 
   private val hx = (e: String) => s"CAST(('0x'||substr(md5($e),1,8)) AS BIGINT)"
-  private val shSql =
-    "list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2])"
   private def mhSql(i: Int) =
     s"list_min(list_transform(hs, h -> (h*${2 * i + 1} + ${97 * i}) % 4294967291)) AS mh$i"
   private val mhCte =
@@ -154,7 +156,6 @@ object TextDedup {
         th AS (SELECT doc_id, t, list_transform(t, x -> ${hx("x")}) AS h FROM tok),
         hsh AS (SELECT doc_id, t, list_transform(range(1, len(h)-1),
           i -> (h[i]*299 + h[i+1]*991 + h[i+2]) % 4294967291) AS hs FROM th),
-        shin AS (SELECT doc_id, $shSql AS sh FROM tok),
         mh AS (SELECT doc_id, ${(1 to K).map(mhSql).mkString(", ")} FROM hsh)"""
   private val bandSql =
     (1 to BANDS).map(b =>
@@ -210,7 +211,7 @@ object TextDedup {
           FROM pairs JOIN mh a ON doc_a = a.doc_id JOIN mh b ON doc_b = b.doc_id""",
     "d4_jaccard_verify" ->
       s"""$mhCte, $pairsCte,
-          ds AS (SELECT doc_id, list_distinct(sh) AS sh FROM shin)
+          ds AS (SELECT doc_id, list_distinct(hs) AS sh FROM hsh)
           SELECT doc_a, doc_b,
             round(len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0 /
               (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))), 6) AS jaccard
