@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   * (spark.sql.adaptive.coalescePartitions, enabled by default in Spark 4).
   */
 object Spark {
-  def session(appName: String = "graft", cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+  def session(appName: String = "graft", cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
     val spark = SparkSession.builder()
       .appName(appName)
       .master(s"local[$cpus]")

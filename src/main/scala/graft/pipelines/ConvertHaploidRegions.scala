@@ -1,0 +1,47 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.PlMath
+import graft.operators.Intervals
+
+/** Haploid-region genotype conversion (reference:
+  * ugvc/pipelines/convert_haploid_regions.py:26-99): variants inside
+  * haploid regions (chrX/chrY outside PAR) have their diploid PL collapsed
+  * to the homozygous entries, renormalized, and re-called as a haploid GT
+  * with GQ = gap to the second-best.
+  *
+  * Region membership is the J9 broadcast overlap semi-join; the PL math is
+  * PlMath.toHaploid/haploidCall in one typed UDF pass.
+  */
+object ConvertHaploidRegions {
+
+  private val convertUdf = udf { (pl: Seq[Int]) =>
+    if (pl == null) null
+    else {
+      val h = PlMath.toHaploid(pl)
+      val (gt, gq) = PlMath.haploidCall(h)
+      (h, gt, gq)
+    }
+  }
+
+  /** variants: (chrom, pos, pl, ...); regions: (chrom, bstart, bend).
+    * Rows inside a region gain haploid_pl / haploid_gt / haploid_gq;
+    * rows outside pass through with nulls. */
+  def convert(variants: DataFrame, regions: DataFrame): DataFrame = {
+    val asIv = variants.withColumn("start", col("pos")).withColumn("end", col("pos") + 1)
+    val inside = Intervals.semiJoin(asIv, regions, broadcastB = true)
+      .drop("start", "end").withColumn("_haploid", lit(true))
+    val outside = asIv.drop("start", "end")
+      .join(inside.select("chrom", "pos").withColumn("_m", lit(1)),
+        Seq("chrom", "pos"), "left")
+      .filter(col("_m").isNull).drop("_m")
+      .withColumn("_haploid", lit(false))
+    inside.unionByName(outside)
+      .withColumn("_cv", when(col("_haploid"), convertUdf(col("pl"))))
+      .withColumn("haploid_pl", col("_cv._1"))
+      .withColumn("haploid_gt", col("_cv._2"))
+      .withColumn("haploid_gq", col("_cv._3"))
+      .drop("_cv", "_haploid")
+  }
+}

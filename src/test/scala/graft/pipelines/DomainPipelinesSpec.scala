@@ -58,4 +58,18 @@ class DomainPipelinesSpec extends SparkSpec {
       .agg(count(lit(1)), sum("v")).head
     assert(plain.getLong(0) == salted.getLong(0) && plain.getLong(1) == salted.getLong(1))
   }
+
+  test("ConvertHaploidRegions: PL collapses to haploid only inside regions") {
+    val variants = Seq(
+      ("X", 100L, Seq(0, 20, 100)),  // inside region
+      ("X", 900L, Seq(0, 20, 100))   // outside
+    ).toDF("chrom", "pos", "pl")
+    val regions = Seq(("X", 50L, 200L)).toDF("chrom", "bstart", "bend")
+    val out = ConvertHaploidRegions.convert(variants, regions).collect()
+      .map(r => r.getLong(1) -> r).toMap
+    val in100 = out(100L)
+    assert(in100.getSeq[Int](in100.fieldIndex("haploid_pl")).toSeq == Seq(0, 100))
+    assert(in100.getAs[Int]("haploid_gt") == 0 && in100.getAs[Int]("haploid_gq") == 100)
+    assert(out(900L).isNullAt(out(900L).fieldIndex("haploid_gt")))
+  }
 }
