@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan guardrails over the whole query inventory: the 100 TB
+  * posture is enforced structurally, not by hoping. Every query's executed
+  * plan is checked for scale anti-patterns. */
+class PlanSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // queries where a BroadcastNestedLoopJoin is the intended plan: a tiny
+  // broadcast side probed with a non-equi predicate (range membership,
+  // query batches). Everything else must hash/sort-merge join.
+  private val bnljAllowed = Set(
+    "j9_point_in_region",  // broadcast region list, range predicate
+    "e1_knn_cosine",       // broadcast query batch, cross score
+    "e2_ivf_ann",          // broadcast centroids + query batch
+    "a10_hist_percentiles", // crossJoin of 5 quantile constants with tiny hist
+    "w1_pr_curve")          // single global window over small sweep
+
+  test("no query plans an unbroadcast cartesian product") {
+    val plans: Map[String, String] = SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, sfDir).queryExecution.executedPlan.toString
+    }
+    val cartesian = plans.filter(_._2.contains("CartesianProduct")).keys.toSeq
+    assert(cartesian.isEmpty, s"CartesianProduct in: $cartesian")
+    val stray = plans.filter { case (name, p) =>
+      p.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
+    }.keys.toSeq
+    assert(stray.isEmpty, s"unexpected BroadcastNestedLoopJoin in: $stray")
+  }
+
+  test("interval overlap joins compile to hash joins on (chrom, bin)") {
+    val p = SparkEntry.queries("j5_interval_overlap")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "binned interval join must be an equi-join")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("fact-table scans prune columns (no full-width reads)") {
+    val q = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+      .filter(org.apache.spark.sql.functions.col("l_quantity") > 45)
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("l_orderkey") && !scan.contains("l_comment"),
+      "projection must reach the parquet scan")
+  }
+}
