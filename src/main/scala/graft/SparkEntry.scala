@@ -12,14 +12,15 @@ import graft.queries._
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Broadcast dim join + partial/final agg — the canonical shape of the
-    * engine's fact-table pipelines.
+    * Fact-fact equi-join (orders grows with lineitem — NOT broadcast; AQE
+    * picks shuffled-hash/SMJ and handles skew) + partial/final agg: the
+    * canonical shape of the engine's fact-table pipelines.
     */
   def entry(spark: SparkSession): DataFrame = {
     val d = "/root/testdata/sf0.001"
     val li = spark.read.parquet(s"$d/lineitem.parquet")
     val o = spark.read.parquet(s"$d/orders.parquet")
-    li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy("l_returnflag", "o_orderstatus")
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
            count(lit(1)).as("n"))

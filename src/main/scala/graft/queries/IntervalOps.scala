@@ -66,8 +66,8 @@ object IntervalOps {
       Ord.prCurve(o, col("o_totalprice"), col("o_orderstatus") === "F",
           col("o_orderstatus") === "O", col("o_orderkey"))
         .select(col("rank"),
-          round(col("precision"), 6).as("precision"),
-          round(col("recall"), 6).as("recall"))
+          r6(col("precision")).as("precision"),
+          r6(col("recall")).as("recall"))
     },
     // ----- W2 (lag form): gaps-and-islands sessionization on the event stream
     "w2_sessionize" -> { (s, d) =>
@@ -166,8 +166,8 @@ object IntervalOps {
            sum(fp) OVER (ORDER BY score DESC, tb
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cfp,
            sum(tp) OVER () AS ttp FROM t)
-         SELECT rank, round(ctp*1.0/(ctp+cfp), 6) AS precision,
-                round(ctp*1.0/ttp, 6) AS recall FROM c""",
+         SELECT rank, floor(ctp*1.0/(ctp+cfp)*1000000 + 0.5)/1000000 AS precision,
+                floor(ctp*1.0/ttp*1000000 + 0.5)/1000000 AS recall FROM c""",
     "w2_sessionize" ->
       """WITH g AS (SELECT user_id, ts,
            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

@@ -121,8 +121,8 @@ object Relational {
       val p = Genomics.precisionScore(col("tp"), col("fp"))
       val r = Genomics.recallScore(col("tp"), col("fn"))
       o.select(col("o_orderpriority"), col("tp"), col("fp"), col("fn"),
-        round(p, 6).as("precision"), round(r, 6).as("recall"),
-        round(Genomics.f1Score(p, r), 6).as("f1"))
+        r6(p).as("precision"), r6(r).as("recall"),
+        r6(Genomics.f1Score(p, r)).as("f1"))
     },
     // ----- A12/A17: manual rollup → native rollup (sv_stats_collect.py:176-199)
     "a12_rollup" -> { (s, d) =>
@@ -141,7 +141,7 @@ object Relational {
     "a15_rate_agg" -> { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_partkey")
-        .agg(round(countDistinct("l_suppkey").cast("double") / count(lit(1)), 6).as("supp_rate"),
+        .agg(r6(countDistinct("l_suppkey").cast("double") / count(lit(1))).as("supp_rate"),
              count(lit(1)).as("n"))
     },
     // ----- A16: distinct/dedup (remove_vcf_duplicates.sh)
@@ -381,9 +381,10 @@ object Relational {
            CASE WHEN fp+tp = 0 THEN 1.0 ELSE 1.0 - fp*1.0/(fp+tp) END AS p,
            CASE WHEN tp+fn = 0 THEN 0.0 ELSE tp*1.0/(tp+fn) END AS r
            FROM agg)
-         SELECT o_orderpriority, tp, fp, fn, round(p,6) AS precision,
-                round(r,6) AS recall,
-                round(CASE WHEN p+r = 0 THEN 0.0 ELSE 2.0*p*r/(p+r) END, 6) AS f1
+         SELECT o_orderpriority, tp, fp, fn,
+                floor(p*1000000 + 0.5)/1000000 AS precision,
+                floor(r*1000000 + 0.5)/1000000 AS recall,
+                floor((CASE WHEN p+r = 0 THEN 0.0 ELSE 2.0*p*r/(p+r) END)*1000000 + 0.5)/1000000 AS f1
          FROM pr""",
     "a12_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity),4) AS sum_qty
@@ -392,7 +393,8 @@ object Relational {
       """SELECT l_orderkey, round(min(least(l_discount, l_tax)),6) AS min_pair, count(*) AS n_lines
          FROM lineitem GROUP BY 1""",
     "a15_rate_agg" ->
-      """SELECT l_partkey, round(count(DISTINCT l_suppkey)*1.0/count(*),6) AS supp_rate,
+      """SELECT l_partkey,
+         floor(count(DISTINCT l_suppkey)*1.0/count(*)*1000000 + 0.5)/1000000 AS supp_rate,
          count(*) AS n FROM lineitem GROUP BY 1""",
     "a16_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus, CAST(l_quantity AS INT) AS qty FROM lineitem",

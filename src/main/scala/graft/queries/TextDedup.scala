@@ -79,17 +79,17 @@ object TextDedup {
       Tables.documents(s, d).select(
         col("doc_id"),
         size(toks).as("n_tokens"),
-        round(size(array_distinct(toks)).cast("double") / size(toks), 6).as("distinct_ratio"),
-        round((col("n_chars") - size(toks) + 1).cast("double") / size(toks), 6).as("mean_tok_len"),
-        round(least(size(toks).cast("double") / 100.0, lit(1.0)) *
-          (size(array_distinct(toks)).cast("double") / size(toks)), 6).as("quality"))
+        r6(size(array_distinct(toks)).cast("double") / size(toks)).as("distinct_ratio"),
+        r6((col("n_chars") - size(toks) + 1).cast("double") / size(toks)).as("mean_tok_len"),
+        r6(least(size(toks).cast("double") / 100.0, lit(1.0)) *
+          (size(array_distinct(toks)).cast("double") / size(toks))).as("quality"))
     },
     // ----- X3: language-ID heuristic (stopword-vocabulary ratio)
     "x3_langid" -> { (s, d) =>
       val toks = Text.tokens(col("text"))
       val enScore = Text.vocabRatio(toks, Seq("the", "a", "of", "and", "to"))
       Tables.documents(s, d)
-        .withColumn("en_score", round(enScore, 6))
+        .withColumn("en_score", r6(enScore))
         .withColumn("pred", when(col("en_score") > 0.05, lit("en")).otherwise(lit("other")))
         .groupBy("lang", "pred").agg(count(lit(1)).as("n"),
           round(avg("en_score"), 6).as("avg_score"))
@@ -137,7 +137,7 @@ object TextDedup {
         .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
         .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
         .select(col("doc_a"), col("doc_b"),
-          round(Text.jaccard(col("da.sh"), col("db.sh")), 6).as("jaccard"))
+          r6(Text.jaccard(col("da.sh"), col("db.sh"))).as("jaccard"))
     },
     // ----- D5: SimHash (16-bit, scalar-only, no explode)
     "d5_simhash" -> { (s, d) =>
@@ -175,15 +175,15 @@ object TextDedup {
     "x2_quality_score" ->
       """WITH tok AS (SELECT doc_id, n_chars, string_split(text, ' ') AS t FROM documents)
          SELECT doc_id, len(t) AS n_tokens,
-           round(len(list_distinct(t))*1.0/len(t), 6) AS distinct_ratio,
-           round((n_chars - len(t) + 1)*1.0/len(t), 6) AS mean_tok_len,
-           round(least(len(t)/100.0, 1.0) * (len(list_distinct(t))*1.0/len(t)), 6) AS quality
+           floor(len(list_distinct(t))*1.0/len(t)*1000000 + 0.5)/1000000 AS distinct_ratio,
+           floor((n_chars - len(t) + 1)*1.0/len(t)*1000000 + 0.5)/1000000 AS mean_tok_len,
+           floor(least(len(t)/100.0, 1.0) * (len(list_distinct(t))*1.0/len(t))*1000000 + 0.5)/1000000 AS quality
          FROM tok""",
     "x3_langid" ->
       """WITH sc AS (SELECT lang,
-           round(len(list_filter(string_split(text,' '),
+           floor(len(list_filter(string_split(text,' '),
              x -> x IN ('the','a','of','and','to')))*1.0
-             / len(string_split(text,' ')), 6) AS en_score
+             / len(string_split(text,' '))*1000000 + 0.5)/1000000 AS en_score
            FROM documents)
          SELECT lang, CASE WHEN en_score > 0.05 THEN 'en' ELSE 'other' END AS pred,
            count(*) AS n, round(avg(en_score), 6) AS avg_score
@@ -213,8 +213,8 @@ object TextDedup {
       s"""$mhCte, $pairsCte,
           ds AS (SELECT doc_id, list_distinct(hs) AS sh FROM hsh)
           SELECT doc_a, doc_b,
-            round(len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0 /
-              (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))), 6) AS jaccard
+            floor(len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0 /
+              (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x))))*1000000 + 0.5)/1000000 AS jaccard
           FROM pairs JOIN ds a ON doc_a = a.doc_id JOIN ds b ON doc_b = b.doc_id""",
     "d5_simhash" ->
       s"""WITH tok AS (SELECT doc_id, list_transform(string_split(text, ' '),
