@@ -32,17 +32,22 @@ case class GvcfBlock(chrom: String, pos: Long, end: Long, minGq: Int,
   */
 object BlockCompress {
 
-  def compress(ds: Dataset[GvcfRecord], mergeGqThreshold: Int)
+  /** `refcallGqThreshold` is the reference's low/high RefCall band edge
+    * (defaults 22, compress_gvcf.py:68-77): records on opposite sides of
+    * it never merge, independent of the running min/max band width. */
+  def compress(ds: Dataset[GvcfRecord], mergeGqThreshold: Int,
+               refcallGqThreshold: Int = 22)
               (implicit spark: SparkSession): Dataset[GvcfBlock] = {
     import spark.implicits._
     ds.repartition(ds.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, $"chrom")
       .sortWithinPartitions($"chrom", $"pos")
-      .mapPartitions(iter => new BlockIterator(iter, mergeGqThreshold))
+      .mapPartitions(iter => new BlockIterator(iter, mergeGqThreshold, refcallGqThreshold))
   }
 
   /** Streaming automaton. PASS records always break and emit as their own
     * 1-record block (they must survive verbatim). */
-  private final class BlockIterator(in: Iterator[GvcfRecord], thr: Int)
+  private final class BlockIterator(in: Iterator[GvcfRecord], thr: Int,
+                                    refcallThr: Int)
       extends Iterator[GvcfBlock] {
     private var open: GvcfBlock = null
     private var minGq = 0
@@ -56,6 +61,7 @@ object BlockCompress {
 
     private def mergeable(r: GvcfRecord): Boolean =
       open != null && !r.pass && r.chrom == open.chrom &&
+        (r.gq < refcallThr) == (minGq < refcallThr) &&
         math.max(maxGq, r.gq) - math.min(minGq, r.gq) < thr
 
     private def absorb(r: GvcfRecord): Unit = {

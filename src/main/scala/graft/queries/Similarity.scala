@@ -46,9 +46,11 @@ object Similarity {
 
   val queries: Map[String, Q] = Map(
     // ----- E1: brute-force cosine top-k (exact baseline)
+    // The query batch is FIXED SIZE (first 32 ids), not a fraction of the
+    // collection: a %-of-N query set turns the scan quadratic as data grows.
     "e1_knn_cosine" -> { (s, d) =>
       val all = vecs(s, d)
-      val q = all.filter(col("vec_id") % 100 === 0)
+      val q = all.filter(col("vec_id") < 32)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
       val sims = all.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("qid"))
@@ -59,18 +61,26 @@ object Similarity {
         .filter(col("rank") <= TOPK)
         .select("qid", "rank", "vec_id", "sim")
     },
-    // ----- D6: embedding-cosine near-dup pairs (label-blocked pairwise scan)
-    // Blocking on `label` is the IVF-cluster analogue for dedup: pairwise
-    // cost drops from N^2 to sum of block^2 — the only way a cosine dedup
-    // survives at 100 TB (blocks = coarse quantizer cells there).
+    // ----- D6: embedding-cosine near-dup pairs, (label x IVF-cell) blocked.
+    // Label alone is not enough: blocks grow with the data, so pairwise
+    // work grows quadratically (measured 80x at a 10x scale-up). Assigning
+    // every vector to its nearest deterministic centroid first bounds each
+    // block; the cell count is the knob that scales with data.
     "d6_cosine_dedup" -> { (s, d) =>
-      val all = Tables.embeddings(s, d).select(
-        col("vec_id"), col("label"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-        .withColumn("nrm", norm(col("v")))
-      val b = all.select(col("label"), col("vec_id").as("vec_b"),
+      val all = vecs(s, d).join(
+        Tables.embeddings(s, d).select(col("vec_id"), col("label")), Seq("vec_id"))
+      val cents = all.filter(col("vec_id") < NCENT)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
+      val assigned = all.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cid"),
+          round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6).as("csim"))
+        .withColumn("crank", row_number().over(wAssign))
+        .filter(col("crank") === 1)
+        .select("vec_id", "label", "v", "nrm", "cid")
+      val b = assigned.select(col("label"), col("cid"), col("vec_id").as("vec_b"),
         col("v").as("vb"), col("nrm").as("nrmb"))
-      all.join(b, Seq("label"))
+      assigned.join(b, Seq("label", "cid"))
         .filter(col("vec_id") < col("vec_b"))
         .select(col("vec_id").as("vec_a"), col("vec_b"),
           round(dot(col("v"), col("vb")) / (col("nrm") * col("nrmb")), 6).as("sim"))
@@ -112,7 +122,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "e1_knn_cosine" ->
       s"""WITH $vecsCte,
-          q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id % 100 = 0),
+          q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 32),
           p AS (SELECT q.qid, a.vec_id,
                   round($dotSql/(a.nrm*q.qnrm), 6) AS sim
                 FROM n a CROSS JOIN q WHERE a.vec_id <> q.qid),
@@ -125,10 +135,20 @@ object Similarity {
             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
           n AS (SELECT vec_id, label, v,
             sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM vv),
+          c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $NCENT),
+          asg0 AS (SELECT a.vec_id, a.label, a.v, a.nrm, c.cid,
+                     round(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*c.cv[i]))
+                       /(a.nrm*c.cnrm), 6) AS csim
+                   FROM n a CROSS JOIN c),
+          asg AS (SELECT vec_id, label, v, nrm, cid FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY csim DESC, cid) AS crank FROM asg0)
+                  WHERE crank = 1),
           p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
             round(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]))
               /(a.nrm*b.nrm), 6) AS sim
-            FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+            FROM asg a JOIN asg b
+              ON a.label = b.label AND a.cid = b.cid AND a.vec_id < b.vec_id)
           SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.4""",
     "e2_ivf_ann" ->
       s"""WITH $vecsCte,

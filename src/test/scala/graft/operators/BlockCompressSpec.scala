@@ -11,8 +11,11 @@ class BlockCompressSpec extends SparkSpec {
                   dp: Int = 30, pl: Seq[Int] = Seq(0, 10, 100)): GvcfRecord =
     GvcfRecord(chrom, pos, pos + 1, gq, dp, pl, pass)
 
-  private def compress(rs: Seq[GvcfRecord], thr: Int): Seq[GvcfBlock] =
-    BlockCompress.compress(rs.toDS(), thr).collect().toSeq
+  // refcallThr=0 disables the band edge for the generic band-width tests;
+  // the band-edge test passes the reference default explicitly
+  private def compress(rs: Seq[GvcfRecord], thr: Int,
+                       refcallThr: Int = 0): Seq[GvcfBlock] =
+    BlockCompress.compress(rs.toDS(), thr, refcallThr).collect().toSeq
       .sortBy(b => (b.chrom, b.pos))
 
   test("records within GQ band merge into one block") {
@@ -48,6 +51,16 @@ class BlockCompressSpec extends SparkSpec {
     assert(out.size == 1)
     val b = out.head
     assert(b.minGq == 20 && b.minDp == 10 && b.pl == Seq(0, 20, 90))
+  }
+
+  test("records never merge across the refcall GQ band edge (compress_gvcf.py:68-77)") {
+    // gqs 20 and 24 straddle the default threshold 22; band width 10 alone
+    // would merge them — the band edge must split anyway
+    val out = compress(Seq(rec("1", 1, 20), rec("1", 2, 24)), 10, refcallThr = 22)
+    assert(out.size == 2)
+    // both below the edge: merges as usual
+    val low = compress(Seq(rec("1", 1, 15), rec("1", 2, 20)), 10, refcallThr = 22)
+    assert(low.size == 1)
   }
 
   test("compression ratio on a GQ-banded run (shape of the 4438->1184 invariant)") {
