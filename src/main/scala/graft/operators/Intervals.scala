@@ -108,6 +108,23 @@ object Intervals {
       .drop(bStart, bEnd)
   }
 
+  /** Fold N interval sets into their common intersection (J6 over many
+    * files: intersect_bed_files, ugvc/pipelines/vcfeval_flavors.py:99-112).
+    * Each fold step clips to pairwise overlaps then merges, so the running
+    * result stays minimal. */
+  def intersectAll(sets: Seq[DataFrame],
+                   chrom: String = "chrom",
+                   start: String = "start", end: String = "end",
+                   binSize: Long = 10000L): DataFrame = {
+    require(sets.nonEmpty, "need at least one interval set")
+    sets.reduce { (acc, next) =>
+      val b = next.withColumnRenamed(start, "bstart").withColumnRenamed(end, "bend")
+        .select(chrom, "bstart", "bend")
+      merge(intersectSets(acc.select(chrom, start, end), b,
+        chrom, start, end, "bstart", "bend", binSize), chrom, start, end)
+    }
+  }
+
   /** Union of overlapping/adjacent intervals per chrom (W5, bedtools merge).
     * Classic gaps-and-islands: an island starts where `start` exceeds the
     * running max of previous `end`s. The window is partitioned by chrom, so

@@ -286,10 +286,12 @@ object Relational {
       val b = Tables.part(s, d).filter(col("p_size") > 25).select(col("p_partkey").as("k"))
       a.intersect(b)
     },
-    // ----- U3: except / anti
+    // ----- U3: except / anti — big-spender orders subtracted so the
+    // result is nonempty (every customer has some order in this data)
     "u3_except" -> { (s, d) =>
       val a = Tables.customer(s, d).select(col("c_custkey").as("k"))
-      val b = Tables.orders(s, d).select(col("o_custkey").as("k")).distinct()
+      val b = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("k")).distinct()
       a.except(b)
     },
 
@@ -473,7 +475,7 @@ object Relational {
          INTERSECT SELECT p_partkey AS k FROM part WHERE p_size > 25""",
     "u3_except" ->
       """SELECT c_custkey AS k FROM customer
-         EXCEPT SELECT DISTINCT o_custkey AS k FROM orders""",
+         EXCEPT SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 400000""",
     "f_scalar_suite" ->
       """SELECT p_partkey,
          round(-10.0*log10(p_retailprice/10000.0),6) AS phred,

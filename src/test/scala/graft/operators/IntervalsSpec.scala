@@ -91,6 +91,16 @@ class IntervalsSpec extends SparkSpec {
     assert(cover(pieces) == want)
   }
 
+  test("intersectAll folds N sets to their common covered bases") {
+    val s1 = Seq(("c", 0L, 100L), ("c", 200L, 300L)).toDF("chrom", "start", "end")
+    val s2 = Seq(("c", 50L, 250L)).toDF("chrom", "start", "end")
+    val s3 = Seq(("c", 60L, 220L), ("c", 240L, 260L)).toDF("chrom", "start", "end")
+    val out = Intervals.intersectAll(Seq(s1, s2, s3))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq.sorted
+    // common coverage: [60,100) ∩-chain and [200,220) plus [240,250)
+    assert(out == Seq((60L, 100L), (200L, 220L), (240L, 250L)))
+  }
+
   test("intersectSets: clipped spans are exactly pairwise overlaps") {
     val got = Intervals.intersectSets(aDf, bDf, binSize = 500L)
       .select("chrom", "start", "end")
