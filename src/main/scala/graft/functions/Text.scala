@@ -66,15 +66,20 @@ object Text {
 
   /** SimHash over token hashes: bit j of the result is the sign of
     * sum(+-1 per token depending on bit j of the token hash). Scalar-only:
-    * `bits` aggregate passes over the token array, no explode. */
-  def simhash(toks: Column, bits: Int): Column = {
-    val hashes = transform(toks, t => hash32(t))
+    * `bits` aggregate passes over the token array, no explode.
+    * Callers with many tokens should pass a MATERIALIZED hash column to
+    * [[simhashFromHashes]] — inlining the hash transform here re-evaluates
+    * it per aggregate pass. */
+  def simhash(toks: Column, bits: Int): Column =
+    simhashFromHashes(transform(toks, t => hash32(t)), bits)
+
+  /** SimHash from an already-computed token-hash array column. */
+  def simhashFromHashes(hashes: Column, bits: Int): Column =
     (0 until bits).map { j =>
       val bitsum = aggregate(hashes, lit(0L),
         (acc, h) => acc + (shiftright(h, j).bitwiseAND(1) * 2 - 1))
       when(bitsum > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
 
   /** Order-sensitive rolling fingerprint: fold h = (h*31 + hash32(tok)) mod p. */
   def fingerprint(toks: Column, p: Long = 1000000007L): Column =

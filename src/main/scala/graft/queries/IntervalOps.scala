@@ -86,6 +86,25 @@ object IntervalOps {
           Seq("l_orderkey", "l_linenumber"), 100)
         .select("l_returnflag", "l_orderkey", "l_linenumber")
     },
+    // ----- W2 strict: the gVCF block-compression automaton over an
+    // events-derived record stream. Not SQL-expressible (running-block
+    // state), so the driver records a rows-only check; the exact semantics
+    // are covered by BlockCompressSpec.
+    "w2_block_compress" -> { (s, d) =>
+      import s.implicits._
+      val recs = Tables.events(s, d).select(
+        col("user_id").cast("string").as("chrom"),
+        unix_micros(col("ts")).as("pos"),
+        (unix_micros(col("ts")) + 1L).as("end"),
+        (col("value").cast("long") % 60).cast("int").as("gq"),
+        lit(30).as("dp"),
+        array(lit(0), lit(10), lit(100)).as("pl"),
+        (col("value") > 450).as("pass")).as[graft.operators.GvcfRecord]
+      graft.operators.BlockCompress.compress(recs, mergeGqThreshold = 10)(s)
+        .groupBy("chrom")
+        .agg(count(lit(1)).as("n_blocks"), sum("nRecords").as("n_records"),
+          min("minGq").as("min_gq"))
+    },
     // ----- A9: 2-D histogram (dims × pivoted category)
     "a9_2d_histogram" -> { (s, d) =>
       Tables.lineitem(s, d)

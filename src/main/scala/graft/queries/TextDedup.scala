@@ -139,10 +139,12 @@ object TextDedup {
         .select(col("doc_a"), col("doc_b"),
           r6(Text.jaccard(col("da.sh"), col("db.sh"))).as("jaccard"))
     },
-    // ----- D5: SimHash (16-bit, scalar-only, no explode)
+    // ----- D5: SimHash (16-bit, scalar-only, no explode); token hashes
+    // materialized once, 16 cheap bit-fold passes over them
     "d5_simhash" -> { (s, d) =>
-      Tables.documents(s, d).select(col("doc_id"),
-        Text.simhash(Text.tokens(col("text")), 16).as("simhash"))
+      Tables.documents(s, d)
+        .withColumn("_th", Text.tokenHashes(Text.tokens(col("text"))))
+        .select(col("doc_id"), Text.simhashFromHashes(col("_th"), 16).as("simhash"))
     }
   )
 
