@@ -295,6 +295,18 @@ object Relational {
       a.except(b)
     },
 
+    // ----- U4: except all (duplicate-preserving difference)
+    "u4_except_all" -> { (s, d) =>
+      val a = Tables.lineitem(s, d).select(col("l_partkey").as("k"))
+      val b = Tables.part(s, d).filter(col("p_size") > 25).select(col("p_partkey").as("k"))
+      a.exceptAll(b)
+    },
+    // ----- A17: explicit grouping sets via cube
+    "a17_cube" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("sum_price"))
+    },
     // ----- F1/F2/F6/F7/F12: scalar function suite (math_utils.py, run_no_gt_report.py:143)
     "f_scalar_suite" -> { (s, d) =>
       Tables.part(s, d).select(
@@ -476,6 +488,20 @@ object Relational {
     "u3_except" ->
       """SELECT c_custkey AS k FROM customer
          EXCEPT SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 400000""",
+    "u4_except_all" ->
+      """SELECT l_partkey AS k FROM lineitem
+         EXCEPT ALL SELECT p_partkey AS k FROM part WHERE p_size > 25""",
+    "a17_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         round(sum(l_extendedprice),2) AS sum_price
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "u4_except_all" ->
+      """SELECT l_partkey AS k FROM lineitem
+         EXCEPT ALL SELECT p_partkey AS k FROM part WHERE p_size > 25""",
+    "a17_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         round(sum(l_extendedprice),2) AS sum_price
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
     "f_scalar_suite" ->
       """SELECT p_partkey,
          round(-10.0*log10(p_retailprice/10000.0),6) AS phred,
