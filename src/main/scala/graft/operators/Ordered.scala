@@ -35,6 +35,34 @@ object Ordered {
       .drop("tb")
   }
 
+  /** W1 at scale — score-bucketed P/R sweep: quantize scores to `nBuckets`,
+    * aggregate tp/fp per bucket (one distributed shuffle with map-side
+    * combine), then run the cumulative sweep over the SMALL bucket table.
+    * This is how the exact-rank curve above survives billions of calls: the
+    * global window moves from N rows to nBuckets rows, at the cost of
+    * threshold resolution = bucket width (the reference pre-buckets the
+    * same way for its histogram-based percentiles). */
+  def prCurveBucketed(df: DataFrame, score: Column, tp: Column, fp: Column,
+                      nBuckets: Int, minScore: Double, maxScore: Double): DataFrame = {
+    val width = (maxScore - minScore) / nBuckets
+    val bucket = least(greatest(floor((score - minScore) / width), lit(0)),
+      lit(nBuckets - 1L))
+    val agg = df.select(bucket.as("bucket"), tp.cast("long").as("tp"),
+        fp.cast("long").as("fp"))
+      .groupBy("bucket")
+      .agg(sum("tp").as("btp"), sum("fp").as("bfp"))
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    agg
+      .withColumn("ctp", sum("btp").over(w))
+      .withColumn("cfp", sum("bfp").over(w))
+      .withColumn("threshold", col("bucket") * width + minScore)
+      .withColumn("precision", col("ctp") / (col("ctp") + col("cfp")))
+      .withColumn("recall", col("ctp") / sum("btp").over(tot))
+      .select("threshold", "ctp", "cfp", "precision", "recall")
+  }
+
   /** W2 (relaxed, lag-expressible) — gaps-and-islands sessionization: a new
     * session starts when the gap to the previous event exceeds `gapSeconds`.
     * (The strict gVCF block automaton with running-block state lives in

@@ -21,6 +21,28 @@ class OrderedSpec extends SparkSpec {
     assert(out.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
   }
 
+  test("bucketed prCurve converges to the exact sweep at the bucket edges") {
+    val rows = (1 to 1000).map { i =>
+      (i.toDouble, i > 300, i <= 300, i.toLong) // all tp above score 300
+    }
+    val df = rows.toDF("score", "tp", "fp", "id")
+    val exact = Ordered.prCurve(df, col("score"), col("tp"), col("fp"), col("id"))
+    val bucketed = Ordered.prCurveBucketed(df, col("score"), col("tp"), col("fp"),
+      nBuckets = 10, minScore = 1.0, maxScore = 1001.0)
+    val b = bucketed.orderBy(col("threshold").desc).collect()
+    // descending thresholds accumulate monotone recall
+    assert(b.map(_.getAs[Double]("recall")).sliding(2)
+      .forall(w => w.length < 2 || w(0) <= w(1)))
+    // the full-sweep endpoint matches the exact curve's endpoint
+    val exactLast = exact.orderBy(col("rank").desc).limit(1)
+      .select("precision", "recall").head
+    val bLast = b.last
+    assert(math.abs(bLast.getAs[Double]("precision") - exactLast.getDouble(0)) < 1e-12)
+    assert(bLast.getAs[Double]("recall") == 1.0 && exactLast.getDouble(1) == 1.0)
+    // threshold at 301+ is pure tp: precision 1
+    assert(b.head.getAs[Double]("precision") == 1.0)
+  }
+
   test("sessionize splits on gaps > threshold") {
     def ts(s: Long) = new Timestamp(s * 1000)
     val df = Seq((1L, ts(0)), (1L, ts(100)), (1L, ts(2000)), (1L, ts(2100)), (2L, ts(0)))
