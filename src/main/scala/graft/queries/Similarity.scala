@@ -31,8 +31,15 @@ object Similarity {
   private val TOPK = 5
   private val NCENT = 8
 
+  private val DIM = 64
+
+  /** Unrolled 64-term dot product: no intermediate zipped array per pair
+    * (zip_with allocates one), left-associated like the oracle's list_sum.
+    * Falls back to the fold form if a different dimensionality shows up. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    when(size(a) === DIM && size(b) === DIM,
+      (1 to DIM).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _))
+      .otherwise(aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v))
 
   private def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
