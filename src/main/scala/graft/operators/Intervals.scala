@@ -164,7 +164,12 @@ object Intervals {
     val spark = a.sparkSession
     import spark.implicits._
     val aCols = a.columns.toIndexedSeq
-    val withId = a.withColumn("_aid", monotonically_increasing_id())
+    // deterministic content-hash id: monotonically_increasing_id is not
+    // stable across the two evaluations of this subplan (AQE can change
+    // partitioning between them), which would silently mis-join covers.
+    // Identical a-rows sharing an id is harmless — they collect the same
+    // merged cover and carve to the same pieces.
+    val withId = a.withColumn("_aid", xxhash64(aCols.map(col): _*))
     val hits = overlapJoin(withId, b, chrom, aStart, aEnd, bStart, bEnd, binSize, broadcastB)
       .groupBy(col("_aid"))
       .agg(sort_array(collect_list(struct(col(bStart).as("s"), col(bEnd).as("e")))).as("_cover"))
