@@ -23,15 +23,25 @@ import org.apache.spark.sql.functions._
   */
 object Vcf {
 
+  /** Sample names from the #CHROM header line (columns 10+). */
+  def sampleNames(spark: SparkSession, path: String): Seq[String] = {
+    val header = spark.read.text(path)
+      .filter(col("value").startsWith("#CHROM")).head.getString(0)
+    header.split("\t").drop(9).toSeq
+  }
+
   /** Columns: chrom, pos (long), id, ref, alleles array<string>, qual double,
-    * filter, info map<string,string>, format, sample fields gt/ad/pl/dp/gq. */
-  def read(spark: SparkSession, path: String): DataFrame = {
+    * filter, info map<string,string>, sample fields gt/ad/pl/dp/gq for the
+    * requested sample (0-based; the reference's get_vcf_df takes sample_id
+    * the same way). Multi-sample panels read once per sample — one frame per
+    * individual, the shape DenovoRefinement joins on. */
+  def read(spark: SparkSession, path: String, sampleIndex: Int = 0): DataFrame = {
     val lines = spark.read.text(path).filter(!col("value").startsWith("#"))
     val f = split(col("value"), "\t")
     def fld(i: Int): Column = element_at(f, i)
 
     val fmtKeys = split(element_at(f, 9), ":")
-    val fmtVals = split(element_at(f, 10), ":")
+    val fmtVals = split(element_at(f, 10 + sampleIndex), ":")
     val sample = map_from_arrays(fmtKeys, fmtVals)
 
     lines.select(

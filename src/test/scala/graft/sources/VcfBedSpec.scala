@@ -44,6 +44,23 @@ class VcfBedSpec extends SparkSpec {
     assert(ends.count(_ != null) == 1 && ends.contains(8L))
   }
 
+  test("multi-sample VCF: sample discovery and per-sample reads") {
+    val d = Files.createTempDirectory("graftvcf2")
+    val lines = Seq(
+      "##fileformat=VCFv4.2",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tMOTHER\tFATHER",
+      "chr1\t100\t.\tA\tT\t50\tPASS\tDP=30\tGT:GQ\t0/1:88\t1/1:42")
+    Files.writeString(d.resolve("trio.vcf"), lines.mkString("\n"))
+    val p = d.resolve("trio.vcf").toString
+    assert(Vcf.sampleNames(spark, p) == Seq("MOTHER", "FATHER"))
+    val mother = Vcf.read(spark, p, sampleIndex = 0).head
+    val father = Vcf.read(spark, p, sampleIndex = 1).head
+    assert(mother.getSeq[Integer](mother.fieldIndex("gt")).toSeq == Seq(0, 1))
+    assert(mother.getAs[Int]("gq") == 88)
+    assert(father.getSeq[Integer](father.fieldIndex("gt")).toSeq == Seq(1, 1))
+    assert(father.getAs[Int]("gq") == 42)
+  }
+
   test("VCF write round-trips coordinates and alleles") {
     val df = Vcf.read(spark, vcfDir)
     val out = Files.createTempDirectory("graftvcfout").resolve("out").toString
