@@ -69,6 +69,21 @@ object Genomics {
   def clip(c: Column, lo: Double, hi: Double): Column =
     least(greatest(c, lit(lo)), lit(hi))
 
+  /** Variant-shape derivations for the concordance schema
+    * (ugvc/reports/report_data_loader.py:20-34 derived flags; SURVEY §1.1):
+    * indel iff ref/alt lengths differ; insertion when alt longer;
+    * indel_length = |len(alt) - len(ref)|. */
+  def isIndel(ref: Column, alt: Column): Column = length(ref) =!= length(alt)
+  def indelClassify(ref: Column, alt: Column): Column =
+    when(length(ref) < length(alt), lit("ins"))
+      .when(length(ref) > length(alt), lit("del"))
+  def indelLength(ref: Column, alt: Column): Column =
+    abs(length(alt) - length(ref))
+
+  /** GC fraction of a sequence (gc_content column). */
+  def gcContent(seq: Column): Column =
+    (length(seq) - length(translate(seq, "GCgc", ""))).cast("double") / length(seq)
+
   /** F15 — length of the homopolymer run of `base` centered at/adjacent to
     * the locus in a reference-context string (scan +-k around the middle;
     * ugvc/pipelines/vcfbed/calibrate_bridging_snvs.py:9-66 [absent

@@ -64,4 +64,24 @@ class GenomicsSpec extends SparkSpec {
     }
   }
 
+
+  test("variant-shape derivations (report_data_loader.py:20-34)") {
+    import spark.implicits._
+    val df = Seq(
+      ("A", "T", false, null.asInstanceOf[String], 0),
+      ("A", "AT", true, "ins", 1),
+      ("ATT", "A", true, "del", 2)
+    ).toDF("ref", "alt", "expIndel", "expClass", "expLen")
+    df.select(
+      Genomics.isIndel(col("ref"), col("alt")), col("expIndel"),
+      Genomics.indelClassify(col("ref"), col("alt")), col("expClass"),
+      Genomics.indelLength(col("ref"), col("alt")), col("expLen")
+    ).collect().foreach { r =>
+      assert(r.get(0) == r.get(1), s"isIndel: $r")
+      assert(r.get(2) == r.get(3), s"classify: $r")
+      assert(r.getInt(4) == r.getInt(5), s"length: $r")
+    }
+    val gc = spark.range(1).select(Genomics.gcContent(lit("GGCCAT"))).head.getDouble(0)
+    assert(math.abs(gc - 4.0/6) < 1e-12)
+  }
 }
