@@ -1,0 +1,53 @@
+package graft.reports
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Genomics
+import graft.pipelines.MotifStats
+import graft.queries.r6
+
+/** No-ground-truth variant report (reference:
+  * ugvc/pipelines/run_no_gt_report.py + report_wo_gt.ipynb): per-callset
+  * statistics that need no truth set — substitution motif spectrum (A6),
+  * allele-frequency histogram per variant type (A7), and the 2-D
+  * insertion/deletion x hmer-length histogram (A9).
+  *
+  * Input frame: (ref, alt, left_motif, right_motif, af, gt array<int>,
+  * hmer_indel_length). All tables are one groupBy each; the whole report is
+  * three shuffles over arbitrarily large callsets.
+  */
+object NoGtReport {
+
+  /** A6 — canonical 96-class substitution spectrum (SNVs only). */
+  def motifSpectrum(variants: DataFrame): DataFrame =
+    MotifStats.motifCounts(
+      variants.filter(!Genomics.isIndel(col("ref"), col("alt"))))
+
+  /** A7 — AF histogram in 100 fixed bins per variant type. */
+  def afHistogram(variants: DataFrame): DataFrame =
+    variants
+      .withColumn("variant_type",
+        coalesce(Genomics.indelClassify(col("ref"), col("alt")), lit("snp")))
+      .groupBy(col("variant_type"),
+        least(floor(col("af") * 100), lit(99L)).as("af_bin"))
+      .agg(count(lit(1)).as("n"))
+
+  /** A9 — indel class x zygosity x hmer length counts
+    * (run_no_gt_report.py:44-69). */
+  def indelHistogram(variants: DataFrame): DataFrame =
+    variants
+      .filter(Genomics.isIndel(col("ref"), col("alt")))
+      .withColumn("indel_class", Genomics.indelClassify(col("ref"), col("alt")))
+      .withColumn("zygosity",
+        when(Genomics.isHom(col("gt")), "hom").otherwise("het"))
+      .groupBy(col("indel_class"), col("zygosity"), col("hmer_indel_length"))
+      .agg(count(lit(1)).as("n"))
+
+  def tables(variants: DataFrame): Map[String, DataFrame] = Map(
+    "motif_spectrum" -> motifSpectrum(variants),
+    "af_histogram" -> afHistogram(variants),
+    "indel_histogram" -> indelHistogram(variants))
+
+  def write(variants: DataFrame, path: String): Unit =
+    graft.sources.MultiTable.write(tables(variants), path)
+}
