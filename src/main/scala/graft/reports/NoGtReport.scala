@@ -4,7 +4,6 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.Genomics
 import graft.pipelines.MotifStats
-import graft.queries.r6
 
 /** No-ground-truth variant report (reference:
   * ugvc/pipelines/run_no_gt_report.py + report_wo_gt.ipynb): per-callset
