@@ -25,6 +25,22 @@ object Genomics {
   /** unphred(q) = 10 ^ (-q / 10) */
   def unphred(q: Column): Column = pow(lit(10.0), -q / 10.0)
 
+  /** Phred string codec (F1 string variants, ugvc/utils/math_utils.py:31-101;
+    * golden: phred_str([0.1, 0.01, 0.001]) == "+5?"): each probability maps
+    * to chr(round(-10*log10(p)) + 33). */
+  def phredStr(probs: Seq[Double]): String =
+    probs.map(p => (math.round(-10.0 * math.log10(p)) + 33).toInt.toChar).mkString
+  def unphredStr(s: String): Seq[Double] =
+    s.map(c => math.pow(10.0, -(c.toInt - 33) / 10.0))
+  val phredStrUdf: Column => Column = {
+    val f = udf((probs: Seq[Double]) => if (probs == null) null else phredStr(probs))
+    c => f(c)
+  }
+  val unphredStrUdf: Column => Column = {
+    val f = udf((s: String) => if (s == null) null else unphredStr(s))
+    c => f(c)
+  }
+
   /** n / d, or `default` when d == 0. */
   def safeDivide(n: Column, d: Column, default: Column): Column =
     when(d === 0, default).otherwise(n / d)

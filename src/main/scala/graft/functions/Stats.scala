@@ -40,16 +40,24 @@ object Stats {
       xs.zip(ps).map { case (x, p) => if (x == 0L) 0.0 else x * math.log(p) }.sum
   }
 
-  /** Likelihood ratio L(actual)/L(expected-frequencies) as the reference's
-    * multinomial_likelihood_ratio computes it. */
-  def multinomialLikelihoodRatio(actual: Seq[Long], expectedFreq: Seq[Double]): Double = {
-    val selfFreq = {
-      val n = actual.sum.toDouble
-      actual.map(_ / n)
-    }
-    math.exp(multinomialLogLikelihood(actual, expectedFreq) -
-      multinomialLogLikelihood(actual, selfFreq))
+  /** Reference-shaped API (ugvc/utils/stats_utils.py:32-70; golden values
+    * test_stats_utils.py:50-110): expected arrives as COUNTS and add-one
+    * correction is applied internally. */
+  def correctFrequencies(counts: Seq[Long]): Seq[Double] = {
+    val plus1 = counts.map(_ + 1L)
+    val tot = plus1.sum.toDouble
+    plus1.map(_ / tot)
   }
+
+  /** multinomial_likelihood(actual, expected_counts). */
+  def multinomialLikelihood(actual: Seq[Long], expectedCounts: Seq[Long]): Double =
+    math.exp(multinomialLogLikelihood(actual, correctFrequencies(expectedCounts)))
+
+  /** multinomial_likelihood_ratio: likelihood under expected over the
+    * likelihood of actual under its own add-one-corrected frequencies. */
+  def multinomialLikelihoodRatio(actual: Seq[Long], expectedCounts: Seq[Long]): Double =
+    math.exp(multinomialLogLikelihood(actual, correctFrequencies(expectedCounts)) -
+      multinomialLogLikelihood(actual, correctFrequencies(actual)))
 
   val multinomialLogLikelihoodUdf: (Column, Column) => Column = {
     val f = udf((xs: Seq[Long], ps: Seq[Double]) => multinomialLogLikelihood(xs, ps))

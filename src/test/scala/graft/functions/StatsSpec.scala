@@ -30,10 +30,10 @@ class StatsSpec extends SparkSpec {
     // Binomial(n=3, p=0.5) at x=2: C(3,2)*0.5^3 = 0.375
     val ll = Stats.multinomialLogLikelihood(Seq(2L, 1L), Seq(0.5, 0.5))
     assert(math.abs(math.exp(ll) - 0.375) < 1e-12)
-    // perfect-frequency ratio is 1
-    assert(math.abs(Stats.multinomialLikelihoodRatio(Seq(2L, 2L), Seq(0.5, 0.5)) - 1.0) < 1e-12)
-    // mismatched frequencies give ratio < 1
-    assert(Stats.multinomialLikelihoodRatio(Seq(9L, 1L), Seq(0.5, 0.5)) < 1.0)
+    // self-expected ratio is 1 (both sides add-one corrected)
+    assert(math.abs(Stats.multinomialLikelihoodRatio(Seq(2L, 2L), Seq(2L, 2L)) - 1.0) < 1e-12)
+    // mismatched expectation gives ratio < 1
+    assert(Stats.multinomialLikelihoodRatio(Seq(9L, 1L), Seq(5L, 5L)) < 1.0)
   }
 
   test("multinomial UDF evaluates in a plan") {
