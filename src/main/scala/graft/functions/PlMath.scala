@@ -66,24 +66,60 @@ object PlMath {
       if (rest.isEmpty) Int.MaxValue else rest.min)
   }
 
-  /** Reweight a diploid 3-PL by an imputation dosage prior and re-call
-    * (correct_genotypes_by_imputation.py:182-251): prior over {ref/ref,
-    * ref/alt, alt/alt} from dose d in [0,2] under Hardy-Weinberg,
-    * posterior = likelihood * prior renormalized, GT = argmin of the new
-    * PL (ties keep original), GQ = secondMin - min. */
-  def reweightByDose(pl3: Seq[Int], dose: Double): (Seq[Int], Int, Int) = {
-    require(pl3.size == 3)
-    val p = math.max(0.0, math.min(1.0, dose / 2.0))
-    val prior = Seq((1 - p) * (1 - p), 2 * p * (1 - p), p * p).map(x => math.max(x, 1e-12))
-    val lik = pl3.map(q => math.pow(10.0, -q / 10.0))
-    val post = lik.zip(prior).map { case (l, pr) => l * pr }
-    val tot = post.sum
-    val q = post.map(x => -10.0 * math.log10(x / tot))
-    val shift = q.min
-    val newPl = q.map(x => math.round(x - shift).toInt)
-    val gt = newPl.indices.minBy(i => (newPl(i), i))
+  /** Genotype pair (a, b), a <= b, at triangular index `idx`. */
+  def invIndex(idx: Int): (Int, Int) = {
+    var b = 0
+    while ((b + 1) * (b + 2) / 2 <= idx) b += 1
+    (idx - b * (b + 1) / 2, b)
+  }
+
+  /** Imputation genotype priors from per-alt-allele dosages
+    * (correct_genotypes_by_imputation.py:182-207; goldens
+    * test_correct_genotypes_by_imputation.py:9-44): per alt allele a,
+    * f_het = clamp(2 - ds_a), f_hom = clamp(ds_a - 1) into [eps, 1-eps];
+    * a genotype's prior is the max over its alt alleles (missing dosage →
+    * eps); hom-ref is pinned to 1. */
+  def imputationPriors(ds: Seq[Option[Double]], nAlt: Int,
+                       epsilon: Double): Seq[Double] = {
+    def clamp(x: Double) = math.max(epsilon, math.min(x, 1 - epsilon))
+    val fHet = ds.map(_.map(d => clamp(2 - d)))
+    val fHom = ds.map(_.map(d => clamp(math.max(d, 1) - 1)))
+    val m = nAlt + 1
+    (0 until m * (m + 1) / 2).map { idx =>
+      val (a, b) = invIndex(idx)
+      if (a == 0 && b == 0) 1.0
+      else (1 to nAlt).map { al =>
+        if (a == al || b == al)
+          (if (a == b) fHom(al - 1) else fHet(al - 1)).getOrElse(epsilon)
+        else 0.0
+      }.max
+    }
+  }
+
+  /** Reweight a triangular PL by imputation dosages and re-call
+    * (modify_stats_with_imp, correct_genotypes_by_imputation.py:209-253):
+    * unphred, multiply alt entries by the genotype priors, renormalize the
+    * alt mass so the ref/alt balance is preserved (hom-ref PL is never
+    * changed), re-phred and min-shift with rounding; GT keeps the current
+    * call on ties, else argmin; GQ = gap between the two smallest PLs. */
+  def reweightByDose(pl: Seq[Int], ds: Seq[Option[Double]],
+                     currentGt: (Int, Int),
+                     epsilon: Double = 0.01): (Seq[Int], Int, (Int, Int)) = {
+    val nAlt = nAlleles(pl.size) - 1
+    val f = imputationPriors(ds, nAlt, epsilon)
+    val u = pl.map(q => math.pow(10.0, -q / 10.0))
+    val pf = u.zip(f).map { case (x, y) => x * y }
+    val scale = u.tail.sum / pf.tail.sum
+    val pfn = u.head +: pf.tail.map(_ * scale)
+    val phredv = pfn.map(p => -10.0 * math.log10(p))
+    val mn = phredv.min
+    val newPl = phredv.map(q => math.round(q - mn).toInt)
+    val gtIdx = plIndex(currentGt._1, currentGt._2)
+    val newGt =
+      if (phredv(gtIdx) == mn) currentGt
+      else invIndex(phredv.zipWithIndex.minBy { case (v, i) => (v, i) }._2)
     val sorted = newPl.sorted
-    (newPl, gt, sorted(1) - sorted(0))
+    (newPl, sorted(1) - sorted(0), newGt)
   }
 
   // ---- Column bindings ----------------------------------------------------
@@ -96,11 +132,14 @@ object PlMath {
     val f = udf((pl: Seq[Int]) => if (pl == null) null else compressPl3(pl))
     c => f(c)
   }
+  /** Biallelic binding: one dose column, current GT = argmin of the input
+    * PL; returns (pl, gtIndex, gq) where gtIndex is the triangular index. */
   val reweightUdf: (Column, Column) => Column = {
     val f = udf((pl3: Seq[Int], dose: Double) =>
       if (pl3 == null) null else {
-        val (pl, gt, gq) = reweightByDose(pl3, dose)
-        (pl, gt, gq)
+        val curIdx = pl3.indices.minBy(i => (pl3(i), i))
+        val (pl, gq, gt) = reweightByDose(pl3, Seq(Some(dose)), invIndex(curIdx))
+        (pl, plIndex(gt._1, gt._2), gq)
       })
     (c, d) => f(c, d)
   }

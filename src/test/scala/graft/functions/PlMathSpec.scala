@@ -37,17 +37,30 @@ class PlMathSpec extends SparkSpec {
     assert(compressPl3(Seq(0, 30, 55)) == Seq(0, 30, 55))
   }
 
-  test("reweightByDose shifts calls toward the dosage prior") {
-    // likelihood prefers hom-ref; dose 2.0 (prior ~ all alt/alt) flips the call
-    val (_, gtLow, _) = reweightByDose(Seq(0, 30, 40), 0.0)
-    val (_, gtHigh, _) = reweightByDose(Seq(40, 30, 0), 2.0)
-    assert(gtLow == 0 && gtHigh == 2)
-    // a flat likelihood follows the prior entirely
-    val (_, gtPrior, _) = reweightByDose(Seq(0, 0, 0), 2.0)
-    assert(gtPrior == 2)
-    // reweighted PL is still min-0 normalized
-    val (pl, _, gq) = reweightByDose(Seq(10, 20, 30), 1.0)
-    assert(pl.min == 0 && gq >= 0)
+  test("imputation priors match the reference goldens (test_correct_genotypes_by_imputation.py:9-44)") {
+    assert(imputationPriors(Seq(Some(2.0)), 1, 0.01) == Seq(1.0, 0.01, 0.99))
+    assert(imputationPriors(Seq(Some(1.0)), 1, 0.01) == Seq(1.0, 0.99, 0.01))
+    assert(imputationPriors(Seq(Some(1.0), Some(1.0)), 2, 0.01) ==
+      Seq(1.0, 0.99, 0.01, 0.99, 0.99, 0.01))
+    assert(imputationPriors(Seq(Some(2.0), None), 2, 0.01) ==
+      Seq(1.0, 0.01, 0.99, 0.01, 0.01, 0.01))
+  }
+
+  test("reweightByDose: het call flips to hom under a hom dose; hom-ref is pinned") {
+    // het likelihood, dose says hom-alt: the call moves to (1,1)
+    val (plFlip, gqFlip, gtFlip) = reweightByDose(Seq(40, 0, 5), Seq(Some(2.0)), (0, 1))
+    assert(gtFlip == ((1, 1)) && plFlip.min == 0 && gqFlip >= 0)
+    // hom-ref prior is 1 and ref/alt balance is preserved: never flips
+    val (plRef, _, gtRef) = reweightByDose(Seq(0, 30, 40), Seq(Some(2.0)), (0, 0))
+    assert(gtRef == ((0, 0)) && plRef.head == 0)
+    // ties keep the current genotype
+    val (_, _, gtTie) = reweightByDose(Seq(0, 0, 0), Seq(Some(1.0)), (0, 1))
+    assert(gtTie == ((0, 1)))
+  }
+
+  test("invIndex inverts plIndex over the triangular layout") {
+    for (b <- 0 to 3; a <- 0 to b)
+      assert(invIndex(plIndex(a, b)) == ((a, b)))
   }
 
   test("UDF bindings evaluate inside a DataFrame plan") {

@@ -43,7 +43,9 @@ class DomainPipelinesSpec extends SparkSpec {
     ).toDF("variant_type", "pl", "dose")
     val counters = ImputationRefinement.changeCounters(df).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    assert(counters((("snp", "same"))) == 1L)
+    // hom-ref and hom-alt calls keep their genotype (hom-ref prior is
+    // pinned to 1 and the ref/alt balance is preserved)
+    assert(counters((("snp", "same"))) == 2L)
     assert(counters.keys.exists(_._1 == "indel"))
     val corrected = ImputationRefinement.correct(df)
     assert(corrected.filter(col("gq_corrected") < 0).count() == 0)
