@@ -10,11 +10,14 @@ import graft.functions.Genomics
   */
 object SvStats {
 
-  /** The reference's fixed SV length domain (sv_stats_collect.py:12-13). */
-  val svBins: Seq[Double] = Seq(50, 100, 300, 1000, 3000, 10000, 30000,
-    100000, 300000, 1000000, Double.MaxValue)
-  val svLabels: Seq[String] = Seq("50-100", "100-300", "300-1k", "1k-3k",
-    "3k-10k", "10k-30k", "30k-100k", "100k-300k", "300k-1M", ">1M")
+  /** The reference's fixed SV length domain (sv_stats_collect.py:12-13;
+    * exact edges/labels recovered from the golden frame in
+    * test/unit/reports/test_sv_stats_collect.py:64-111 — left-closed
+    * pd.cut(right=False) bins). */
+  val svBins: Seq[Double] = Seq(50, 100, 300, 500, 1000, 2000, 3000, 5000,
+    10000, 100000, 1000000, Double.MaxValue)
+  val svLabels: Seq[String] = Seq("50-100", "100-300", "300-500", "0.5-1k",
+    "1k-2k", "2k-3k", "3k-5k", "5k-10k", "10k-100k", "100k-1M", ">1M")
 
   /** PASS filter (P2) + abs-length labeled binning (A8). */
   def prepare(sv: DataFrame): DataFrame =
@@ -22,13 +25,29 @@ object SvStats {
       .withColumn("binned_svlen",
         Genomics.labeledBins(abs(col("svlen")), svBins, svLabels))
 
+  /** A4 — svtype value counts. */
+  def typeCounts(sv: DataFrame): DataFrame =
+    prepare(sv).groupBy("svtype").agg(count(lit(1)).as("n"))
+
+  /** A4+A6 — length-bin counts over the FULL zero-filled domain
+    * (the golden frame reindexes to all 11 labels). */
+  def lengthCounts(sv: DataFrame): DataFrame = {
+    val spark = sv.sparkSession
+    import spark.implicits._
+    val domain = svLabels.toDF("binned_svlen")
+    val counts = prepare(sv).groupBy("binned_svlen").agg(count(lit(1)).as("n"))
+    domain.join(counts, Seq("binned_svlen"), "left").na.fill(0L, Seq("n"))
+  }
+
   /** A5 — svtype × length-bin cross-tab with the fixed label domain. */
   def typeLengthCrosstab(sv: DataFrame): DataFrame =
     prepare(sv)
       .groupBy("svtype")
       .pivot("binned_svlen", svLabels)
       .count()
-      .na.fill(0L, svLabels)
+      // fill(0) over all numeric columns: fill-by-name would split the
+      // dotted "0.5-1k" label into a nested path
+      .na.fill(0L)
 
   /** A11 shape — concordance counts per svtype from TP/FP/FN labels, with
     * the manual ALL rollup the reference builds by looping

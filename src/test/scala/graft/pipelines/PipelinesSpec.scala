@@ -73,7 +73,7 @@ class PipelinesSpec extends SparkSpec {
     val ct = SvStats.typeLengthCrosstab(sv).collect()
       .map(r => r.getString(0) -> r).toMap
     assert(ct("DEL").getAs[Long]("50-100") == 1L)
-    assert(ct("DEL").getAs[Long]("300-1k") == 1L)
+    assert(ct("DEL").getAs[Long]("0.5-1k") == 1L)
     assert(ct("INS").getAs[Long]("100-300") == 1L)
     assert(ct("INS").getAs[Long](">1M") == 1L)
 
@@ -102,5 +102,34 @@ class PipelinesSpec extends SparkSpec {
     val hi = DenovoRefinement.refine(child, mother, fatherHi).head.getDouble(2)
     val lo = DenovoRefinement.refine(child, mother, fatherLo).head.getDouble(2)
     assert(lo <= hi)
+  }
+
+  test("SvStats golden frame from the reference mock VCF (test_sv_stats_collect.py:17-111)") {
+    // SVLEN/SVTYPE extracted exactly as the mock does (F17 regex on INFO)
+    val info = Seq(
+      ("PASS", "SVLEN=-500;SVTYPE=DEL"), ("PASS", "SVLEN=300;SVTYPE=INS"),
+      ("PASS", "SVLEN=-1000;SVTYPE=DEL"), ("PASS", "SVLEN=700;SVTYPE=INS"),
+      (".", "SVLEN=2000;SVTYPE=DUP")
+    ).toDF("filter", "info")
+    val sv = info
+      .withColumn("svlen", regexp_extract(col("info"), "SVLEN=(-?\\d+)", 1).cast("long"))
+      .withColumn("svtype", regexp_extract(col("info"), "SVTYPE=([A-Z]+)", 1))
+    val types = SvStats.typeCounts(sv).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(types == Map("DEL" -> 2L, "INS" -> 2L, "DUP" -> 1L))
+    val lengths = SvStats.lengthCounts(sv).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = Map(
+      "50-100" -> 0L, "100-300" -> 0L, "300-500" -> 1L, "0.5-1k" -> 2L,
+      "1k-2k" -> 1L, "2k-3k" -> 1L, "3k-5k" -> 0L, "5k-10k" -> 0L,
+      "10k-100k" -> 0L, "100k-1M" -> 0L, ">1M" -> 0L)
+    assert(lengths == expected)
+    val byType = SvStats.typeLengthCrosstab(sv).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(byType("DEL").getAs[Long]("0.5-1k") == 1L)
+    assert(byType("DEL").getAs[Long]("1k-2k") == 1L)
+    assert(byType("INS").getAs[Long]("300-500") == 1L)
+    assert(byType("INS").getAs[Long]("0.5-1k") == 1L)
+    assert(byType("DUP").getAs[Long]("2k-3k") == 1L)
   }
 }
