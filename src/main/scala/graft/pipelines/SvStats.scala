@@ -49,6 +49,25 @@ object SvStats {
       // dotted "0.5-1k" label into a nested path
       .na.fill(0L)
 
+  /** concordance_with_gt (sv_stats_collect.py:63-97; golden
+    * test_sv_stats_collect.py:149-163): the truth side carries TP/FN
+    * labels, the callset side TP/FP; precision from the calls, recall from
+    * the base. One row: TP_base, TP_calls, FN, FP, Precision, Recall, F1. */
+  def concordanceWithGt(base: DataFrame, calls: DataFrame): DataFrame = {
+    val b = base.agg(
+      sum((col("label") === "TP").cast("long")).as("TP_base"),
+      sum((col("label") === "FN").cast("long")).as("FN"))
+    val c = calls.agg(
+      sum((col("label") === "TP").cast("long")).as("TP_calls"),
+      sum((col("label") === "FP").cast("long")).as("FP"))
+    val p = col("TP_calls") / (col("TP_calls") + col("FP"))
+    val r = col("TP_base") / (col("TP_base") + col("FN"))
+    b.crossJoin(c).select(
+      col("TP_base"), col("TP_calls"), col("FN"), col("FP"),
+      p.as("Precision"), r.as("Recall"),
+      Genomics.f1Score(p, r).as("F1"))
+  }
+
   /** A11 shape — concordance counts per svtype from TP/FP/FN labels, with
     * the manual ALL rollup the reference builds by looping
     * (sv_stats_collect.py:176-199) expressed as a native rollup. */

@@ -132,4 +132,14 @@ class PipelinesSpec extends SparkSpec {
     assert(byType("INS").getAs[Long]("0.5-1k") == 1L)
     assert(byType("DUP").getAs[Long]("2k-3k") == 1L)
   }
+
+  test("concordance_with_gt golden (test_sv_stats_collect.py:149-163)") {
+    val base = Seq("TP", "TP", "FN", "FN").toDF("label")
+    val calls = Seq("TP", "TP", "FP", "FP").toDF("label")
+    val r = SvStats.concordanceWithGt(base, calls).head
+    assert(r.getAs[Long]("TP_base") == 2L && r.getAs[Long]("TP_calls") == 2L)
+    assert(r.getAs[Long]("FN") == 2L && r.getAs[Long]("FP") == 2L)
+    assert(r.getAs[Double]("Precision") == 0.5 && r.getAs[Double]("Recall") == 0.5)
+    assert(r.getAs[Double]("F1") == 0.5)
+  }
 }
