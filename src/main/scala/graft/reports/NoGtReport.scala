@@ -1,6 +1,6 @@
 package graft.reports
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Genomics
 import graft.pipelines.MotifStats
@@ -22,14 +22,29 @@ object NoGtReport {
     MotifStats.motifCounts(
       variants.filter(!Genomics.isIndel(col("ref"), col("alt"))))
 
-  /** A7 — AF histogram in 100 fixed bins per variant type. */
-  def afHistogram(variants: DataFrame): DataFrame =
-    variants
-      .withColumn("variant_type",
-        coalesce(Genomics.indelClassify(col("ref"), col("alt")), lit("snp")))
+  /** The reference's variant-type classes (run_no_gt_report.py): snp,
+    * h-indel (homopolymer indel), non-h-indel. */
+  def classifyVariantType(ref: Column, alt: Column, hmerLen: Column): Column =
+    when(!Genomics.isIndel(ref, alt), "snp")
+      .when(hmerLen > 0, "h-indel")
+      .otherwise("non-h-indel")
+
+  /** A7 — AF histogram in the DENSE 100-bin domain per variant type
+    * (np.histogram(af, linspace(0,1,101)); golden
+    * test_run_no_gt_report.py:15-30: every type emits exactly 100 bins,
+    * zero-filled; af=0.1 lands in bin 10). Expects a `variant_type` column
+    * (see [[classifyVariantType]]). */
+  def afHistogram(variants: DataFrame): DataFrame = {
+    val spark = variants.sparkSession
+    import spark.implicits._
+    val types = variants.select("variant_type").distinct()
+    val domain = types.crossJoin((0L until 100L).toDF("af_bin"))
+    val counts = variants
       .groupBy(col("variant_type"),
         least(floor(col("af") * 100), lit(99L)).as("af_bin"))
       .agg(count(lit(1)).as("n"))
+    domain.join(counts, Seq("variant_type", "af_bin"), "left").na.fill(0L, Seq("n"))
+  }
 
   /** A9 — indel class x zygosity x hmer length counts
     * (run_no_gt_report.py:44-69). */
@@ -44,7 +59,8 @@ object NoGtReport {
 
   def tables(variants: DataFrame): Map[String, DataFrame] = Map(
     "motif_spectrum" -> motifSpectrum(variants),
-    "af_histogram" -> afHistogram(variants),
+    "af_histogram" -> afHistogram(variants.withColumn("variant_type",
+      classifyVariantType(col("ref"), col("alt"), col("hmer_indel_length")))),
     "indel_histogram" -> indelHistogram(variants))
 
   def write(variants: DataFrame, path: String): Unit =
