@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components: chains, rings and singletons resolve to min id") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),    // chain -> comp 1
+      (10L, 11L), (11L, 12L), (12L, 10L), // ring -> comp 10
+      (20L, 21L)                        // pair -> comp 20
+    ).toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comps(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(comps(_) == 10L))
+    assert(Seq(20L, 21L).forall(comps(_) == 20L))
+  }
+
+  test("canonicalAssignment: non-candidates stay their own canonical") {
+    val docs = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((2L, 5L)).toDF("doc_a", "doc_b")
+    val out = Dedup.canonicalAssignment(docs, pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(5L) == ((2L, true)))
+    assert(out(2L) == ((2L, false)))
+    assert(out(1L) == ((1L, false)) && out(6L) == ((6L, false)))
+    // dedup keeps exactly one representative per cluster
+    val kept = out.count(!_._2._2)
+    assert(kept == 5)
+  }
+
+  test("long chain needs multiple propagation rounds") {
+    val n = 40L
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs, maxIter = 50).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to n).forall(comps(_) == 1L))
+  }
+}
