@@ -139,6 +139,12 @@ object TextDedup {
         .select(col("doc_a"), col("doc_b"),
           r6(Text.jaccard(col("da.sh"), col("db.sh"))).as("jaccard"))
     },
+    // ----- D7: duplicate-cluster resolution — connected components over
+    // the LSH candidate graph; every doc maps to its cluster's min id
+    "d7_dedup_resolve" -> { (s, d) =>
+      graft.operators.Dedup.connectedComponents(lshPairs(cachedMinhash(s, d)))
+        .select(col("id").as("doc_id"), col("comp").as("canonical"))
+    },
     // ----- D5: SimHash (16-bit, scalar-only, no explode); token hashes
     // materialized once, 16 cheap bit-fold passes over them
     "d5_simhash" -> { (s, d) =>
@@ -218,6 +224,16 @@ object TextDedup {
             floor(len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0 /
               (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x))))*1000000 + 0.5)/1000000 AS jaccard
           FROM pairs JOIN ds a ON doc_a = a.doc_id JOIN ds b ON doc_b = b.doc_id""",
+    "d7_dedup_resolve" ->
+      s"""${mhCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, $pairsCte,
+          edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                    UNION SELECT doc_b, doc_a FROM pairs),
+          nodes AS (SELECT DISTINCT s AS id FROM edges),
+          reach(id, r) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)
+          SELECT id AS doc_id, min(r) AS canonical FROM reach GROUP BY id""",
     "d5_simhash" ->
       s"""WITH tok AS (SELECT doc_id, list_transform(string_split(text, ' '),
             x -> ${hx("x")}) AS h FROM documents)
