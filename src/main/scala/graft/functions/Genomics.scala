@@ -27,9 +27,10 @@ object Genomics {
 
   /** Phred string codec (F1 string variants, ugvc/utils/math_utils.py:31-101;
     * golden: phred_str([0.1, 0.01, 0.001]) == "+5?"): each probability maps
-    * to chr(round(-10*log10(p)) + 33). */
+    * to chr(int(-10*log10(p)) + 33) — the reference TRUNCATES the quality
+    * (`chr(int(x) + 33)`, math_utils.py:64), it does not round. */
   def phredStr(probs: Seq[Double]): String =
-    probs.map(p => (math.round(-10.0 * math.log10(p)) + 33).toInt.toChar).mkString
+    probs.map(p => ((-10.0 * math.log10(p)).toInt + 33).toChar).mkString
   def unphredStr(s: String): Seq[Double] =
     s.map(c => math.pow(10.0, -(c.toInt - 33) / 10.0))
   val phredStrUdf: Column => Column = {
@@ -49,8 +50,10 @@ object Genomics {
   def precisionScore(tp: Column, fp: Column, default: Column = lit(1.0)): Column =
     when(fp + tp === 0, default).otherwise(lit(1.0) - fp / (fp + tp))
 
-  /** Recall = tp/(tp+fn); `default` at 0 denom. */
-  def recallScore(tp: Column, fn: Column, default: Column = lit(0.0)): Column =
+  /** Recall = tp/(tp+fn); `default` at 0 denom — the reference defaults to
+    * 1 (get_recall, ugvc/utils/stats_utils.py:97-117: an empty stratum has
+    * perfect recall, not zero). */
+  def recallScore(tp: Column, fn: Column, default: Column = lit(1.0)): Column =
     when(tp + fn === 0, default).otherwise(tp / (tp + fn))
 
   /** F1 = 2*p*r/(p+r); 0 when p+r == 0. */

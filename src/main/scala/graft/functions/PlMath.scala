@@ -30,25 +30,34 @@ object PlMath {
   def nAlleles(m: Int): Int = ((math.sqrt(8.0 * m + 1) - 1) / 2).toInt
 
   /** Diploid → haploid: keep homozygous entries, unphred, renormalize,
-    * re-phred; returns the haploid PL (one entry per allele).
-    * convert_haploid_regions.py:38-70. */
+    * truncate each re-phred entry to int (`int(-10*log10(p))`), THEN
+    * min-shift; returns the haploid PL (one entry per allele). A 2-entry
+    * PL is already haploid and passes through unchanged
+    * (convert_haploid_regions.py:43-57). */
   def toHaploid(pl: Seq[Int]): Seq[Int] = {
+    if (pl.size == 2) return pl
     val n = nAlleles(pl.size)
     val homs = (0 until n).map(i => pl(plIndex(i, i)))
     val probs = homs.map(q => math.pow(10.0, -q / 10.0))
     val tot = probs.sum
-    val renorm = probs.map(_ / tot)
-    val minQ = renorm.map(p => -10.0 * math.log10(p))
-    val shift = minQ.min
-    minQ.map(q => math.round(q - shift).toInt)
+    val ints = probs.map(p => (-10.0 * math.log10(p / tot)).toInt)
+    val shift = ints.min
+    ints.map(_ - shift)
   }
 
-  /** Haploid genotype call from a haploid PL: argmin index, with GQ =
-    * second-min minus min (ties keep the lower index). */
+  /** Haploid genotype call from a haploid PL: the called haplotype is the
+    * LAST index whose PL is 0, and GQ is the minimum nonzero PL (10000 when
+    * every entry is zero) — a single pass mirroring the reference's loop
+    * (convert_haploid_regions.py:58-64). */
   def haploidCall(haploidPl: Seq[Int]): (Int, Int) = {
-    val gt = haploidPl.indices.minBy(i => (haploidPl(i), i))
-    val rest = haploidPl.indices.filter(_ != gt)
-    val gq = if (rest.isEmpty) 0 else rest.map(haploidPl).min - haploidPl(gt)
+    var gt = 0
+    var gq = 10000
+    var i = 0
+    while (i < haploidPl.length) {
+      val p = haploidPl(i)
+      if (p == 0) gt = i else if (p < gq) gq = p
+      i += 1
+    }
     (gt, gq)
   }
 

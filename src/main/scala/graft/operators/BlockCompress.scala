@@ -1,13 +1,15 @@
 package graft.operators
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.functions.PlMath
 
 /** Input record for gVCF-style block compression: one row per reference
-  * position run, sorted by (chrom, pos). */
+  * position run, sorted by (chrom, pos). `isRefCall` mirrors the RefCall
+  * FILTER flag on the reference's records. */
 case class GvcfRecord(chrom: String, pos: Long, end: Long, gq: Int, dp: Int,
-                      pl: Seq[Int], pass: Boolean)
+                      pl: Seq[Int], pass: Boolean, isRefCall: Boolean = false)
 
-/** A compressed block: first pos, last end, min gq/dp, elementwise-min PL. */
+/** A compressed block: first pos, last end, min gq/dp, class-min PL. */
 case class GvcfBlock(chrom: String, pos: Long, end: Long, minGq: Int,
                      minDp: Int, pl: Seq[Int], nRecords: Long)
 
@@ -16,25 +18,38 @@ case class GvcfBlock(chrom: String, pos: Long, end: Long, minGq: Int,
   * :153-158, merge state at :192-212).
   *
   * The break condition references the running min/max GQ of the *open
-  * block* — `max(gqs ∪ {next.gq}) - min(gqs ∪ {next.gq}) >= threshold` —
-  * which `lag` cannot express (the state is an aggregate over a dynamic
-  * extent). SURVEY.md §7.4 risk 1. So this is the one operator implemented
-  * as an explicit automaton over sorted partitions:
+  * block* — `next.gq - min(gqs) >= threshold || max(gqs) - next.gq >=
+  * threshold` — which `lag` cannot express (the state is an aggregate over
+  * a dynamic extent). SURVEY.md §7.4 risk 1. So this is the one operator
+  * implemented as an explicit automaton over sorted partitions:
   *
   *   repartition by chrom  →  sortWithinPartitions(chrom, pos)  →
   *   mapPartitions(linear scan, O(1) state per open block)
   *
   * Each chromosome lands in one partition, records stream through in
   * position order, and the automaton carries (minGq, maxGq, minDp,
-  * elementwise-min PL). At genome scale this is a single range shuffle and
+  * class-min PL3). At genome scale this is a single range shuffle and
   * then a pure streaming pass — the same cost shape as the reference's
   * per-contig processes, minus the per-contig files.
+  *
+  * Faithfulness notes (compress_gvcf.py:153-158):
+  *  - PASS records and RefCall records with `gq <= refcallGqThreshold`
+  *    break on BOTH sides — they always emit as single-record blocks,
+  *    verbatim (the reference's break fires when either the current or
+  *    the previous record is a low-GQ RefCall; threshold is `<=`).
+  *  - RefCall records ABOVE the threshold merge like any other record —
+  *    there is no band-edge condition beyond the running min/max width.
+  *  - Merged blocks carry the elementwise min of the PL3-compressed
+  *    vectors (get_compressed_pl_into_3_values, :28-60); single-record
+  *    blocks keep the record's original PL (written verbatim, :164-166).
+  *  - The reference never flushes its final open block (the loop at
+  *    :135-213 has no post-loop write) — we do flush it; dropping the
+  *    tail record(s) of every contig would lose data.
   */
 object BlockCompress {
 
-  /** `refcallGqThreshold` is the reference's low/high RefCall band edge
-    * (defaults 22, compress_gvcf.py:68-77): records on opposite sides of
-    * it never merge, independent of the running min/max band width. */
+  /** `refcallGqThreshold` defaults to the reference's 22
+    * (compress_gvcf.py:68-77). */
   def compress(ds: Dataset[GvcfRecord], mergeGqThreshold: Int,
                refcallGqThreshold: Int = 22)
               (implicit spark: SparkSession): Dataset[GvcfBlock] = {
@@ -44,48 +59,63 @@ object BlockCompress {
       .mapPartitions(iter => new BlockIterator(iter, mergeGqThreshold, refcallGqThreshold))
   }
 
-  /** Streaming automaton. PASS records always break and emit as their own
-    * 1-record block (they must survive verbatim). */
+  /** Streaming automaton. */
   private final class BlockIterator(in: Iterator[GvcfRecord], thr: Int,
                                     refcallThr: Int)
       extends Iterator[GvcfBlock] {
     private var open: GvcfBlock = null
     private var minGq = 0
     private var maxGq = 0
+    private var firstPl: Seq[Int] = null // verbatim PL for 1-record blocks
+    private var pl3: Seq[Int] = null     // class-min PL3 merge state
     private val pending = scala.collection.mutable.Queue.empty[GvcfBlock]
 
+    /** PASS / low-GQ-RefCall records break before AND after themselves
+      * (compress_gvcf.py:153-158), so they always stand alone. */
+    private def alwaysSolo(r: GvcfRecord): Boolean =
+      r.pass || (r.isRefCall && r.gq <= refcallThr)
+
     private def startBlock(r: GvcfRecord): Unit = {
-      open = GvcfBlock(r.chrom, r.pos, r.end, r.gq, r.dp, r.pl, 1L)
+      open = GvcfBlock(r.chrom, r.pos, r.end, r.gq, r.dp, null, 1L)
       minGq = r.gq; maxGq = r.gq
+      firstPl = r.pl
+      pl3 = PlMath.compressPl3(r.pl)
     }
 
     private def mergeable(r: GvcfRecord): Boolean =
-      open != null && !r.pass && r.chrom == open.chrom &&
-        (r.gq < refcallThr) == (minGq < refcallThr) &&
-        math.max(maxGq, r.gq) - math.min(minGq, r.gq) < thr
+      open != null && r.chrom == open.chrom &&
+        r.gq - minGq < thr && maxGq - r.gq < thr
 
     private def absorb(r: GvcfRecord): Unit = {
       minGq = math.min(minGq, r.gq); maxGq = math.max(maxGq, r.gq)
+      val c = PlMath.compressPl3(r.pl)
+      pl3 = pl3.zip(c).map { case (x, y) => math.min(x, y) }
       open = GvcfBlock(open.chrom, open.pos, math.max(open.end, r.end),
-        math.min(open.minGq, r.gq), math.min(open.minDp, r.dp),
-        open.pl.zipAll(r.pl, Int.MaxValue, Int.MaxValue)
-          .map { case (x, y) => math.min(x, y) },
+        math.min(open.minGq, r.gq), math.min(open.minDp, r.dp), null,
         open.nRecords + 1)
+    }
+
+    private def flushOpen(): Unit = {
+      if (open != null) {
+        val pl = if (open.nRecords == 1L) firstPl else pl3
+        pending.enqueue(open.copy(pl = pl))
+        open = null
+      }
     }
 
     private def advance(): Unit = {
       while (pending.isEmpty && in.hasNext) {
         val r = in.next()
-        if (r.pass) {
-          if (open != null) { pending.enqueue(open); open = null }
+        if (alwaysSolo(r)) {
+          flushOpen()
           pending.enqueue(GvcfBlock(r.chrom, r.pos, r.end, r.gq, r.dp, r.pl, 1L))
         } else if (mergeable(r)) absorb(r)
         else {
-          if (open != null) pending.enqueue(open)
+          flushOpen()
           startBlock(r)
         }
       }
-      if (pending.isEmpty && open != null) { pending.enqueue(open); open = null }
+      if (pending.isEmpty) flushOpen()
     }
 
     override def hasNext: Boolean = { advance(); pending.nonEmpty }

@@ -27,9 +27,14 @@ object ConvertHaploidRegions {
 
   /** variants: (chrom, pos, pl, ...); regions: (chrom, bstart, bend).
     * Rows inside a region gain haploid_pl / haploid_gt / haploid_gq;
-    * rows outside pass through with nulls. */
+    * rows outside pass through with nulls.
+    *
+    * Region membership is `bstart < pos <= bend`
+    * (convert_haploid_regions.py:26-35: `region_start < pos <=
+    * region_end`), expressed against the half-open interval machinery by
+    * testing the shifted point [pos-1, pos) against [bstart, bend). */
   def convert(variants: DataFrame, regions: DataFrame): DataFrame = {
-    val asIv = variants.withColumn("start", col("pos")).withColumn("end", col("pos") + 1)
+    val asIv = variants.withColumn("start", col("pos") - 1).withColumn("end", col("pos"))
     val inside = Intervals.semiJoin(asIv, regions, broadcastB = true)
       .drop("start", "end").withColumn("_haploid", lit(true))
     val outside = asIv.drop("start", "end")

@@ -99,7 +99,8 @@ object IntervalOps {
         (col("value").cast("long") % 60).cast("int").as("gq"),
         lit(30).as("dp"),
         array(lit(0), lit(10), lit(100)).as("pl"),
-        (col("value") > 450).as("pass")).as[graft.operators.GvcfRecord]
+        (col("value") > 450).as("pass"),
+        (col("value") < 50).as("isRefCall")).as[graft.operators.GvcfRecord]
       graft.operators.BlockCompress.compress(recs, mergeGqThreshold = 10)(s)
         .groupBy("chrom")
         .agg(count(lit(1)).as("n_blocks"), sum("nRecords").as("n_records"),

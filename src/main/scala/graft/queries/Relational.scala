@@ -393,7 +393,7 @@ object Relational {
            FROM orders GROUP BY 1),
          pr AS (SELECT *,
            CASE WHEN fp+tp = 0 THEN 1.0 ELSE 1.0 - fp*1.0/(fp+tp) END AS p,
-           CASE WHEN tp+fn = 0 THEN 0.0 ELSE tp*1.0/(tp+fn) END AS r
+           CASE WHEN tp+fn = 0 THEN 1.0 ELSE tp*1.0/(tp+fn) END AS r
            FROM agg)
          SELECT o_orderpriority, tp, fp, fn,
                 floor(p*1000000 + 0.5)/1000000 AS precision,

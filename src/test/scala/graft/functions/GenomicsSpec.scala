@@ -27,7 +27,8 @@ class GenomicsSpec extends SparkSpec {
     assert(eval1(Genomics.precisionScore(lit(90L), lit(10L))) == 0.9)
     assert(eval1(Genomics.precisionScore(lit(0L), lit(0L))) == 1.0)
     assert(eval1(Genomics.recallScore(lit(90L), lit(10L))) == 0.9)
-    assert(eval1(Genomics.recallScore(lit(0L), lit(0L))) == 0.0)
+    // empty stratum: get_recall defaults to 1 (stats_utils.py:97-117)
+    assert(eval1(Genomics.recallScore(lit(0L), lit(0L))) == 1.0)
     assert(approx(eval1(Genomics.f1Score(lit(0.9), lit(0.9))), 0.9, 1e-12))
     assert(eval1(Genomics.f1Score(lit(0.0), lit(0.0))) == 0.0)
   }

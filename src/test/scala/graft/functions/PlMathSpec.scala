@@ -22,10 +22,26 @@ class PlMathSpec extends SparkSpec {
     assert(toHaploid(Seq(30, 0, 30)) == Seq(0, 0))
   }
 
-  test("haploidCall: argmin GT, GQ = gap to second-best, tie keeps lower index") {
+  test("toHaploid passes a 2-entry PL through unchanged (convert_haploid_regions.py:43-45)") {
+    assert(toHaploid(Seq(17, 3)) == Seq(17, 3))
+    assert(toHaploid(Seq(0, 50)) == Seq(0, 50))
+  }
+
+  test("toHaploid truncates each entry before the min shift (convert_haploid_regions.py:55-57)") {
+    // int(-10*log10(p)) per entry, THEN subtract the min int — for integer
+    // PL inputs this equals h_i - min(h), never a rounded float delta
+    assert(toHaploid(Seq(0, 99, 6)) == Seq(0, 6))
+    val tri = toHaploid(Seq(3, 99, 7, 99, 99, 12)) // homs 3, 7, 12
+    assert(tri == Seq(0, 4, 9))
+  }
+
+  test("haploidCall: GT is the LAST zero index, GQ = min nonzero PL (convert_haploid_regions.py:58-64)") {
     assert(haploidCall(Seq(0, 50)) == ((0, 50)))
     assert(haploidCall(Seq(40, 0)) == ((1, 40)))
-    assert(haploidCall(Seq(7, 7)) == ((0, 0)))
+    // tie on zero: the reference's loop leaves the last zero index as GT,
+    // and GQ stays at its 10000 sentinel when no nonzero PL exists
+    assert(haploidCall(Seq(0, 0)) == ((1, 10000)))
+    assert(haploidCall(Seq(0, 0, 5)) == ((1, 5)))
   }
 
   test("compressPl3 takes class minima (compress_gvcf.py:28-60)") {

@@ -8,13 +8,12 @@ class BlockCompressSpec extends SparkSpec {
   import spark.implicits._
 
   private def rec(chrom: String, pos: Long, gq: Int, pass: Boolean = false,
-                  dp: Int = 30, pl: Seq[Int] = Seq(0, 10, 100)): GvcfRecord =
-    GvcfRecord(chrom, pos, pos + 1, gq, dp, pl, pass)
+                  dp: Int = 30, pl: Seq[Int] = Seq(0, 10, 100),
+                  refcall: Boolean = false): GvcfRecord =
+    GvcfRecord(chrom, pos, pos + 1, gq, dp, pl, pass, refcall)
 
-  // refcallThr=0 disables the band edge for the generic band-width tests;
-  // the band-edge test passes the reference default explicitly
   private def compress(rs: Seq[GvcfRecord], thr: Int,
-                       refcallThr: Int = 0): Seq[GvcfBlock] =
+                       refcallThr: Int = 22): Seq[GvcfBlock] =
     BlockCompress.compress(rs.toDS(), thr, refcallThr).collect().toSeq
       .sortBy(b => (b.chrom, b.pos))
 
@@ -53,14 +52,38 @@ class BlockCompressSpec extends SparkSpec {
     assert(b.minGq == 20 && b.minDp == 10 && b.pl == Seq(0, 20, 90))
   }
 
-  test("records never merge across the refcall GQ band edge (compress_gvcf.py:68-77)") {
-    // gqs 20 and 24 straddle the default threshold 22; band width 10 alone
-    // would merge them — the band edge must split anyway
-    val out = compress(Seq(rec("1", 1, 20), rec("1", 2, 24)), 10, refcallThr = 22)
-    assert(out.size == 2)
-    // both below the edge: merges as usual
-    val low = compress(Seq(rec("1", 1, 15), rec("1", 2, 20)), 10, refcallThr = 22)
-    assert(low.size == 1)
+  test("low-GQ RefCall records never merge, on either side (compress_gvcf.py:153-158)") {
+    // a RefCall at GQ <= 22 breaks as the incoming record AND as the
+    // previous record — it always stands alone, splitting its neighbors
+    val out = compress(Seq(
+      rec("1", 1, 20), rec("1", 2, 21, refcall = true), rec("1", 3, 22)), 10)
+    assert(out.size == 3)
+    assert(out(1).pos == 2 && out(1).nRecords == 1)
+    // threshold is <=: GQ exactly 22 is still a solo RefCall
+    val edge = compress(Seq(rec("1", 1, 22, refcall = true), rec("1", 2, 22)), 10)
+    assert(edge.size == 2)
+    // a RefCall ABOVE the threshold merges like any other record
+    val high = compress(Seq(rec("1", 1, 23, refcall = true), rec("1", 2, 24)), 10)
+    assert(high.size == 1 && high.head.nRecords == 2)
+  }
+
+  test("non-RefCall records merge across GQ 22 — only band width matters (compress_gvcf.py:153-158)") {
+    // gqs 20 and 24 straddle 22 but are 4 apart: the reference merges them
+    val out = compress(Seq(rec("1", 1, 20), rec("1", 2, 24)), 10)
+    assert(out.size == 1 && out.head.nRecords == 2)
+  }
+
+  test("merged blocks carry PL3-compressed class minima; solo blocks keep PL verbatim (compress_gvcf.py:28-60,164-166)") {
+    // triallelic PLs (6 entries) compress to 3 classes on merge:
+    //   (0,54,57,990,2,990) -> (0,54,2); (3,40,50,60,70,80) -> (3,40,50)
+    val merged = compress(Seq(
+      rec("1", 1, 20, pl = Seq(0, 54, 57, 990, 2, 990)),
+      rec("1", 2, 22, pl = Seq(3, 40, 50, 60, 70, 80))), 10)
+    assert(merged.size == 1)
+    assert(merged.head.pl == Seq(0, 40, 2))
+    // a solo record is written verbatim: its PL stays 6 entries
+    val solo = compress(Seq(rec("1", 1, 20, pl = Seq(0, 54, 57, 990, 2, 990))), 10)
+    assert(solo.size == 1 && solo.head.pl == Seq(0, 54, 57, 990, 2, 990))
   }
 
   test("compression ratio on a GQ-banded run (shape of the 4438->1184 invariant)") {

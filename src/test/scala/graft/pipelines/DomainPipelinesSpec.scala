@@ -74,4 +74,21 @@ class DomainPipelinesSpec extends SparkSpec {
     assert(in100.getAs[Int]("haploid_gt") == 0 && in100.getAs[Int]("haploid_gq") == 100)
     assert(out(900L).isNullAt(out(900L).fieldIndex("haploid_gt")))
   }
+
+  test("ConvertHaploidRegions: membership is region_start < pos <= region_end (convert_haploid_regions.py:26-35)") {
+    val variants = Seq(
+      ("X", 50L, Seq(0, 20, 100)),   // pos == region_start: OUTSIDE
+      ("X", 51L, Seq(0, 20, 100)),   // first position inside
+      ("X", 200L, Seq(0, 20, 100)),  // pos == region_end: INSIDE
+      ("X", 201L, Seq(0, 20, 100))   // just past the end: outside
+    ).toDF("chrom", "pos", "pl")
+    val regions = Seq(("X", 50L, 200L)).toDF("chrom", "bstart", "bend")
+    val out = ConvertHaploidRegions.convert(variants, regions).collect()
+      .map(r => r.getLong(1) -> r).toMap
+    def converted(pos: Long): Boolean = !out(pos).isNullAt(out(pos).fieldIndex("haploid_gt"))
+    assert(!converted(50L))
+    assert(converted(51L))
+    assert(converted(200L))
+    assert(!converted(201L))
+  }
 }
