@@ -33,7 +33,10 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer `div`, NOT `/`: long/long in Spark is DOUBLE division, and
+      // at ~1.7e18 ns a double's ulp is 256 — rounding there shifts some
+      // rows by a whole microsecond vs DuckDB's exact epoch_us truncation
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _        => raw
     }
   }

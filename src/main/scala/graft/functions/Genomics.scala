@@ -84,6 +84,26 @@ object Genomics {
   def isHom(gt: Column): Column = element_at(gt, 1) === element_at(gt, 2)
   def isCalled(gt: Column): Column = element_at(gt, 1).isNotNull
 
+  /** F13 — genotype-pair error classification
+    * (get_error_type, ugvc/reports/report_data_loader.py:106-126): compare
+    * the ground-truth genotype SET {g1,g2} with the call SET {c1,c2}
+    * (Python set semantics: (0,1) ≡ (1,0), (1,1) ≡ {1}; None is a member).
+    * Nulls are encoded as -1 so the set becomes a sorted-distinct int array;
+    * the when-chain preserves the reference's check order. Pure Catalyst
+    * array expressions — codegen'd, no UDF. */
+  def errorType(g1: Column, g2: Column, c1: Column, c2: Column): Column = {
+    def gset(a: Column, b: Column): Column =
+      array_sort(array_distinct(array(coalesce(a, lit(-1)), coalesce(b, lit(-1)))))
+    val gs = gset(g1, g2)
+    val cs = gset(c1, c2)
+    when(gs === cs, lit("NO_ERROR"))
+      .when(gs === array(lit(0)) || gs === array(lit(-1)), lit("NOISE"))
+      .when(cs === array(lit(0)) || cs === array(lit(-1)), lit("NO_VARIANT"))
+      .when(size(array_except(gs, cs)) === 0, lit("HOM_TO_HET"))   // gtr ⊆ call
+      .when(size(array_except(cs, gs)) === 0, lit("HET_TO_HOM"))   // call ⊆ gtr
+      .otherwise(lit("WRONG_ALLELE"))
+  }
+
   /** clip(x, lo, hi) */
   def clip(c: Column, lo: Double, hi: Double): Column =
     least(greatest(c, lit(lo)), lit(hi))

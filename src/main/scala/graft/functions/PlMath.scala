@@ -141,6 +141,16 @@ object PlMath {
     val f = udf((pl: Seq[Int]) => if (pl == null) null else compressPl3(pl))
     c => f(c)
   }
+  /** toHaploid + haploidCall in one pass: returns (haploid_pl, gt, gq). */
+  val haploidConvertUdf: Column => Column = {
+    val f = udf((pl: Seq[Int]) =>
+      if (pl == null) null else {
+        val h = toHaploid(pl)
+        val (gt, gq) = haploidCall(h)
+        (h, gt, gq)
+      })
+    c => f(c)
+  }
   /** Biallelic binding: one dose column, current GT = argmin of the input
     * PL; returns (pl, gtIndex, gq) where gtIndex is the triangular index. */
   val reweightUdf: (Column, Column) => Column = {

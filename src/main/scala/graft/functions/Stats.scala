@@ -19,10 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
-  /** F4 — rescale a count array to sum≈n with rounding. */
+  /** F4 — rescale a count array to sum≈n with rounding. The reference
+    * rounds with np.round = round-half-EVEN (stats_utils.py:26-27), so this
+    * uses `bround`, not `round` (HALF_UP would diverge on exact halves,
+    * e.g. [1,1]·(1/2) → np.round(0.5) = 0, HALF_UP = 1). */
   def scaleContingencyTable(arr: Column, n: Column): Column = {
     val total = aggregate(arr, lit(0L), (acc, x) => acc + x)
-    transform(arr, x => round(x * n.cast("double") / total).cast("long"))
+    transform(arr, x => bround(x * n.cast("double") / total).cast("long"))
   }
 
   /** F5 — add-one smoothing then renormalize to frequencies. */
@@ -62,6 +65,32 @@ object Stats {
   val multinomialLogLikelihoodUdf: (Column, Column) => Column = {
     val f = udf((xs: Seq[Long], ps: Seq[Double]) => multinomialLogLikelihood(xs, ps))
     (a, b) => f(a, b)
+  }
+
+  /** Reference-shaped bindings over (actual, expected_counts) pairs. */
+  val multinomialLikelihoodUdf: (Column, Column) => Column = {
+    val f = udf((a: Seq[Long], e: Seq[Long]) => multinomialLikelihood(a, e))
+    (a, e) => f(a, e)
+  }
+  val multinomialLikelihoodRatioUdf: (Column, Column) => Column = {
+    val f = udf((a: Seq[Long], e: Seq[Long]) => multinomialLikelihoodRatio(a, e))
+    (a, e) => f(a, e)
+  }
+  /** Log forms for the oracle gate: the raw likelihood of small count
+    * vectors is a RATIONAL number and can land exactly on a round-6
+    * boundary (35·0.3^7 = 0.0076545), where cross-engine float noise flips
+    * the rounded digit; log-likelihoods are transcendental except at 0, so
+    * the boundary is unreachable. */
+  val multinomialLogLikCountsUdf: (Column, Column) => Column = {
+    val f = udf((a: Seq[Long], e: Seq[Long]) =>
+      multinomialLogLikelihood(a, correctFrequencies(e)))
+    (a, e) => f(a, e)
+  }
+  val multinomialLogRatioUdf: (Column, Column) => Column = {
+    val f = udf((a: Seq[Long], e: Seq[Long]) =>
+      multinomialLogLikelihood(a, correctFrequencies(e)) -
+        multinomialLogLikelihood(a, correctFrequencies(a)))
+    (a, e) => f(a, e)
   }
 
   /** Lanczos log-gamma (no external dependency; |err| < 1e-13 for x > 0). */

@@ -87,15 +87,17 @@ object IntervalOps {
         .select("l_returnflag", "l_orderkey", "l_linenumber")
     },
     // ----- W2 strict: the gVCF block-compression automaton over an
-    // events-derived record stream. Not SQL-expressible (running-block
-    // state), so the driver records a rows-only check; the exact semantics
-    // are covered by BlockCompressSpec.
+    // events-derived record stream, replayed in DuckDB with a recursive CTE
+    // (one recursion level per record rank; the d7 oracle set the
+    // precedent). `pos` carries an event_id tiebreak so the sort order the
+    // automaton sees is identical on both sides.
     "w2_block_compress" -> { (s, d) =>
       import s.implicits._
+      val pos = unix_micros(col("ts")) * 1000L + col("event_id") % 1000L
       val recs = Tables.events(s, d).select(
         col("user_id").cast("string").as("chrom"),
-        unix_micros(col("ts")).as("pos"),
-        (unix_micros(col("ts")) + 1L).as("end"),
+        pos.as("pos"),
+        (pos + 1L).as("end"),
         (col("value").cast("long") % 60).cast("int").as("gq"),
         lit(30).as("dp"),
         array(lit(0), lit(10), lit(100)).as("pl"),
@@ -104,7 +106,18 @@ object IntervalOps {
       graft.operators.BlockCompress.compress(recs, mergeGqThreshold = 10)(s)
         .groupBy("chrom")
         .agg(count(lit(1)).as("n_blocks"), sum("nRecords").as("n_records"),
-          min("minGq").as("min_gq"))
+          min("minGq").as("min_gq"), sum("minGq").as("sum_block_min_gq"),
+          max("nRecords").as("max_block"))
+    },
+    // ----- W1 at scale: score-bucketed P/R sweep — the declared scale-safe
+    // form (global window over the 1000-row bucket table, not the facts)
+    "w1_pr_curve_bucketed" -> { (s, d) =>
+      val o = Tables.orders(s, d).filter(col("o_orderstatus").isin("F", "O"))
+      Ord.prCurveBucketed(o, col("o_totalprice"),
+          col("o_orderstatus") === "F", col("o_orderstatus") === "O",
+          nBuckets = 1000, minScore = 0.0, maxScore = 600000.0)
+        .select(col("threshold"), col("ctp"), col("cfp"),
+          r6(col("precision")).as("precision"), r6(col("recall")).as("recall"))
     },
     // ----- A9: 2-D histogram (dims × pivoted category)
     "a9_2d_histogram" -> { (s, d) =>
@@ -188,6 +201,58 @@ object IntervalOps {
            sum(tp) OVER () AS ttp FROM t)
          SELECT rank, floor(ctp*1.0/(ctp+cfp)*1000000 + 0.5)/1000000 AS precision,
                 floor(ctp*1.0/ttp*1000000 + 0.5)/1000000 AS recall FROM c""",
+    // The W2 automaton replayed as a recursive CTE: one level per record
+    // rank per chrom, carrying (min_gq, max_gq, block id, prev-was-solo) —
+    // exactly the BlockIterator state (compress_gvcf.py:153-158).
+    "w2_block_compress" ->
+      """WITH RECURSIVE recs AS (
+           SELECT chrom, pos, gq, pass, refcall,
+                  row_number() OVER (PARTITION BY chrom ORDER BY pos) AS rn
+           FROM (SELECT CAST(user_id AS VARCHAR) AS chrom,
+                        epoch_us(ts) * 1000 + event_id % 1000 AS pos,
+                        CAST(CAST(trunc(value) AS BIGINT) % 60 AS INT) AS gq,
+                        value > 450 AS pass, value < 50 AS refcall
+                 FROM events)),
+         walk AS (
+           SELECT chrom, rn, gq, gq AS min_gq, gq AS max_gq, 1 AS blk,
+                  (pass OR (refcall AND gq <= 22)) AS solo
+           FROM recs WHERE rn = 1
+           UNION ALL
+           SELECT r.chrom, r.rn, r.gq,
+             CASE WHEN (r.pass OR (r.refcall AND r.gq <= 22) OR w.solo
+                        OR r.gq - w.min_gq >= 10 OR w.max_gq - r.gq >= 10)
+                  THEN r.gq ELSE least(w.min_gq, r.gq) END,
+             CASE WHEN (r.pass OR (r.refcall AND r.gq <= 22) OR w.solo
+                        OR r.gq - w.min_gq >= 10 OR w.max_gq - r.gq >= 10)
+                  THEN r.gq ELSE greatest(w.max_gq, r.gq) END,
+             w.blk + CASE WHEN (r.pass OR (r.refcall AND r.gq <= 22) OR w.solo
+                               OR r.gq - w.min_gq >= 10 OR w.max_gq - r.gq >= 10)
+                          THEN 1 ELSE 0 END,
+             (r.pass OR (r.refcall AND r.gq <= 22))
+           FROM walk w JOIN recs r ON r.chrom = w.chrom AND r.rn = w.rn + 1),
+         blocks AS (SELECT chrom, blk, count(*) AS n_rec, min(gq) AS bmin
+                    FROM walk GROUP BY 1, 2)
+         SELECT chrom, count(*) AS n_blocks, CAST(sum(n_rec) AS BIGINT) AS n_records,
+                min(bmin) AS min_gq, CAST(sum(bmin) AS BIGINT) AS sum_block_min_gq,
+                CAST(max(n_rec) AS BIGINT) AS max_block
+         FROM blocks GROUP BY 1""",
+    "w1_pr_curve_bucketed" ->
+      """WITH t AS (SELECT least(greatest(floor(o_totalprice / 600.0), 0), 999) AS bucket,
+                    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS tp,
+                    CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS fp
+             FROM orders WHERE o_orderstatus IN ('F', 'O')),
+         agg AS (SELECT bucket, sum(tp) AS btp, sum(fp) AS bfp FROM t GROUP BY 1),
+         c AS (SELECT bucket, btp, bfp,
+                 sum(btp) OVER (ORDER BY bucket DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ctp,
+                 sum(bfp) OVER (ORDER BY bucket DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cfp,
+                 sum(btp) OVER () AS ttp FROM agg)
+         SELECT bucket * 600.0 + 0.0 AS threshold,
+                CAST(ctp AS BIGINT) AS ctp, CAST(cfp AS BIGINT) AS cfp,
+                floor(ctp*1.0/(ctp+cfp)*1000000 + 0.5)/1000000 AS precision,
+                floor(ctp*1.0/ttp*1000000 + 0.5)/1000000 AS recall
+         FROM c""",
     "w2_sessionize" ->
       """WITH g AS (SELECT user_id, ts,
            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

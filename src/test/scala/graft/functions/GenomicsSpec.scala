@@ -33,6 +33,25 @@ class GenomicsSpec extends SparkSpec {
     assert(eval1(Genomics.f1Score(lit(0.0), lit(0.0))) == 0.0)
   }
 
+  test("errorType classifies genotype-pair sets (report_data_loader.py:106-126)") {
+    import spark.implicits._
+    def et(g1: Integer, g2: Integer, c1: Integer, c2: Integer): String =
+      Seq((g1, g2, c1, c2)).toDF("g1", "g2", "c1", "c2")
+        .select(Genomics.errorType(col("g1"), col("g2"), col("c1"), col("c2")))
+        .head.getString(0)
+    assert(et(0, 1, 1, 0) == "NO_ERROR")       // set equality ignores order
+    assert(et(1, 1, 1, 1) == "NO_ERROR")
+    assert(et(0, 0, 0, 0) == "NO_ERROR")       // {0}=={0} wins before NOISE
+    assert(et(0, 0, 0, 1) == "NOISE")          // gtr hom-ref, spurious call
+    assert(et(null, null, 1, 1) == "NOISE")    // gtr no-call
+    assert(et(1, 1, 0, 0) == "NO_VARIANT")     // call hom-ref, missed variant
+    assert(et(1, 2, null, null) == "NO_VARIANT")
+    assert(et(1, 1, 0, 1) == "HOM_TO_HET")     // gtr subset of call
+    assert(et(0, 1, 1, 1) == "HET_TO_HOM")     // call subset of gtr
+    assert(et(1, 1, 2, 2) == "WRONG_ALLELE")
+    assert(et(1, 2, 1, 3) == "WRONG_ALLELE")   // overlap but neither subset
+  }
+
   test("revcomp (run_no_gt_report.py:37)") {
     assert(eval1(Genomics.revcomp(lit("ACGT"))) == "ACGT")
     assert(eval1(Genomics.revcomp(lit("AACG"))) == "CGTT")

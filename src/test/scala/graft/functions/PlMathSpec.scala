@@ -44,6 +44,25 @@ class PlMathSpec extends SparkSpec {
     assert(haploidCall(Seq(0, 0, 5)) == ((1, 5)))
   }
 
+  test("toHaploid/haploidCall equal the exact-integer form over the f14 oracle grid") {
+    // For integer PLs, truncate-then-shift reduces exactly to h_i - min(h)
+    // over the homozygous entries (the phred offset 10*log10(sum) is shared
+    // by every entry). The f14_pl_math DuckDB oracle asserts that closed
+    // form; this exhaustively proves it over the full value grid the query
+    // can generate (17 x 23 x 29 hom combinations).
+    for (a <- 0 until 17; c <- 0 until 23; f <- 0 until 29) {
+      val pl = Seq(a, 30, c, 25, 35, f)
+      val h = toHaploid(pl)
+      val mn = Seq(a, c, f).min
+      assert(h == Seq(a - mn, c - mn, f - mn), s"toHaploid($pl)")
+      val (gt, gq) = haploidCall(h)
+      val expGt = if (f == mn) 2 else if (c == mn) 1 else 0
+      val nz = h.filter(_ != 0)
+      val expGq = if (nz.isEmpty) 10000 else nz.min
+      assert((gt, gq) == ((expGt, expGq)), s"haploidCall($h)")
+    }
+  }
+
   test("compressPl3 takes class minima (compress_gvcf.py:28-60)") {
     // triallelic: indices (0,0)=0 (0,1)=1 (1,1)=2 (0,2)=3 (1,2)=4 (2,2)=5
     val pl = Seq(10, 40, 70, 20, 90, 60)

@@ -12,6 +12,28 @@ class StatsSpec extends SparkSpec {
       .select(Stats.scaleContingencyTable(col("arr"), lit(100)))
       .head.getSeq[Long](0)
     assert(out.toSeq == Seq(25L, 25L, 50L))
+    // reference goldens (test_stats_utils.py:18-40)
+    def scale(t: Seq[Long], n: Int): Seq[Long] =
+      Seq(Tuple1(t)).toDF("arr")
+        .select(Stats.scaleContingencyTable(col("arr"), lit(n)))
+        .head.getSeq[Long](0).toSeq
+    assert(scale(Seq(1L, 1L, 1L), 4) == Seq(1L, 1L, 1L))
+    assert(scale(Seq(1L, 1L, 1L), 5) == Seq(2L, 2L, 2L))
+    assert(scale(Seq(10L, 20L, 25L), 100) == Seq(18L, 36L, 45L))
+    assert(scale(Seq(10L, 20L, 25L), 10) == Seq(2L, 4L, 5L))
+  }
+
+  test("scaleContingencyTable rounds half to EVEN like np.round (stats_utils.py:26-27)") {
+    // 1*(1/2) = 0.5 -> 0 (np.round half-even), not 1 (HALF_UP)
+    val out = Seq(Tuple1(Seq(1L, 1L))).toDF("arr")
+      .select(Stats.scaleContingencyTable(col("arr"), lit(1)))
+      .head.getSeq[Long](0)
+    assert(out.toSeq == Seq(0L, 0L))
+    // 3*(1/2) = 1.5 -> 2 (nearest even)
+    val out2 = Seq(Tuple1(Seq(3L, 3L))).toDF("arr")
+      .select(Stats.scaleContingencyTable(col("arr"), lit(3)))
+      .head.getSeq[Long](0)
+    assert(out2.toSeq == Seq(2L, 2L))
   }
 
   test("correctMultinomialFrequencies applies add-one smoothing") {
