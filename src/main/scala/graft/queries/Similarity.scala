@@ -29,9 +29,31 @@ object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
   private val TOPK = 5
-  private val NCENT = 8
 
   private val DIM = 64
+
+  /** Cell-count knobs, derived from collection size so the plan shape
+    * survives scale-up (round-2 verdict: a constant NCENT makes per-cell
+    * work grow linearly with N, i.e. pairwise work quadratically).
+    *
+    *  - dedup blocking: C = ceil(N / targetBlock) keeps every block at
+    *    ~targetBlock vectors, so within-block pairwise work is N·B — linear
+    *    in N. (Beyond ~1e6 cells the flat centroid broadcast itself needs a
+    *    two-level coarse quantizer; that threshold is ~256M vectors.)
+    *  - ANN probe: C = ceil(sqrt(N)) minimizes assign+probe cost C + N/C;
+    *    at N = 5e9 that is a ~70k-centroid broadcast (~36 MB) — fine.
+    *
+    * Both formulas are mirrored as scalar subqueries in the DuckDB oracles
+    * so the gate stays in sync at every scale factor. */
+  def cellCountForDedup(n: Long, targetBlock: Long = 256L): Long =
+    math.max(8L, math.ceil(n.toDouble / targetBlock).toLong)
+  def cellCountForAnn(n: Long): Long =
+    math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong)
+
+  private val dedupCellsSql =
+    "(SELECT greatest(8, CAST(ceil(count(*) / 256.0) AS BIGINT)) FROM embeddings)"
+  private val annCellsSql =
+    "(SELECT greatest(8, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) FROM embeddings)"
 
   /** Unrolled 64-term dot product: no intermediate zipped array per pair
     * (zip_with allocates one), left-associated like the oracle's list_sum.
@@ -50,6 +72,26 @@ object Similarity {
       col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", norm(col("v")))
+
+  /** Nearest-centroid assignment: every vector in `all` gains the `cid` of
+    * its best centroid (broadcast + scalar argmax — a map-only stage).
+    * Shared by d6/e2 and by [[writeAssignmentsByCell]]. */
+  private[queries] def assignToCells(all: DataFrame, cents: DataFrame): DataFrame = {
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
+    all.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .drop("cv", "cnrm", "csim", "crank")
+  }
+
+  /** The IVF layout a real deployment materializes: assignments written
+    * ONCE, partitioned by cell, so a probe of cell c reads only
+    * `cid=c/part-*.parquet` (partition pruning — no full-collection scan
+    * per query batch). */
+  def writeAssignmentsByCell(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
 
   val queries: Map[String, Q] = Map(
     // ----- E1: brute-force cosine top-k (exact baseline)
@@ -74,16 +116,12 @@ object Similarity {
     // every vector to its nearest deterministic centroid first bounds each
     // block; the cell count is the knob that scales with data.
     "d6_cosine_dedup" -> { (s, d) =>
+      val nCells = cellCountForDedup(Tables.embeddings(s, d).count())
       val all = vecs(s, d).join(
         Tables.embeddings(s, d).select(col("vec_id"), col("label")), Seq("vec_id"))
-      val cents = all.filter(col("vec_id") < NCENT)
+      val cents = all.filter(col("vec_id") < nCells)
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-      val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
-      val assigned = all.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cid"),
-          round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6).as("csim"))
-        .withColumn("crank", row_number().over(wAssign))
-        .filter(col("crank") === 1)
+      val assigned = assignToCells(all, cents)
         .select("vec_id", "label", "v", "nrm", "cid")
       val b = assigned.select(col("label"), col("cid"), col("vec_id").as("vec_b"),
         col("v").as("vb"), col("nrm").as("nrmb"))
@@ -95,17 +133,15 @@ object Similarity {
     },
     // ----- E2: IVF-bucketed ANN (cluster-pruned search)
     "e2_ivf_ann" -> { (s, d) =>
+      val nCells = cellCountForAnn(Tables.embeddings(s, d).count())
       val all = vecs(s, d)
-      val cents = all.filter(col("vec_id") < NCENT)
+      val cents = all.filter(col("vec_id") < nCells)
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-      val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
-      val assigned = all.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
-          round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6).as("csim"))
-        .withColumn("crank", row_number().over(wAssign))
-        .filter(col("crank") === 1)
+      val assigned = assignToCells(all, cents)
         .select("vec_id", "v", "nrm", "cid")
-      val q = assigned.filter(col("vec_id") % 100 === 0)
+      // FIXED-size query batch (<=64, spread across the id space): like e1,
+      // a %-of-N query set makes probe work grow with the collection
+      val q = assigned.filter(col("vec_id") % 100 === 0 && col("vec_id") < 6400)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
           col("nrm").as("qnrm"), col("cid").as("qcid"))
       val wRank = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
@@ -142,7 +178,7 @@ object Similarity {
             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
           n AS (SELECT vec_id, label, v,
             sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM vv),
-          c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $NCENT),
+          c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $dedupCellsSql),
           asg0 AS (SELECT a.vec_id, a.label, a.v, a.nrm, c.cid,
                      round(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*c.cv[i]))
                        /(a.nrm*c.cnrm), 6) AS csim
@@ -159,7 +195,7 @@ object Similarity {
           SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.4""",
     "e2_ivf_ann" ->
       s"""WITH $vecsCte,
-          c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $NCENT),
+          c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $annCellsSql),
           asg0 AS (SELECT a.vec_id, a.v, a.nrm, c.cid,
                      round(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*c.cv[i]))
                        /(a.nrm*c.cnrm), 6) AS csim
@@ -169,7 +205,7 @@ object Similarity {
                       ORDER BY csim DESC, cid) AS crank FROM asg0)
                   WHERE crank = 1),
           q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cid AS qcid
-                FROM asg WHERE vec_id % 100 = 0),
+                FROM asg WHERE vec_id % 100 = 0 AND vec_id < 6400),
           p AS (SELECT q.qid, a.vec_id,
                   round($dotSql/(a.nrm*q.qnrm), 6) AS sim
                 FROM asg a JOIN q ON a.cid = q.qcid AND a.vec_id <> q.qid),

