@@ -125,8 +125,9 @@ object Genomics {
 
   /** F15 — length of the homopolymer run of `base` centered at/adjacent to
     * the locus in a reference-context string (scan +-k around the middle;
-    * ugvc/pipelines/vcfbed/calibrate_bridging_snvs.py:9-66 [absent
-    * submodule; semantics inferred from the caller]). Pure function + UDF. */
+    * generic run-length helper — the faithful bridging-SNV classifier with
+    * the tandem-repeat guard is [[bridgingHmer]]/[[isHomopolymerSnp]]
+    * below). Pure function + UDF. */
   def hmerLengthAt(context: String, base: Char): Int = {
     if (context == null || context.isEmpty) return 0
     val mid = context.length / 2
@@ -140,6 +141,63 @@ object Genomics {
     val f = udf((ctx: String, b: String) =>
       if (ctx == null || b == null || b.isEmpty) 0 else hmerLengthAt(ctx, b.head))
     (c, b) => f(c, b)
+  }
+
+  /** F15 (faithful) — bridging-SNV homopolymer scan
+    * (is_homopolymer_snp, ugvc/pipelines/vcfbed/calibrate_bridging_snvs.py:9-66):
+    * `context` is the (2k+1)-base reference window centered on the variant
+    * (context(k) is the REF base); count the run of `altBase` immediately
+    * up/downstream of the variant, record the first non-matching flank
+    * base on each side, and flag the TANDEM-REPEAT pattern — both flanks
+    * equal the REF base and the two runs have equal length (R A..A [R→A]
+    * A..A R), which the reference excludes (:51-55).
+    * Returns (hmerSize = 1+up+down, upLen, downLen, isTandemRepeat). */
+  def bridgingHmer(context: String, refBase: Char, altBase: Char,
+                   k: Int): (Int, Int, Int, Boolean) = {
+    var down = 0
+    var after = ""
+    var i = k + 1
+    while (i < context.length && after.isEmpty) {
+      if (context(i) == altBase) { down += 1; i += 1 }
+      else after = context(i).toString
+    }
+    var up = 0
+    var before = ""
+    var j = k - 1
+    while (j >= 0 && before.isEmpty) {
+      if (context(j) == altBase) { up += 1; j -= 1 }
+      else before = context(j).toString
+    }
+    // "" == "" && "" == ref is false for any real ref base, exactly like
+    // the reference's empty-string sentinels (:33-34)
+    val tandem = before == after && before == refBase.toString && up == down
+    (1 + up + down, up, down, tandem)
+  }
+
+  /** The un-filter predicate (:14-63 gate, scan part): a non-PASS SNV with
+    * qual >= minQual whose alt allele bridges a >= k homopolymer that is
+    * NOT a tandem repeat and sits >= minDistFromEdge from both run edges. */
+  def isHomopolymerSnp(context: String, refBase: Char, altBase: Char,
+                       qual: Double, isPass: Boolean, k: Int,
+                       minQual: Double, minDistFromEdge: Int): Boolean = {
+    if (isPass || qual < minQual) return false
+    val (size, up, down, tandem) = bridgingHmer(context, refBase, altBase, k)
+    size >= k && !tandem && math.min(up, down) >= minDistFromEdge
+  }
+
+  /** Column binding: returns (hmer_size, up, down, is_tandem, qualifies). */
+  def bridgingHmerUdf(k: Int, minQual: Double, minDistFromEdge: Int)
+  : (Column, Column, Column, Column) => Column = {
+    val f = udf((ctx: String, alt: String, qual: Double, isPass: Boolean) =>
+      if (ctx == null || ctx.length < 2 * k + 1 || alt == null || alt.isEmpty) null
+      else {
+        val refBase = ctx(k)
+        val (size, up, down, tandem) = bridgingHmer(ctx, refBase, alt.head, k)
+        val qualifies = !isPass && qual >= minQual && size >= k && !tandem &&
+          math.min(up, down) >= minDistFromEdge
+        (size, up, down, tandem, qualifies)
+      })
+    (c, a, q, p) => f(c, a, q, p)
   }
 
   /** F16 — flow-space key: run-length encode a base sequence in flow order

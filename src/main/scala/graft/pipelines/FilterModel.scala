@@ -1,7 +1,7 @@
 package graft.pipelines
 
 import org.apache.spark.ml.Pipeline
-import org.apache.spark.ml.classification.RandomForestClassifier
+import org.apache.spark.ml.classification.{GBTClassifier, RandomForestClassifier}
 import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.ml.PipelineModel
 import org.apache.spark.sql.DataFrame
@@ -33,6 +33,24 @@ object FilterModel {
       .setNumTrees(numTrees).setMaxDepth(maxDepth).setSeed(seed)
       .setProbabilityCol("prob")
     new Pipeline().setStages(Array(assembler, rf)).fit(labeled)
+  }
+
+  /** M2 — gradient-boosted variant: the library-prep recalibration
+    * pipeline trains an XGBoost classifier on the same labeled frame
+    * (ugvc/pipelines/lpr/train_lib_prep_recalibration_model.py:128-145 via
+    * its training notebook); Spark-first that is `GBTClassifier` —
+    * sequential boosted trees with the same assembler/score contract, so
+    * [[score]] works on either model unchanged. */
+  def trainGbt(labeled: DataFrame, features: Seq[String] = defaultFeatures,
+               maxIter: Int = 40, maxDepth: Int = 5, seed: Long = 42L): PipelineModel = {
+    val assembler = new VectorAssembler()
+      .setInputCols(features.toArray).setOutputCol("features")
+      .setHandleInvalid("keep")
+    val gbt = new GBTClassifier()
+      .setLabelCol("label").setFeaturesCol("features")
+      .setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(seed)
+      .setProbabilityCol("prob")
+    new Pipeline().setStages(Array(assembler, gbt)).fit(labeled)
   }
 
   /** Score: add `tree_score` (P(true variant)) and `filter_status`

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{Genomics, PlMath, Stats}
-import graft.operators.{OverlapSuppress, SuppressRecord}
+import graft.operators.{Isec, OverlapSuppress, SuppressRecord}
 
 /** Oracle-gated queries for the domain-math operators that were previously
   * ScalaTest-only: F4/F5 (contingency/multinomial stats), F13 (genotype
@@ -106,12 +106,35 @@ object DomainMath {
         Genomics.hmerLengthUdf(seq, substring(seq, 17, 1)).as("hmer_mid"),
         Genomics.hmerLengthUdf(seq, lit("A")).as("hmer_a"))
     },
+    // ----- F15b: faithful bridging-SNV classifier with the tandem-repeat
+    // guard (is_homopolymer_snp, calibrate_bridging_snvs.py:9-66); k=2
+    // window over md5-derived pseudo-DNA so runs actually occur.
+    "f15b_bridging_snp" -> { (s, d) =>
+      val ctx = substring(dna(col("p_partkey")), 14, 5)
+      Tables.part(s, d)
+        .withColumn("_b", Genomics.bridgingHmerUdf(2, 1000.0, 0)(
+          ctx, lit("A"), col("p_retailprice"), col("p_size") % 10 === 0))
+        .select(col("p_partkey"),
+          col("_b._1").as("hmer_size"), col("_b._2").as("up"),
+          col("_b._3").as("down"), col("_b._4").as("is_tandem"),
+          col("_b._5").as("qualifies"))
+    },
     // ----- F16: flow-space key — TGCA-cycled run-length expansion
     // (collect_hpol_table.py:98-114 call shape) over md5-derived pseudo-DNA.
     "f16_flow_key" -> { (s, d) =>
       Tables.part(s, d).select(
         col("p_partkey"),
         array_join(Genomics.flowKeyUdf(dna(col("p_partkey"))), ",").as("flow_key"))
+    },
+    // ----- J11: N-way bcftools-isec partition table — every key classed by
+    // the bitmask of sets containing it (create_somatic_gt_file.py:74-170)
+    "j11_isec_partition" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val key = Seq("l_orderkey", "l_partkey")
+      Isec.partitionSizes(Seq(
+        li.filter(col("l_suppkey") <= 60),
+        li.filter(col("l_quantity") > 25),
+        li.filter(col("l_discount") > 0.04)), key)
     },
     // ----- W3: overlap-buffer suppression — drop uncalled-genotype records
     // from overlap groups that contain a called variant
@@ -216,6 +239,28 @@ object DomainMath {
            CAST(coalesce(list_min(list_filter(range(1, 17), j -> substr(s, 17 - CAST(j AS INT), 1) <> 'A')), 17) - 1
               + coalesce(list_min(list_filter(range(0, 16), j -> substr(s, 17 + CAST(j AS INT), 1) <> 'A')), 16) AS INT) AS hmer_a
          FROM b""",
+    "f15b_bridging_snp" ->
+      """WITH t AS (SELECT p_partkey, p_size, p_retailprice,
+           substr(translate(md5(CAST(p_partkey AS VARCHAR)),
+                  '0123456789abcdef', 'ACGTACGTACGTACGT'), 14, 5) AS s FROM part),
+         scan AS (SELECT p_partkey, p_size, p_retailprice, s,
+           substr(s, 3, 1) AS ref,
+           coalesce(list_min(list_filter(range(1, 3), j -> substr(s, 3 + CAST(j AS INT), 1) <> 'A')), 3) - 1 AS down,
+           coalesce(list_min(list_filter(range(1, 3), j -> substr(s, 3 - CAST(j AS INT), 1) <> 'A')), 3) - 1 AS up
+           FROM t),
+         fl AS (SELECT *,
+           CASE WHEN down < 2 THEN substr(s, 3 + CAST(down AS INT) + 1, 1) ELSE '' END AS aft,
+           CASE WHEN up < 2 THEN substr(s, 3 - CAST(up AS INT) - 1, 1) ELSE '' END AS bef
+           FROM scan),
+         cls AS (SELECT *,
+           CAST(1 + up + down AS INT) AS hmer_size,
+           (bef = aft AND bef = ref AND up = down) AS is_tandem
+           FROM fl)
+         SELECT p_partkey, hmer_size, CAST(up AS INT) AS up, CAST(down AS INT) AS down,
+           is_tandem,
+           (NOT p_size % 10 = 0 AND p_retailprice >= 1000.0 AND hmer_size >= 2
+            AND NOT is_tandem AND least(up, down) >= 0) AS qualifies
+         FROM cls""",
     // Flow-key replay: RLE the string (gaps-and-islands over positions),
     // place each run at its TGCA flow slot, fill skipped flows with 0.
     "f16_flow_key" ->
@@ -246,6 +291,17 @@ object DomainMath {
                 string_agg(CAST(coalesce(fl.len, 0) AS VARCHAR), ',' ORDER BY g.f) AS flow_key
          FROM grid g LEFT JOIN flows fl ON fl.p_partkey = g.p_partkey AND fl.f = g.f
          GROUP BY 1""",
+    "j11_isec_partition" ->
+      """WITH u AS (
+           SELECT DISTINCT l_orderkey, l_partkey, 1 AS m FROM lineitem WHERE l_suppkey <= 60
+           UNION ALL
+           SELECT DISTINCT l_orderkey, l_partkey, 2 AS m FROM lineitem WHERE l_quantity > 25
+           UNION ALL
+           SELECT DISTINCT l_orderkey, l_partkey, 4 AS m FROM lineitem WHERE l_discount > 0.04),
+         p AS (SELECT l_orderkey, l_partkey, CAST(sum(m) AS BIGINT) AS mask,
+                      count(*) AS n_sets
+               FROM u GROUP BY 1, 2)
+         SELECT mask, n_sets, count(*) AS n_keys FROM p GROUP BY 1, 2""",
     // Overlap groups are gaps-and-islands on the running max extent — the
     // same island construction as the w5 oracle; a record joins the open
     // group while pos < max extent of the chain so far.

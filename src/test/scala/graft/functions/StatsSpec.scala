@@ -72,6 +72,35 @@ class StatsSpec extends SparkSpec {
     assert(Genomics.hmerLengthAt("ACTGACT", 'C') == 0) // mid not a C run
   }
 
+  test("bridgingHmer counts alt runs around the variant and flags tandem repeats (calibrate_bridging_snvs.py:9-66)") {
+    // k=4, window TAAA[T]AAAT: ref T at center, alt A bridges 3+1+3=7 but
+    // the flanks are both the REF base with EQUAL run lengths -> tandem
+    assert(Genomics.bridgingHmer("TAAATAAAT", 'T', 'A', 4) == ((7, 3, 3, true)))
+    // asymmetric runs (3 vs 2): same flanks but NOT tandem
+    assert(Genomics.bridgingHmer("TAAATAACT", 'T', 'A', 4) == ((6, 3, 2, false)))
+    // equal runs but flanks differ from ref: not tandem
+    assert(Genomics.bridgingHmer("CAAATAAAC", 'T', 'A', 4) == ((7, 3, 3, false)))
+    // run hits the window edge: flank sentinel stays empty, never tandem
+    assert(Genomics.bridgingHmer("AAAATAAAA", 'T', 'A', 4) == ((9, 4, 4, false)))
+  }
+
+  test("isHomopolymerSnp applies the qual/PASS/size/edge gates (calibrate_bridging_snvs.py:14-63)") {
+    val bridge = "TAAATAACT" // 6-hmer, not tandem, up=3 down=2
+    assert(Genomics.isHomopolymerSnp(bridge, 'T', 'A', 10.0, isPass = false,
+      k = 4, minQual = 5.0, minDistFromEdge = 0))
+    // PASS records and low-qual records never qualify
+    assert(!Genomics.isHomopolymerSnp(bridge, 'T', 'A', 10.0, isPass = true,
+      k = 4, minQual = 5.0, minDistFromEdge = 0))
+    assert(!Genomics.isHomopolymerSnp(bridge, 'T', 'A', 3.0, isPass = false,
+      k = 4, minQual = 5.0, minDistFromEdge = 0))
+    // tandem repeats are excluded even above the size bar
+    assert(!Genomics.isHomopolymerSnp("TAAATAAAT", 'T', 'A', 10.0, isPass = false,
+      k = 4, minQual = 5.0, minDistFromEdge = 0))
+    // min distance from the run edge: min(up=3, down=2) < 3
+    assert(!Genomics.isHomopolymerSnp(bridge, 'T', 'A', 10.0, isPass = false,
+      k = 4, minQual = 5.0, minDistFromEdge = 3))
+  }
+
   test("flowKey run-length encodes in TGCA flow order (F16)") {
     // T G C A cycle: "TTG" -> T:2, G:1
     assert(Genomics.flowKey("TTG") == Seq(2, 1))

@@ -20,10 +20,7 @@ class FilterModelSpec extends SparkSpec {
     rows.toDF("row_id", "qual", "dp", "gq", "gc_content", "hmer_indel_length", "label")
   }
 
-  test("train + score separates planted TP/FP structure (M1)") {
-    val df = fixture
-    val model = FilterModel.train(df)
-    val scored = FilterModel.score(model, df)
+  private def assertSeparates(scored: org.apache.spark.sql.DataFrame): Unit = {
     assert(scored.columns.contains("tree_score") && scored.columns.contains("filter_status"))
     // resubstitution accuracy on cleanly separable data should be near-perfect
     val acc = scored.filter(
@@ -34,5 +31,15 @@ class FilterModelSpec extends SparkSpec {
     // scores are probabilities
     val mm = scored.agg(min("tree_score"), max("tree_score")).head
     assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
+  }
+
+  test("train + score separates planted TP/FP structure (M1)") {
+    val df = fixture
+    assertSeparates(FilterModel.score(FilterModel.train(df), df))
+  }
+
+  test("GBT variant separates the same structure through the same score contract (M2)") {
+    val df = fixture
+    assertSeparates(FilterModel.score(FilterModel.trainGbt(df, maxIter = 20), df))
   }
 }
