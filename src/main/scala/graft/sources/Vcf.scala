@@ -33,8 +33,8 @@ object Vcf {
   /** Columns: chrom, pos (long), id, ref, alleles array<string>, qual double,
     * filter, info map<string,string>, sample fields gt/ad/pl/dp/gq for the
     * requested sample (0-based; the reference's get_vcf_df takes sample_id
-    * the same way). Multi-sample panels read once per sample — one frame per
-    * individual, the shape DenovoRefinement joins on. */
+    * the same way). For whole-panel work use [[readAllSamples]] /
+    * [[explodeSamples]] — one scan for every sample. */
   def read(spark: SparkSession, path: String, sampleIndex: Int = 0): DataFrame = {
     val lines = spark.read.text(path).filter(!col("value").startsWith("#"))
     val f = split(col("value"), "\t")
@@ -44,24 +44,54 @@ object Vcf {
     val fmtVals = split(element_at(f, 10 + sampleIndex), ":")
     val sample = map_from_arrays(fmtKeys, fmtVals)
 
-    lines.select(
-      fld(1).as("chrom"),
-      fld(2).cast("long").as("pos"),
-      fld(3).as("id"),
-      fld(4).as("ref"),
-      concat(array(fld(4)), split(fld(5), ",")).as("alleles"),
-      when(fld(6) === ".", null).otherwise(fld(6)).cast("double").as("qual"),
-      fld(7).as("filter"),
-      str_to_map(fld(8), lit(";"), lit("=")).as("info"),
-      sample.as("sample"))
-      .withColumn("gt",
+    withSampleFields(lines.select(coreCols(fld) :+ sample.as("sample"): _*))
+  }
+
+  /** Multi-sample read: ONE text scan regardless of panel width. `samples`
+    * holds one FORMAT map per sample column (VCF columns 10+); pair with
+    * [[sampleNames]] for the name -> index mapping and [[explodeSamples]]
+    * for the long (one row per sample) shape distributed joins want. */
+  def readAllSamples(spark: SparkSession, path: String): DataFrame = {
+    val lines = spark.read.text(path).filter(!col("value").startsWith("#"))
+    val f = split(col("value"), "\t")
+    def fld(i: Int): Column = element_at(f, i)
+
+    val fmtKeys = split(element_at(f, 9), ":")
+    // greatest(..., 0): the slice must stay total — header lines can reach
+    // this projection before the '#' filter in the same codegen stage
+    val samples = transform(slice(f, lit(10), greatest(size(f) - 9, lit(0))),
+      v => map_from_arrays(fmtKeys, split(v, ":")))
+    lines.select(coreCols(fld) :+ samples.as("samples"): _*)
+  }
+
+  /** Long format: one row per (record, sample) with typed gt/ad/pl/dp/gq and
+    * a 0-based `sample_idx` — the multi-sample shape that joins/aggregates
+    * across a panel without N re-reads (denovo_refinement.py:30-35 reads one
+    * frame per individual; at panel scale this replaces that loop). */
+  def explodeSamples(df: DataFrame): DataFrame =
+    withSampleFields(
+      df.select(col("*"), posexplode(col("samples")).as(Seq("sample_idx", "sample")))
+        .drop("samples"))
+
+  /** Typed extraction of the standard FORMAT fields from a `sample` map. */
+  private def withSampleFields(df: DataFrame): DataFrame =
+    df.withColumn("gt",
         transform(split(regexp_replace(element_at(col("sample"), "GT"), "\\|", "/"), "/"),
           g => when(g === "." || g === "", null).otherwise(g).cast("int")))
       .withColumn("ad", intArray(element_at(col("sample"), "AD")))
       .withColumn("pl", intArray(element_at(col("sample"), "PL")))
       .withColumn("dp", element_at(col("sample"), "DP").cast("int"))
       .withColumn("gq", element_at(col("sample"), "GQ").cast("int"))
-  }
+
+  private def coreCols(fld: Int => Column): Seq[Column] = Seq(
+    fld(1).as("chrom"),
+    fld(2).cast("long").as("pos"),
+    fld(3).as("id"),
+    fld(4).as("ref"),
+    concat(array(fld(4)), split(fld(5), ",")).as("alleles"),
+    when(fld(6) === ".", null).otherwise(fld(6)).cast("double").as("qual"),
+    fld(7).as("filter"),
+    str_to_map(fld(8), lit(";"), lit("=")).as("info"))
 
   private def intArray(c: Column): Column =
     when(c.isNull, null).otherwise(transform(split(c, ","), x => x.cast("int")))
@@ -70,6 +100,18 @@ object Vcf {
   def infoLong(name: String): Column = element_at(col("info"), name).cast("long")
   def infoDouble(name: String): Column = element_at(col("info"), name).cast("double")
   def infoFlag(name: String): Column = map_contains_key(col("info"), name)
+
+  /** get_vcf_df's `custom_info_fields` (sv_stats_collect.py:34-36): project
+    * INFO keys to typed, LOWER-CASED columns in one pass. Supported types:
+    * "long", "double", "string", "flag" (presence boolean). */
+  def withInfoFields(df: DataFrame, fields: Map[String, String]): DataFrame =
+    fields.foldLeft(df) { case (acc, (name, tpe)) =>
+      val c = tpe match {
+        case "flag" => map_contains_key(col("info"), name)
+        case t      => element_at(col("info"), name).cast(t)
+      }
+      acc.withColumn(name.toLowerCase, c)
+    }
 
   /** Write a variant frame back to VCF body text (single sample), sorted by
     * (chrom, pos) within range partitions — S10 minus the tabix step, which

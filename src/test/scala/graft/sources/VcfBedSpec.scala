@@ -61,6 +61,47 @@ class VcfBedSpec extends SparkSpec {
     assert(father.getAs[Int]("gq") == 42)
   }
 
+  test("readAllSamples + explodeSamples: one scan, one row per (record, sample)") {
+    val d = Files.createTempDirectory("graftvcf3")
+    val lines = Seq(
+      "##fileformat=VCFv4.2",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tMOTHER\tFATHER\tCHILD",
+      "chr1\t100\t.\tA\tT\t50\tPASS\tDP=30\tGT:GQ\t0/1:88\t1/1:42\t./.:7",
+      "chr1\t200\t.\tG\tC\t9\t.\tDP=5\tGT:GQ\t0/0:10\t0/1:20\t1/1:30")
+    Files.writeString(d.resolve("trio.vcf"), lines.mkString("\n"))
+    val p = d.resolve("trio.vcf").toString
+    val wide = Vcf.readAllSamples(spark, p)
+    assert(wide.count() == 2)
+    assert(wide.select(size(col("samples"))).collect().forall(_.getInt(0) == 3))
+    val long = Vcf.explodeSamples(wide).orderBy("pos", "sample_idx").collect()
+    assert(long.length == 6)
+    val r0 = long(0) // (pos 100, MOTHER)
+    assert(r0.getAs[Int]("sample_idx") == 0 && r0.getAs[Int]("gq") == 88)
+    assert(r0.getSeq[Integer](r0.fieldIndex("gt")).toSeq == Seq(0, 1))
+    val r2 = long(2) // (pos 100, CHILD): no-call
+    assert(r2.getSeq[Integer](r2.fieldIndex("gt")).toSeq == Seq(null, null))
+    // long-form GQs line up with sample order within each record
+    assert(long.map(_.getAs[Int]("gq")).toSeq == Seq(88, 42, 7, 10, 20, 30))
+  }
+
+  test("withInfoFields projects custom INFO fields to typed lower-cased columns (sv_stats_collect.py:34-36)") {
+    val d = Files.createTempDirectory("graftvcf4")
+    val lines = Seq(
+      "##fileformat=VCFv4.2",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1",
+      "chr1\t100\t.\tA\t<DEL>\t50\tPASS\tSVLEN=-120;SVTYPE=DEL;IMPRECISE\tGT\t0/1",
+      "chr1\t500\t.\tG\t<INS>\t60\tPASS\tSVLEN=45;SVTYPE=INS\tGT\t0/1")
+    Files.writeString(d.resolve("sv.vcf"), lines.mkString("\n"))
+    val df = Vcf.withInfoFields(
+      Vcf.read(spark, d.resolve("sv.vcf").toString),
+      Map("SVLEN" -> "long", "SVTYPE" -> "string", "IMPRECISE" -> "flag"))
+      .orderBy("pos").collect()
+    assert(df(0).getAs[Long]("svlen") == -120L)
+    assert(df(0).getAs[String]("svtype") == "DEL")
+    assert(df(0).getAs[Boolean]("imprecise"))
+    assert(df(1).getAs[Long]("svlen") == 45L && !df(1).getAs[Boolean]("imprecise"))
+  }
+
   test("VCF write round-trips coordinates and alleles") {
     val df = Vcf.read(spark, vcfDir)
     val out = Files.createTempDirectory("graftvcfout").resolve("out").toString
