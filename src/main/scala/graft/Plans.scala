@@ -1,0 +1,24 @@
+package graft
+
+/** Dump `.explain("formatted")` for selected queries → regenerate PLANS.md.
+  * Usage: runMain graft.Plans <sfDir> [query ...] (default: the
+  * representative set recorded in PLANS.md). */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("a1_groupby_sum", "j1_inner_equi_join", "j5_interval_overlap",
+        "o4_topk", "d3_lsh_pairs", "e1_knn_cosine", "w1_pr_curve_bucketed",
+        "j11_isec_partition", "f14_pl_math", "w3_overlap_suppress",
+        "w2_block_compress")
+    val spark = Spark.session("graft-plans")
+    names.foreach { n =>
+      println(s"\n## $n\n")
+      println("```")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      println("```")
+    }
+    spark.stop()
+  }
+}
