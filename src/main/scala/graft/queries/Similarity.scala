@@ -93,6 +93,44 @@ object Similarity {
   def writeAssignmentsByCell(assigned: DataFrame, path: String): Unit =
     assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
 
+  /** Two-level IVF assignment — the scale path past the flat-broadcast
+    * limit (a flat centroid broadcast dies around ~1e6 cells ≈ 256M+
+    * vectors at the N/256 dedup sizing). Level 1: ~sqrt(C) COARSE
+    * centroids (a deterministic subsample of the fine set) are broadcast
+    * and both the fine centroids and the data vectors take a nearest-
+    * coarse assignment. Level 2: each vector resolves its fine cell by an
+    * EQUI-JOIN on the shared coarse id + per-vector argmax — the fine
+    * centroid table is shuffled, never broadcast. Standard IVF coarse
+    * quantization: a vector only considers fine centroids inside its
+    * coarse bucket, so assignment is approximate at bucket borders. */
+  def assignToCellsTwoLevel(all: DataFrame, fineCents: DataFrame): DataFrame = {
+    val c = fineCents.count()
+    val nCoarse = math.max(1L, math.ceil(math.sqrt(c.toDouble)).toLong)
+    val step = math.max(1L, math.ceil(c.toDouble / nCoarse).toLong)
+    val coarse = broadcast(fineCents.filter(col("cid") % step === 0)
+      .select(col("cid").as("gid"), col("cv").as("gv"), col("cnrm").as("gnrm")))
+
+    val wFine = Window.partitionBy("f_cid").orderBy(col("gsim").desc, col("gid").asc)
+    val fineCoarse = fineCents
+      .select(col("cid").as("f_cid"), col("cv"), col("cnrm"))
+      .crossJoin(coarse)
+      .withColumn("gsim", round(dot(col("cv"), col("gv")) / (col("cnrm") * col("gnrm")), 6))
+      .withColumn("_r", row_number().over(wFine)).filter(col("_r") === 1)
+      .select(col("f_cid"), col("cv"), col("cnrm"), col("gid"))
+
+    val wVec = Window.partitionBy("vec_id").orderBy(col("gsim").desc, col("gid").asc)
+    val vecCoarse = all.crossJoin(coarse)
+      .withColumn("gsim", round(dot(col("v"), col("gv")) / (col("nrm") * col("gnrm")), 6))
+      .withColumn("_r", row_number().over(wVec)).filter(col("_r") === 1)
+      .drop("gv", "gnrm", "gsim", "_r")
+
+    val wCell = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("f_cid").asc)
+    vecCoarse.join(fineCoarse, Seq("gid"))
+      .withColumn("csim", round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6))
+      .withColumn("_r", row_number().over(wCell)).filter(col("_r") === 1)
+      .select(all.columns.map(col) :+ col("f_cid").as("cid"): _*)
+  }
+
   val queries: Map[String, Q] = Map(
     // ----- E1: brute-force cosine top-k (exact baseline)
     // The query batch is FIXED SIZE (first 32 ids), not a fraction of the

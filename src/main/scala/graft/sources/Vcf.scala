@@ -113,6 +113,34 @@ object Vcf {
       acc.withColumn(name.toLowerCase, c)
     }
 
+  private val InfoHeader =
+    """##INFO=<ID=([^,>]+),Number=([^,>]+),Type=([^,>]+).*""".r
+
+  /** Infer the typed-INFO projection from the `##INFO=<ID=..,Type=..>`
+    * header lines, the way get_vcf_df types its frame from the pysam
+    * header: Integer→long, Float→double, Flag→flag, String/Character→
+    * string. Number≠1 fields stay strings (comma-joined), matching the
+    * reference's tuple-valued cells that callers unpack themselves. */
+  def infoSchema(spark: SparkSession, path: String): Map[String, String] =
+    spark.read.text(path)
+      .filter(col("value").startsWith("##INFO=")).collect()
+      .flatMap(r => r.getString(0) match {
+        case InfoHeader(id, number, tpe) =>
+          val t = (tpe, number) match {
+            case ("Flag", _)    => "flag"
+            case (_, n) if n != "1" => "string"
+            case ("Integer", _) => "long"
+            case ("Float", _)   => "double"
+            case _              => "string"
+          }
+          Some(id -> t)
+        case _ => None
+      }).toMap
+
+  /** One-call typed read: body parse + header-driven INFO projection. */
+  def readTyped(spark: SparkSession, path: String, sampleIndex: Int = 0): DataFrame =
+    withInfoFields(read(spark, path, sampleIndex), infoSchema(spark, path))
+
   /** Write a variant frame back to VCF body text (single sample), sorted by
     * (chrom, pos) within range partitions — S10 minus the tabix step, which
     * is an external indexing concern. */

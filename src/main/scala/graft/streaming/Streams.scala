@@ -1,7 +1,15 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A document keyed for dedup (key = content fingerprint / prefix hash). */
+case class KeyedDoc(key: Long, docId: Long)
+
+/** Per-document dedup verdict against the streaming state. */
+case class DedupVerdict(key: Long, docId: Long, canonical: Long,
+                        isDuplicate: Boolean)
 
 /** Structured Streaming surface.
   *
@@ -29,6 +37,30 @@ object Streams {
       .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
       .select(col("user_id"), col("session.start").as("session_start"),
         col("session.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  /** Streaming exact dedup — the continuous-ingest form of d1_exact_dedup:
+    * `flatMapGroupsWithState` keyed on the content fingerprint; the first
+    * document to arrive under a key becomes the canonical id (held in
+    * O(1) state per distinct key, forever — a real deployment would add a
+    * TTL timeout), every later arrival in ANY micro-batch is emitted
+    * flagged as its duplicate. Runs identically on a batch Dataset
+    * (unified semantics; state starts empty per group). */
+  def incrementalDedup(docs: Dataset[KeyedDoc]): Dataset[DedupVerdict] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, rows: Iterator[KeyedDoc], state: GroupState[Long]) => {
+          var canon = state.getOption.getOrElse(Long.MinValue)
+          // materialize before returning: state must be final when the
+          // function exits, and the within-batch order must be stable
+          val verdicts = rows.toSeq.sortBy(_.docId).map { d =>
+            if (canon == Long.MinValue) canon = d.docId
+            DedupVerdict(key, d.docId, canon, d.docId != canon)
+          }
+          state.update(canon)
+          verdicts.iterator
+        })
+  }
 
   /** Tumbling-window value histogram — the streaming form of the coverage
     * histogram (A2): per window, per integer-bucketed value, a count. */

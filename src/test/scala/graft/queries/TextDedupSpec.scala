@@ -55,6 +55,27 @@ class TextDedupSpec extends SparkSpec {
     assert(fromDisk == inMem && fromDisk == Set((1L, 2L), (3L, 4L)))
   }
 
+  test("two-level IVF assignment matches flat assignment away from coarse borders") {
+    // fine centroids at angles 0/20/70/90 degrees; coarse subsample = {0, 70}
+    def unit(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r), math.sin(r))
+    }
+    val fineAngles = Seq(0.0, 20.0, 70.0, 90.0)
+    val cents = fineAngles.zipWithIndex
+      .map { case (a, i) => (i.toLong, unit(a)) }.toDF("cid", "cv")
+      .withColumn("cnrm", lit(1.0))
+    val vecs = Seq((100L, unit(25.0)), (101L, unit(60.0)), (102L, unit(85.0)))
+      .toDF("vec_id", "v").withColumn("nrm", lit(1.0))
+    val twoLevel = Similarity.assignToCellsTwoLevel(vecs, cents).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
+    // 25deg -> 20deg(cid1); 60deg -> 70deg(cid2); 85deg -> 90deg(cid3)
+    assert(twoLevel == Map(100L -> 1L, 101L -> 2L, 102L -> 3L))
+    val flat = Similarity.assignToCells(vecs, cents).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
+    assert(twoLevel == flat)
+  }
+
   test("IVF assignments written partitioned by cell (partition-pruned probes)") {
     val dim = 4
     val vecs = (0L until 40L).map { i =>

@@ -102,6 +102,29 @@ class VcfBedSpec extends SparkSpec {
     assert(df(1).getAs[Long]("svlen") == 45L && !df(1).getAs[Boolean]("imprecise"))
   }
 
+  test("infoSchema infers the typed projection from ##INFO header lines") {
+    val d = Files.createTempDirectory("graftvcf5")
+    val lines = Seq(
+      "##fileformat=VCFv4.2",
+      "##INFO=<ID=SVLEN,Number=1,Type=Integer,Description=\"sv length\">",
+      "##INFO=<ID=AF,Number=1,Type=Float>",
+      "##INFO=<ID=SVTYPE,Number=1,Type=String>",
+      "##INFO=<ID=IMPRECISE,Number=0,Type=Flag>",
+      "##INFO=<ID=AC,Number=A,Type=Integer>",  // per-allele -> stays string
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1",
+      "chr1\t100\t.\tA\t<DEL>\t50\tPASS\tSVLEN=-120;AF=0.25;SVTYPE=DEL;IMPRECISE;AC=3,4\tGT\t0/1")
+    Files.writeString(d.resolve("h.vcf"), lines.mkString("\n"))
+    val p = d.resolve("h.vcf").toString
+    assert(Vcf.infoSchema(spark, p) == Map(
+      "SVLEN" -> "long", "AF" -> "double", "SVTYPE" -> "string",
+      "IMPRECISE" -> "flag", "AC" -> "string"))
+    val r = Vcf.readTyped(spark, p).head
+    assert(r.getAs[Long]("svlen") == -120L)
+    assert(r.getAs[Double]("af") == 0.25)
+    assert(r.getAs[Boolean]("imprecise"))
+    assert(r.getAs[String]("ac") == "3,4")
+  }
+
   test("VCF write round-trips coordinates and alleles") {
     val df = Vcf.read(spark, vcfDir)
     val out = Files.createTempDirectory("graftvcfout").resolve("out").toString

@@ -42,6 +42,37 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("incrementalDedup flags later arrivals across micro-batches (streaming d1)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[KeyedDoc]
+    val query = Streams.incrementalDedup(mem.toDS())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      mem.addData(KeyedDoc(100L, 1L), KeyedDoc(100L, 2L), KeyedDoc(200L, 3L))
+      query.processAllAvailable()
+      // a duplicate arriving in a LATER batch must still resolve to the
+      // canonical held in state
+      mem.addData(KeyedDoc(100L, 9L), KeyedDoc(300L, 4L))
+      query.processAllAvailable()
+      val rows = spark.table("dedup").collect()
+        .map(r => r.getAs[Long]("docId") ->
+          (r.getAs[Long]("canonical"), r.getAs[Boolean]("isDuplicate"))).toMap
+      assert(rows(1L) == ((1L, false)))
+      assert(rows(2L) == ((1L, true)))
+      assert(rows(3L) == ((3L, false)))
+      assert(rows(9L) == ((1L, true)))   // cross-batch duplicate
+      assert(rows(4L) == ((4L, false)))
+    } finally query.stop()
+  }
+
+  test("incrementalDedup on a batch Dataset (unified semantics)") {
+    val out = Streams.incrementalDedup(Seq(
+      KeyedDoc(7L, 10L), KeyedDoc(7L, 11L), KeyedDoc(8L, 12L)).toDS())
+      .collect().map(v => v.docId -> (v.canonical, v.isDuplicate)).toMap
+    assert(out(10L) == ((10L, false)) && out(11L) == ((10L, true)))
+    assert(out(12L) == ((12L, false)))
+  }
+
   test("windowedHistogram buckets counts per window (streaming A2)") {
     val df = Seq(
       (ts(0), 3.2), (ts(10), 3.9), (ts(20), 7.0),  // hour 0: bucket 3 ×2, 7 ×1
