@@ -16,6 +16,10 @@ case class MediaFeatures(asset_id: Long, kind: String, n_bytes: Int,
                         width: Int, height: Int, channels: Int,
                         feature: Seq[Float])
 
+/** One sampled frame of a video-kind asset. */
+case class MediaFrame(asset_id: Long, frame_idx: Int, n_bytes: Int,
+                      payload: Array[Byte])
+
 /** Multimodal-column plumbing: decode / feature-extract for opaque binary
   * payloads (images/audio/video as `binary` + metadata).
   *
@@ -55,6 +59,38 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Deterministic "resize": downsample the payload to exactly
+    * `targetBytes` by striding (index floor(i*len/target)) — the codec
+    * math is a stub, the batch/binary plumbing is the real contract. */
+  def resizeStub(payload: Array[Byte], targetBytes: Int): Array[Byte] = {
+    val n = payload.length
+    if (n <= targetBytes) payload
+    else Array.tabulate(targetBytes)(i => payload((i.toLong * n / targetBytes).toInt))
+  }
+
+  /** Batched resize — same mapPartitions shape as [[decodeFeatures]]. */
+  def resizeAssets(ds: Dataset[MediaAsset], targetBytes: Int = 256)
+                  (implicit spark: SparkSession): Dataset[MediaAsset] = {
+    import spark.implicits._
+    ds.mapPartitions(_.map(a => a.copy(payload = resizeStub(a.payload, targetBytes))))
+  }
+
+  /** Frame sampling for "video" payloads: chunk the byte stream into
+    * fixed-size frames and keep every k-th — one row per sampled frame,
+    * the explode-shaped batch UDF of a real frame extractor. Output rows
+    * carry (frame_idx, bytes); downstream feature extraction reuses
+    * [[decodeFeatures]]'s batch shape. */
+  def sampleFrames(ds: Dataset[MediaAsset], frameBytes: Int = 16,
+                   everyKth: Int = 4)
+                  (implicit spark: SparkSession): Dataset[MediaFrame] = {
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap { a =>
+      a.payload.grouped(frameBytes).zipWithIndex.collect {
+        case (b, i) if i % everyKth == 0 => MediaFrame(a.asset_id, i, b.length, b)
+      }
+    })
   }
 
   /** Synthesize a MediaAsset table from `documents` (text bytes standing in

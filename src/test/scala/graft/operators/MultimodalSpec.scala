@@ -21,4 +21,26 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_.asset_id).sorted.toSeq == (1L to 200L))
     assert(out.forall(f => f.n_bytes == s"payload-${f.asset_id}".length))
   }
+
+  test("sampleFrames keeps every k-th fixed-size chunk with its index") {
+    // 40 bytes -> frames of 8 at indices 0..4; every 2nd -> 0, 2, 4
+    val payload = (0 until 40).map(i => ('a' + i % 26).toByte).toArray
+    val assets = Seq(MediaAsset(7L, "video", payload, "en", "src")).toDS()
+    val frames = Multimodal.sampleFrames(assets, frameBytes = 8, everyKth = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    assert(frames.forall(_.n_bytes == 8))
+    assert(frames(1).payload.toSeq == payload.slice(16, 24).toSeq)
+  }
+
+  test("resizeStub strides down to the target size; small payloads pass through") {
+    val p = (0 until 100).map(_.toByte).toArray
+    val r = Multimodal.resizeStub(p, 10)
+    assert(r.length == 10)
+    assert(r.toSeq == (0 until 10).map(i => (i * 10).toByte))
+    assert(Multimodal.resizeStub(p, 200).toSeq == p.toSeq)
+    val resized = Multimodal.resizeAssets(
+      Seq(MediaAsset(1L, "image", p, "en", "s")).toDS(), targetBytes = 10).head()
+    assert(resized.payload.length == 10)
+  }
 }
