@@ -69,6 +69,17 @@ object IntervalOps {
           r6(col("precision")).as("precision"),
           r6(col("recall")).as("recall"))
     },
+    // ----- M3: the P/R sweep with the reference's noise floor — prefixes
+    // with fewer than 20 accepted calls are suppressed
+    // (stats_utils.py:202-210, min_class_counts_to_output)
+    "m3_pr_noise_floor" -> { (s, d) =>
+      val o = Tables.orders(s, d).filter(col("o_orderstatus").isin("F", "O"))
+      Ord.prCurve(o, col("o_totalprice"), col("o_orderstatus") === "F",
+          col("o_orderstatus") === "O", col("o_orderkey"))
+        .filter(col("ctp") + col("cfp") >= 20)
+        .select(col("rank"), col("ctp"), col("cfp"),
+          r6(col("precision")).as("precision"), r6(col("recall")).as("recall"))
+    },
     // ----- W2 (lag form): gaps-and-islands sessionization on the event stream
     "w2_sessionize" -> { (s, d) =>
       Ord.sessionize(Tables.events(s, d), "user_id", "ts", 600L)
@@ -253,6 +264,21 @@ object IntervalOps {
                 floor(ctp*1.0/(ctp+cfp)*1000000 + 0.5)/1000000 AS precision,
                 floor(ctp*1.0/ttp*1000000 + 0.5)/1000000 AS recall
          FROM c""",
+    "m3_pr_noise_floor" ->
+      """WITH t AS (SELECT o_totalprice AS score, o_orderkey AS tb,
+           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS tp,
+           CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS fp
+           FROM orders WHERE o_orderstatus IN ('F', 'O')),
+         c AS (SELECT row_number() OVER (ORDER BY score DESC, tb) AS rank,
+           sum(tp) OVER (ORDER BY score DESC, tb
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ctp,
+           sum(fp) OVER (ORDER BY score DESC, tb
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cfp,
+           sum(tp) OVER () AS ttp FROM t)
+         SELECT rank, CAST(ctp AS BIGINT) AS ctp, CAST(cfp AS BIGINT) AS cfp,
+                floor(ctp*1.0/(ctp+cfp)*1000000 + 0.5)/1000000 AS precision,
+                floor(ctp*1.0/ttp*1000000 + 0.5)/1000000 AS recall
+         FROM c WHERE ctp + cfp >= 20""",
     "w2_sessionize" ->
       """WITH g AS (SELECT user_id, ts,
            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
