@@ -190,6 +190,28 @@ object TextDedup {
       Tables.documents(s, d)
         .withColumn("_th", Text.tokenHashes(Text.tokens(col("text"))))
         .select(col("doc_id"), Text.simhashFromHashes(col("_th"), 16).as("simhash"))
+    },
+    // ----- X5: the end-to-end curation pipeline — quality score, language
+    // gate, and exact-dedup survivorship composed in one job (what a real
+    // training-data run executes: scalar scoring in codegen, then ONE
+    // groupBy + join on the dedup key)
+    "x5_curation_pipeline" -> { (s, d) =>
+      val toks = Text.tokens(col("text"))
+      val scored = Tables.documents(s, d)
+        .withColumn("n_tokens", size(toks))
+        .withColumn("distinct_ratio",
+          size(array_distinct(toks)).cast("double") / size(toks))
+        .withColumn("en_score",
+          Text.vocabRatio(toks, Seq("the", "a", "of", "and", "to")))
+        .withColumn("pkey", Text.hash32(concat_ws(" ", slice(toks, 1, 10))))
+      val canon = scored.groupBy("pkey").agg(min("doc_id").as("canonical"))
+      scored.join(canon, Seq("pkey"))
+        .filter(col("doc_id") === col("canonical") &&
+          col("en_score") > 0.05 && col("distinct_ratio") > 0.5 &&
+          col("n_tokens") >= 20)
+        .select(col("doc_id"), col("n_tokens"),
+          r6(col("distinct_ratio")).as("distinct_ratio"),
+          r6(col("en_score")).as("en_score"))
     }
   )
 
@@ -282,6 +304,20 @@ object TextDedup {
             UNION
             SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)
           SELECT id AS doc_id, min(r) AS canonical FROM reach GROUP BY id""",
+    "x5_curation_pipeline" ->
+      s"""WITH sc AS (SELECT doc_id, string_split(text, ' ') AS t,
+            ${hx("array_to_string(list_slice(string_split(text,' '),1,10), ' ')")} AS pkey
+            FROM documents),
+          m AS (SELECT doc_id, pkey, len(t) AS n_tokens,
+            len(list_distinct(t))*1.0/len(t) AS dr,
+            len(list_filter(t, x -> x IN ('the','a','of','and','to')))*1.0/len(t) AS es
+            FROM sc),
+          canon AS (SELECT pkey, min(doc_id) AS canonical FROM m GROUP BY 1)
+          SELECT doc_id, n_tokens,
+            floor(dr*1000000 + 0.5)/1000000 AS distinct_ratio,
+            floor(es*1000000 + 0.5)/1000000 AS en_score
+          FROM m JOIN canon USING (pkey)
+          WHERE doc_id = canonical AND es > 0.05 AND dr > 0.5 AND n_tokens >= 20""",
     "d5_simhash" ->
       s"""WITH tok AS (SELECT doc_id, list_transform(string_split(text, ' '),
             x -> ${hx("x")}) AS h FROM documents)
