@@ -59,6 +59,58 @@ object BlockCompress {
       .mapPartitions(iter => new BlockIterator(iter, mergeGqThreshold, refcallGqThreshold))
   }
 
+  /** Intra-chromosome parallel compression — EXACT, no stitching.
+    *
+    * [[compress]] gives one task per chromosome: at whole-genome scale
+    * (~25 contigs, ~3e9 records) that caps parallelism at 25 regardless of
+    * cluster size. But the automaton has natural split points: a PASS or
+    * low-GQ RefCall record breaks on BOTH sides (compress_gvcf.py:153-158),
+    * so a segment that STARTS at such a record produces exactly the blocks
+    * the sequential run produces — no open-block state can cross it.
+    *
+    * Pass 1 picks ~`targetSegments` evenly spaced always-solo positions per
+    * chromosome with `percentile_approx` over the solo records (returns
+    * actual observed positions — valid anchors by construction; one cheap
+    * aggregate, no global sort). Pass 2 buckets every record to its segment
+    * by broadcast binary search and runs the SAME BlockIterator per
+    * (chrom, segment) partition. When several segments of one chromosome
+    * land in a partition, position order makes them adjacent and each
+    * segment's leading solo record forces the break the sequential run
+    * would have made there. Requires positions unique per chromosome (gVCF
+    * records are). Degenerate inputs with no solo records simply yield one
+    * segment per chromosome — same plan as [[compress]]. */
+  def compressSegmented(ds: Dataset[GvcfRecord], mergeGqThreshold: Int,
+                        refcallGqThreshold: Int = 22, targetSegments: Int = 64)
+                       (implicit spark: SparkSession): Dataset[GvcfBlock] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    if (targetSegments <= 1)
+      return compress(ds, mergeGqThreshold, refcallGqThreshold)
+    val qs = (1 until targetSegments).map(_.toDouble / targetSegments).toArray
+    val anchorRows = ds
+      .filter(r => r.pass || (r.isRefCall && r.gq <= refcallGqThreshold))
+      .groupBy($"chrom")
+      .agg(percentile_approx($"pos", lit(qs), lit(1000)).as("anchors"))
+      .collect()
+    val anchors: Map[String, Array[Long]] = anchorRows.map { r =>
+      r.getString(0) -> r.getSeq[Long](1).distinct.sorted.toArray
+    }.toMap
+    val bAnchors = spark.sparkContext.broadcast(anchors)
+    val segOf = udf { (chrom: String, pos: Long) =>
+      val a = bAnchors.value.getOrElse(chrom, Array.empty[Long])
+      // segment = number of anchors <= pos (anchor record starts its segment)
+      val i = java.util.Arrays.binarySearch(a, pos)
+      if (i >= 0) i + 1 else -(i + 1)
+    }
+    ds.withColumn("_seg", segOf($"chrom", $"pos"))
+      .repartition(ds.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+        $"chrom", $"_seg")
+      .sortWithinPartitions($"chrom", $"pos")
+      .drop("_seg")
+      .as[GvcfRecord]
+      .mapPartitions(iter => new BlockIterator(iter, mergeGqThreshold, refcallGqThreshold))
+  }
+
   /** Streaming automaton. */
   private final class BlockIterator(in: Iterator[GvcfRecord], thr: Int,
                                     refcallThr: Int)

@@ -86,6 +86,28 @@ class BlockCompressSpec extends SparkSpec {
     assert(solo.size == 1 && solo.head.pl == Seq(0, 54, 57, 990, 2, 990))
   }
 
+  test("segmented compression is exact: equals the sequential run at any segment count") {
+    val rnd = new scala.util.Random(11)
+    val recs = for {
+      chrom <- Seq("1", "2")
+      pos <- 0 until 1500
+    } yield {
+      val gq = rnd.nextInt(60)
+      rec(chrom, pos.toLong, gq,
+        pass = rnd.nextInt(12) == 0,
+        refcall = rnd.nextInt(10) == 0,
+        pl = Seq(0, 10 + gq, 100))
+    }
+    val ds = recs.toDS()
+    def key(b: GvcfBlock) = (b.chrom, b.pos, b.end, b.minGq, b.minDp, b.pl, b.nRecords)
+    val sequential = BlockCompress.compress(ds, 10).collect().map(key).toSet
+    for (segs <- Seq(1, 4, 64)) {
+      val seg = BlockCompress.compressSegmented(ds, 10, targetSegments = segs)
+        .collect().map(key).toSet
+      assert(seg == sequential, s"targetSegments=$segs")
+    }
+  }
+
   test("compression ratio on a GQ-banded run (shape of the 4438->1184 invariant)") {
     // 4 alternating GQ bands of 25 records each; threshold 10 keeps bands apart
     val recs = (0 until 100).map(i => rec("1", i.toLong, gq = (i / 25 % 2) * 30 + 10))
