@@ -28,6 +28,62 @@ object OverlapSuppress {
       .mapPartitions(iter => new SuppressIterator(iter))
   }
 
+  /** Intra-chromosome parallel suppression — EXACT, no stitching.
+    *
+    * An overlap group can only chain through records whose deletion span
+    * reaches the next record, and every span is bounded by the global max
+    * extent length D = max(delLen, 1). So a position `a` is a safe split
+    * point iff NO record lies in (a - D, a): every earlier record's extent
+    * is then <= a, which is exactly the automaton's flush condition.
+    *
+    * Pass 1 proposes ~`targetSegments` evenly spaced candidate positions
+    * per chromosome (percentile_approx — observed positions), then
+    * invalidates candidates with a record inside their (a - D, a) guard
+    * window via one broadcast range join. Pass 2 buckets records to their
+    * segment by broadcast binary search and runs the unmodified automaton
+    * per (chrom, segment) partition; when several segments of a chromosome
+    * share a partition, the leading record of each later segment satisfies
+    * `pos >= extent` against anything earlier, so the group break the
+    * sequential run makes there still fires. Degenerate data (no valid
+    * split points) collapses to one segment per chromosome. */
+  def suppressSegmented(ds: Dataset[SuppressRecord], targetSegments: Int = 64)
+                       (implicit spark: SparkSession): Dataset[SuppressRecord] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    if (targetSegments <= 1) return suppress(ds)
+    val maxExtent = ds.agg(max(greatest(col("delLen"), lit(1L)))).head() match {
+      case r if r.isNullAt(0) => return suppress(ds)
+      case r                  => r.getLong(0)
+    }
+    val qs = (1 until targetSegments).map(_.toDouble / targetSegments).toArray
+    val cand = ds.groupBy(col("chrom"))
+      .agg(percentile_approx(col("pos"), lit(qs), lit(1000)).as("arr"))
+      .select(col("chrom"), explode(col("arr")).as("a"))
+      .distinct()
+    // a candidate fails if any record sits inside its guard window
+    val invalid = ds.join(broadcast(cand.withColumnRenamed("chrom", "c")),
+        col("chrom") === col("c") &&
+          col("pos") > col("a") - maxExtent && col("pos") < col("a"), "inner")
+      .select(col("c").as("chrom"), col("a")).distinct()
+    val anchors: Map[String, Array[Long]] =
+      cand.except(invalid).collect()
+        .groupBy(_.getString(0))
+        .map { case (c, rows) => c -> rows.map(_.getLong(1)).distinct.sorted }
+    val bAnchors = ds.sparkSession.sparkContext.broadcast(anchors)
+    val segOf = udf { (chrom: String, pos: Long) =>
+      val a = bAnchors.value.getOrElse(chrom, Array.empty[Long])
+      val i = java.util.Arrays.binarySearch(a, pos)
+      if (i >= 0) i + 1 else -(i + 1)
+    }
+    ds.withColumn("_seg", segOf(col("chrom"), col("pos")))
+      .repartition(ds.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("chrom"), col("_seg"))
+      .sortWithinPartitions(col("chrom"), col("pos"))
+      .drop("_seg")
+      .as[SuppressRecord]
+      .mapPartitions(iter => new SuppressIterator(iter))
+  }
+
   private final class SuppressIterator(in: Iterator[SuppressRecord])
       extends Iterator[SuppressRecord] {
     private val buf = scala.collection.mutable.ArrayBuffer.empty[SuppressRecord]

@@ -39,4 +39,25 @@ class OverlapSuppressSpec extends SparkSpec {
       SuppressRecord("2", 15, 0, called = false, uncalledGt = true)) // other chrom, kept
     assert(run(rs).map(_._1) == Seq(10L, 15L))
   }
+
+  test("segmented suppression is exact: equals the sequential run at any segment count") {
+    val rnd = new scala.util.Random(23)
+    val rs = for {
+      chrom <- Seq("1", "2")
+      i <- 0 until 1200
+    } yield SuppressRecord(chrom,
+      pos = i.toLong * 7 + rnd.nextInt(5),   // irregular but increasing-ish
+      delLen = if (rnd.nextInt(4) == 0) rnd.nextInt(40).toLong else 0L,
+      called = rnd.nextInt(5) == 0,
+      uncalledGt = rnd.nextInt(3) == 0)
+    val ds = rs.toDS()
+    def key(r: SuppressRecord) = (r.chrom, r.pos, r.delLen, r.called, r.uncalledGt)
+    val sequential = OverlapSuppress.suppress(ds).collect().map(key)
+      .groupBy(identity).view.mapValues(_.length).toMap
+    for (segs <- Seq(1, 5, 64)) {
+      val seg = OverlapSuppress.suppressSegmented(ds, targetSegments = segs)
+        .collect().map(key).groupBy(identity).view.mapValues(_.length).toMap
+      assert(seg == sequential, s"targetSegments=$segs")
+    }
+  }
 }
