@@ -74,16 +74,35 @@ object Similarity {
       .withColumn("nrm", norm(col("v")))
 
   /** Nearest-centroid assignment: every vector in `all` gains the `cid` of
-    * its best centroid (broadcast + scalar argmax — a map-only stage).
-    * Shared by d6/e2 and by [[writeAssignmentsByCell]]. */
+    * its best centroid. The centroid matrix is collected and broadcast and
+    * the argmax runs as a per-row loop — a genuinely MAP-ONLY stage. (The
+    * alternative, crossJoin + row_number window, shuffles N x C rows that
+    * each carry the full vector payload; at 10x data that window was the
+    * dominant cost of d6/e2.) Ties keep the lowest cid, and the similarity
+    * is rounded exactly like Spark's `round(x, 6)` (BigDecimal HALF_UP) so
+    * the DuckDB oracles keep matching. Shared by d6/e2 and
+    * [[writeAssignmentsByCell]]. */
   private[queries] def assignToCells(all: DataFrame, cents: DataFrame): DataFrame = {
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
-    all.crossJoin(broadcast(cents))
-      .withColumn("csim",
-        round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6))
-      .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") === 1)
-      .drop("cv", "cnrm", "csim", "crank")
+    val centArr: Array[(Long, Array[Double], Double)] =
+      cents.select("cid", "cv", "cnrm").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+        .sortBy(_._1)
+    val bCents = all.sparkSession.sparkContext.broadcast(centArr)
+    val best = udf { (v: Seq[Double], nrm: Double) =>
+      val vv = v.toArray
+      var bestCid = -1L
+      var bestSim = Double.NegativeInfinity
+      for ((cid, cv, cnrm) <- bCents.value) {
+        var s = 0.0
+        var i = 0
+        while (i < vv.length) { s += vv(i) * cv(i); i += 1 }
+        val sim = java.math.BigDecimal.valueOf(s / (nrm * cnrm))
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        if (sim > bestSim) { bestSim = sim; bestCid = cid } // asc cid: first max wins
+      }
+      bestCid
+    }
+    all.withColumn("cid", best(col("v"), col("nrm")))
   }
 
   /** The IVF layout a real deployment materializes: assignments written
