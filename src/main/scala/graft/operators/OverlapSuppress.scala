@@ -3,7 +3,14 @@ package graft.operators
 import org.apache.spark.sql.{Dataset, SparkSession}
 
 /** Input for W3: a gVCF record with its genotype-called flag and the
-  * deletion span it may cast over downstream records (0 for non-deletions). */
+  * deletion span it may cast over downstream records (0 for non-deletions).
+  *
+  * Coordinate convention: positions are 0-based and `delLen` is the
+  * HALF-OPEN span beyond `pos` — i.e. the REF-allele length (anchor base +
+  * deleted bases). A record at q is covered iff `q < pos + delLen`, which
+  * is exactly the reference's 1-based `q <= pos_1based + indel_length`
+  * buffer test (cleanup_gvcf_before_calling.py:46,66-67: break fires only
+  * when `rec.pos > buffer_span`). */
 case class SuppressRecord(chrom: String, pos: Long, delLen: Long,
                           called: Boolean, uncalledGt: Boolean)
 
