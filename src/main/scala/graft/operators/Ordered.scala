@@ -94,6 +94,35 @@ object Ordered {
       .drop("_prevMax")
   }
 
+  /** As-of join — for every probe row, the payload of the most recent
+    * build row with `build.time <= probe.time` on the same key (the
+    * event-time feature lookup a training-data pipeline runs constantly;
+    * Spark has no native ASOF JOIN).
+    *
+    * Implemented as union + per-key ordered carry-forward window: ONE
+    * shuffle on the key, no range-condition join (a theta range join
+    * either explodes to nested-loop or needs banding). Build rows sort
+    * BEFORE probe rows at equal timestamps, so the match is inclusive —
+    * the same `probe.t >= build.t` semantics as DuckDB's ASOF JOIN.
+    * Probe rows with no earlier build row get null (left join). Build
+    * timestamps should be unique per key for deterministic payloads. */
+  def asofJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+               timeCol: String, payloadCol: String): DataFrame = {
+    require(!probe.columns.contains(payloadCol),
+      s"payload column '$payloadCol' must not exist on the probe side")
+    val pCols = probe.columns
+    val p = probe.withColumn("_side", lit(1))
+    val b = build.select((keys :+ timeCol :+ payloadCol).map(col): _*)
+      .withColumn("_side", lit(0))
+    val u = p.unionByName(b, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("_asof", last(col(payloadCol), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(pCols.map(col) :+ col("_asof").as(s"asof_$payloadCol"): _*)
+  }
+
   /** W7 — keep every k-th row per partition in the given order. */
   def everyKth(df: DataFrame, partCol: String, orderCols: Seq[String],
                k: Int): DataFrame = {

@@ -69,6 +69,20 @@ object IntervalOps {
           r6(col("precision")).as("precision"),
           r6(col("recall")).as("recall"))
     },
+    // ----- J12 (extension): as-of join — each high-value event picks up
+    // the most recent low-value "quote" of its user (event-time feature
+    // lookup; one shuffle, no range join)
+    "j12_asof_join" -> { (s, d) =>
+      val e = Tables.events(s, d).select(
+        col("user_id"),
+        (unix_micros(col("ts")) * 1000L + col("event_id") % 1000L).as("pos"),
+        col("value"))
+      val probe = e.filter(col("value") > 100)
+      val build = e.filter(col("value") <= 100).withColumnRenamed("value", "quote")
+      Ord.asofJoin(probe, build, Seq("user_id"), "pos", "quote")
+        .select(col("user_id"), col("pos"),
+          r6(col("value")).as("probe_value"), r6(col("asof_quote")).as("last_quote"))
+    },
     // ----- M3: the P/R sweep with the reference's noise floor — prefixes
     // with fewer than 20 accepted calls are suppressed
     // (stats_utils.py:202-210, min_class_counts_to_output)
@@ -264,6 +278,16 @@ object IntervalOps {
                 floor(ctp*1.0/(ctp+cfp)*1000000 + 0.5)/1000000 AS precision,
                 floor(ctp*1.0/ttp*1000000 + 0.5)/1000000 AS recall
          FROM c""",
+    "j12_asof_join" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) * 1000 + event_id % 1000 AS pos, value
+             FROM events),
+         p AS (SELECT * FROM e WHERE value > 100),
+         b AS (SELECT user_id, pos, value AS quote FROM e WHERE value <= 100)
+         SELECT p.user_id, p.pos,
+                floor(p.value*1000000 + 0.5)/1000000 AS probe_value,
+                floor(b.quote*1000000 + 0.5)/1000000 AS last_quote
+         FROM p ASOF LEFT JOIN b
+           ON p.user_id = b.user_id AND p.pos >= b.pos""",
     "m3_pr_noise_floor" ->
       """WITH t AS (SELECT o_totalprice AS score, o_orderkey AS tb,
            CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS tp,

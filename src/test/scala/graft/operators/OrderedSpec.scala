@@ -66,4 +66,18 @@ class OrderedSpec extends SparkSpec {
     val out = Ordered.everyKth(df, "g", Seq("o"), 3).collect().map(_.getInt(1)).toSeq.sorted
     assert(out == Seq(3, 6, 9))
   }
+
+  test("asofJoin picks the latest build row at or before each probe time") {
+    val probe = Seq(("u1", 10L), ("u1", 20L), ("u1", 5L), ("u2", 50L))
+      .toDF("k", "t")
+    val build = Seq(("u1", 8L, 1.0), ("u1", 15L, 2.0), ("u1", 20L, 3.0), ("u3", 1L, 9.0))
+      .toDF("k", "t", "q")
+    val out = Ordered.asofJoin(probe, build, Seq("k"), "t", "q")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    assert(out(("u1", 10L)) == 1.0)   // latest build <= 10 is t=8
+    assert(out(("u1", 20L)) == 3.0)   // equal timestamps match (inclusive)
+    assert(out(("u1", 5L)) == null)   // nothing at or before -> null
+    assert(out(("u2", 50L)) == null)  // key with no build rows -> null
+  }
 }
