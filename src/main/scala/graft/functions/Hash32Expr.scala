@@ -50,13 +50,18 @@ object Hash32Util {
   }
 }
 
-/** SparkSessionExtensions hook registering `graft_hash32` so plans can call
-  * it via `call_function` / SQL. Wired in [[graft.Spark.session]]. */
+/** SparkSessionExtensions hook registering the engine's native expressions
+  * (`graft_hash32`, `graft_dot`) so plans can call them via
+  * `call_function` / SQL. Wired in [[graft.Spark.session]]. */
 object GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       new FunctionIdentifier("graft_hash32"),
       new ExpressionInfo(classOf[Hash32].getName, "graft_hash32"),
       (exprs: Seq[Expression]) => Hash32(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
   }
 }

@@ -55,13 +55,17 @@ object Similarity {
   private val annCellsSql =
     "(SELECT greatest(8, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) FROM embeddings)"
 
-  /** Unrolled 64-term dot product: no intermediate zipped array per pair
-    * (zip_with allocates one), left-associated like the oracle's list_sum.
-    * Falls back to the fold form if a different dimensionality shows up. */
-  private def dot(a: Column, b: Column): Column =
-    when(size(a) === DIM && size(b) === DIM,
+  /** Dot product via the native codegen'd [[graft.functions.DotProduct]]
+    * expression (one fused loop, no per-element bounds checks or
+    * intermediate arrays), left-associated like the oracle's list_sum.
+    * Falls back to composed builtins when the extension isn't installed. */
+  private def dot(a: Column, b: Column): Column = {
+    val active = org.apache.spark.sql.SparkSession.active
+    if (active.catalog.functionExists("graft_dot")) call_function("graft_dot", a, b)
+    else when(size(a) === DIM && size(b) === DIM,
       (1 to DIM).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _))
       .otherwise(aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v))
+  }
 
   private def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
