@@ -68,12 +68,14 @@ object BlockCompress {
     * so a segment that STARTS at such a record produces exactly the blocks
     * the sequential run produces — no open-block state can cross it.
     *
-    * Pass 1 picks ~`targetSegments` evenly spaced always-solo positions per
-    * chromosome with `percentile_approx` over the solo records (returns
-    * actual observed positions — valid anchors by construction; one cheap
-    * aggregate, no global sort). Pass 2 buckets every record to its segment
-    * by broadcast binary search and runs the SAME BlockIterator per
-    * (chrom, segment) partition. When several segments of one chromosome
+    * Pass 1 picks ~`targetSegments` always-solo positions per chromosome by
+    * DETERMINISTIC HASH SAMPLING of the solo records (one count aggregate +
+    * one filtered collect — fully parallel, no window, no global sort;
+    * NOTE: percentile_approx is unusable here, its sketch stores doubles
+    * and epoch-scale longs come back off by up to ±128, missing the actual
+    * record). Pass 2 buckets every record to its segment by broadcast
+    * binary search and runs the SAME BlockIterator per (chrom, segment)
+    * partition. When several segments of one chromosome
     * land in a partition, position order makes them adjacent and each
     * segment's leading solo record forces the break the sequential run
     * would have made there. Requires positions unique per chromosome (gVCF
@@ -86,15 +88,23 @@ object BlockCompress {
     import org.apache.spark.sql.functions._
     if (targetSegments <= 1)
       return compress(ds, mergeGqThreshold, refcallGqThreshold)
-    val qs = (1 until targetSegments).map(_.toDouble / targetSegments).toArray
-    val anchorRows = ds
+    val solos = ds
       .filter(r => r.pass || (r.isRefCall && r.gq <= refcallGqThreshold))
-      .groupBy($"chrom")
-      .agg(percentile_approx($"pos", lit(qs), lit(1000)).as("anchors"))
-      .collect()
-    val anchors: Map[String, Array[Long]] = anchorRows.map { r =>
-      r.getString(0) -> r.getSeq[Long](1).distinct.sorted.toArray
-    }.toMap
+      .map(r => (r.chrom, r.pos))
+      .toDF("chrom", "pos")
+    val counts: Map[String, Long] = solos.groupBy("chrom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) return compress(ds, mergeGqThreshold, refcallGqThreshold)
+    val rates = counts.map { case (c, n) => c -> math.max(1L, n / targetSegments) }
+    val bRates = ds.sparkSession.sparkContext.broadcast(rates)
+    val keep = udf { (chrom: String, pos: Long) =>
+      Math.floorMod((pos * 0x9E3779B97F4A7C15L) ^ chrom.hashCode.toLong,
+        bRates.value(chrom)) == 0L
+    }
+    val anchors: Map[String, Array[Long]] =
+      solos.filter(keep($"chrom", $"pos")).collect()
+        .groupBy(_.getString(0))
+        .map { case (c, rows) => c -> rows.map(_.getLong(1)).distinct.sorted }
     val bAnchors = spark.sparkContext.broadcast(anchors)
     val segOf = udf { (chrom: String, pos: Long) =>
       val a = bAnchors.value.getOrElse(chrom, Array.empty[Long])

@@ -147,7 +147,8 @@ object DomainMath {
         ((col("value").cast("long") % 10) * 200000000000L).as("delLen"),
         (col("value") > 250).as("called"),
         (col("value").cast("long") % 3 === 0).as("uncalledGt")).as[SuppressRecord]
-      OverlapSuppress.suppress(recs)(s)
+      // segmented path declared: exact (spec-proven) + intra-chrom parallel
+      OverlapSuppress.suppressSegmented(recs)(s)
         .toDF()
         .select("chrom", "pos", "called", "uncalledGt")
     }

@@ -128,7 +128,9 @@ object IntervalOps {
         array(lit(0), lit(10), lit(100)).as("pl"),
         (col("value") > 450).as("pass"),
         (col("value") < 50).as("isRefCall")).as[graft.operators.GvcfRecord]
-      graft.operators.BlockCompress.compress(recs, mergeGqThreshold = 10)(s)
+      // the SEGMENTED path is declared: exact (spec-proven identical to the
+      // sequential automaton) and parallel within chromosomes at scale
+      graft.operators.BlockCompress.compressSegmented(recs, mergeGqThreshold = 10)(s)
         .groupBy("chrom")
         .agg(count(lit(1)).as("n_blocks"), sum("nRecords").as("n_records"),
           min("minGq").as("min_gq"), sum("minGq").as("sum_block_min_gq"),

@@ -103,6 +103,19 @@ object TextDedup {
                           cap: Int = HOT_BAND_CAP): DataFrame =
     lshPairs(s.read.parquet(path), cap)
 
+  /** Band-keyed rows for INCREMENTAL near-dup detection: every document
+    * emits one (band-key hash, doc_id) row per LSH band — all scalar
+    * expressions, so it runs unchanged on a STREAMING frame. Feed the
+    * result (as `Dataset[streaming.KeyedDoc]`) into
+    * `Streams.incrementalDedup`: its `isDuplicate` verdicts pair each new
+    * arrival with the band's first-seen document, continuously, across
+    * micro-batches (a doc colliding on several bands yields one verdict
+    * per band — distinct downstream). */
+  def bandKeyedDocs(docs: DataFrame): DataFrame =
+    bandRows(signatureFrame(docs))
+      .select(Text.hash32(concat_ws("_", col("bid"), col("key"))).as("key"),
+        col("doc_id").as("docId"))
+
   val queries: Map[String, Q] = Map(
     // ----- X1: token counting (whitespace + regex word count)
     "x1_token_stats" -> { (s, d) =>

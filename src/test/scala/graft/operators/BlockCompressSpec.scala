@@ -88,12 +88,15 @@ class BlockCompressSpec extends SparkSpec {
 
   test("segmented compression is exact: equals the sequential run at any segment count") {
     val rnd = new scala.util.Random(11)
+    // epoch-nano-scale positions: beyond double precision (ulp 256), the
+    // regime where sketch-based anchor selection silently breaks
+    val base = 1704000000000000000L
     val recs = for {
       chrom <- Seq("1", "2")
-      pos <- 0 until 1500
+      i <- 0 until 1500
     } yield {
       val gq = rnd.nextInt(60)
-      rec(chrom, pos.toLong, gq,
+      rec(chrom, base + i.toLong * 1001L, gq,
         pass = rnd.nextInt(12) == 0,
         refcall = rnd.nextInt(10) == 0,
         pl = Seq(0, 10 + gq, 100))

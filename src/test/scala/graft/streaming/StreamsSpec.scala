@@ -65,6 +65,28 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("incremental LSH: a near-dup arriving in a later batch pairs with its original") {
+    implicit val sqlCtx = spark.sqlContext
+    val text =
+      "the quick brown fox jumps over the lazy dog and runs far away home today"
+    val mem = MemoryStream[(Long, String)]
+    val keyed = graft.queries.TextDedup.bandKeyedDocs(
+      mem.toDF().toDF("doc_id", "text")).as[KeyedDoc]
+    val query = Streams.incrementalDedup(keyed)
+      .writeStream.format("memory").queryName("lsh_inc").outputMode("append").start()
+    try {
+      mem.addData((1L, text),
+        (2L, "completely unrelated words about ships sailing across the wide open sea"))
+      query.processAllAvailable()
+      mem.addData((3L, text)) // identical doc, later micro-batch
+      query.processAllAvailable()
+      val dups = spark.table("lsh_inc").collect()
+        .filter(_.getAs[Boolean]("isDuplicate"))
+        .map(r => (r.getAs[Long]("canonical"), r.getAs[Long]("docId"))).distinct
+      assert(dups.toSeq == Seq((1L, 3L))) // paired with first-seen, not doc 2
+    } finally query.stop()
+  }
+
   test("incrementalDedup on a batch Dataset (unified semantics)") {
     val out = Streams.incrementalDedup(Seq(
       KeyedDoc(7L, 10L), KeyedDoc(7L, 11L), KeyedDoc(8L, 12L)).toDS())
