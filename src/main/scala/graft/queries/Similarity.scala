@@ -116,6 +116,33 @@ object Similarity {
   def writeAssignmentsByCell(assigned: DataFrame, path: String): Unit =
     assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
 
+  /** Lloyd's k-means refinement of an IVF centroid set — distributed
+    * DataFrame form: each iteration is a MAP-ONLY assignment
+    * ([[assignToCells]]) followed by one narrow aggregation computing
+    * per-cell mean vectors (posexplode to (cid, dim, x) rows — partial+
+    * final hash aggregate, no vector-carrying shuffle of the collection).
+    * Cells that lose all members keep their previous centroid. The
+    * deterministic-subsample init the queries use stays reproducible;
+    * refinement tightens cells when recall matters more than setup time. */
+  def kmeansRefine(all: DataFrame, cents: DataFrame, iters: Int = 3): DataFrame = {
+    var c = cents
+    for (_ <- 1 to iters) {
+      val assigned = assignToCells(all, c).select("cid", "v")
+      val means = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("cid", "i").agg(avg("x").as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+          s => s.getField("m")).as("cv"))
+        .withColumn("cnrm",
+          sqrt(aggregate(transform(col("cv"), x => x * x), lit(0.0), (a, x) => a + x)))
+      // empty cells keep their previous centroid
+      c = means.unionByName(
+        c.join(means.select("cid"), Seq("cid"), "left_anti"))
+    }
+    c
+  }
+
   /** Two-level IVF assignment — the scale path past the flat-broadcast
     * limit (a flat centroid broadcast dies around ~1e6 cells ≈ 256M+
     * vectors at the N/256 dedup sizing). Level 1: ~sqrt(C) COARSE

@@ -76,6 +76,30 @@ class TextDedupSpec extends SparkSpec {
     assert(twoLevel == flat)
   }
 
+  test("kmeansRefine converges centroids to planted cluster means") {
+    // two tight clusters around orthogonal axes; init centroids are two
+    // arbitrary members, refinement pulls them to the cluster centers
+    val rnd = new scala.util.Random(5)
+    def noisy(axis: Int): Seq[Double] =
+      Seq.tabulate(4)(j => (if (j == axis) 10.0 else 0.0) + rnd.nextDouble() * 0.1)
+    val vecs = (0L until 40L).map(i => (i, noisy((i % 2).toInt)))
+      .toDF("vec_id", "v")
+      .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+    val init = vecs.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val refined = Similarity.kmeansRefine(vecs, init, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(refined.size == 2)
+    // centroid 0 was an axis-0 member: its refined mean is axis-0-dominant
+    assert(refined(0L)(0) > 5.0 && refined(0L)(1) < 1.0)
+    assert(refined(1L)(1) > 5.0 && refined(1L)(0) < 1.0)
+    // refined assignment still splits the collection into the two clusters
+    val refinedDf = Similarity.kmeansRefine(vecs, init, iters = 3)
+    val asg = Similarity.assignToCells(vecs, refinedDf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid"))
+    assert(asg.forall { case (v, c) => c == v % 2 })
+  }
+
   test("IVF assignments written partitioned by cell (partition-pruned probes)") {
     val dim = 4
     val vecs = (0L until 40L).map { i =>
