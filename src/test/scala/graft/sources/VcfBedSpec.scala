@@ -125,6 +125,22 @@ class VcfBedSpec extends SparkSpec {
     assert(r.getAs[String]("ac") == "3,4")
   }
 
+  test("gzipped VCF reads transparently through the codec layer (bgzip is gzip-compatible)") {
+    val d = Files.createTempDirectory("graftvcfgz")
+    val gz = d.resolve("t.vcf.gz")
+    val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(gz))
+    out.write(vcfLines.mkString("\n").getBytes("UTF-8"))
+    out.close()
+    val df = Vcf.read(spark, gz.toString).orderBy("chrom", "pos")
+    val rows = df.collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[String]("chrom") == "chr1" && rows(0).getAs[Long]("pos") == 100L)
+    assert(rows(0).getAs[Int]("gq") == 99)
+    // caveat worth knowing: .gz is a non-splittable codec — one task per
+    // file; at scale feed many files (per-contig bgzip parts) or convert
+    // to parquet once
+  }
+
   test("VCF write round-trips coordinates and alleles") {
     val df = Vcf.read(spark, vcfDir)
     val out = Files.createTempDirectory("graftvcfout").resolve("out").toString
