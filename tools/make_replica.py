@@ -17,6 +17,10 @@ import duckdb
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfbig"
 N = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+# --skew: additionally collapse 30% of replicated lineitem rows onto ONE hot
+# order key (and orders gets that key once), producing the pathological
+# join-key skew AQE's skew-join split is meant to absorb
+SKEW = len(sys.argv) > 4 and sys.argv[4] == "--skew"
 
 # table -> list of key columns to shift per copy (by i * (max(col)+1))
 SHIFT = {
@@ -43,6 +47,9 @@ for t, keys in SHIFT.items():
             f"{c} + {i * offs[c]} AS {c}" if c in keys else c for c in cols)
         selects.append(f"SELECT {exprs} FROM {src}")
     union = " UNION ALL ".join(selects)
+    if SKEW and t == "lineitem":
+        union = (f"SELECT * REPLACE (CASE WHEN l_linenumber % 3 = 0 THEN 1 "
+                 f"ELSE l_orderkey END AS l_orderkey) FROM ({union})")
     con.execute(f"COPY ({union}) TO '{OUT}/{t}.parquet' (FORMAT PARQUET)")
     n = con.execute(f"SELECT count(*) FROM read_parquet('{OUT}/{t}.parquet')").fetchone()[0]
     print(f"{t}: {n} rows ({N}x)")
