@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver-provided TPC-H-ish test tables (see TESTDATA.md).
   *
@@ -37,7 +37,11 @@ object Tables {
       // at ~1.7e18 ns a double's ulp is 256 — rounding there shifts some
       // rows by a whole microsecond vs DuckDB's exact epoch_us truncation
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _        => raw
+      // parquet written without a timezone flag (e.g. DuckDB replicas)
+      // arrives as TIMESTAMP_NTZ, which unix_micros rejects; session TZ is
+      // UTC so the cast is a pure type change, not a wall-clock shift
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
