@@ -131,4 +131,59 @@ object Ordered {
       .filter(col("_rn") % k === 0)
       .drop("_rn")
   }
+
+  /** W7 at scale — exact global per-group rank WITHOUT the per-group
+    * single reducer. `everyKth`'s window partitioned by a low-cardinality
+    * group key (3 returnflags) caps parallelism at the group count — the
+    * worst scale ratio in the 100x probe. Classic two-phase ranking:
+    * bucket rows by DETERMINISTIC range boundaries on the primary sort key
+    * (approxQuantile — deterministic for given data, so the count pass and
+    * the rank pass agree without materializing anything; repartitionByRange
+    * is unusable here, its sampled boundaries change per action), count
+    * rows per (group, bucket), prefix-sum those tiny counts on the driver,
+    * and add each bucket's offset to its local window ranks. Every stage
+    * is parallel over all buckets, never over the group cardinality.
+    *
+    * Exactness requires: `orderCols.head` numeric (the bucketing key) and
+    * the full `orderCols` unique per group (as W7's are). Rows that tie on
+    * the bucketing key always land in the same bucket, so ranks never
+    * split a tie across buckets. */
+  def everyKthScalable(df: DataFrame, partCol: String, orderCols: Seq[String],
+                       k: Int): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val rangeCol = orderCols.head
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    val bounds = df.stat.approxQuantile(rangeCol, probs, 0.001)
+      .map(math.floor(_).toLong).distinct.sorted
+    val bBounds = spark.sparkContext.broadcast(bounds)
+    val bucketOf = udf { (v: Long) =>
+      val i = java.util.Arrays.binarySearch(bBounds.value, v)
+      if (i >= 0) i + 1 else -(i + 1)
+    }
+    val tagged = df.withColumn("_b", bucketOf(col(rangeCol).cast("long")))
+    val counts = tagged
+      .groupBy(col(partCol).cast("string").as("_g"), col("_b"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+    val offsets: Map[(String, Int), Long] = counts
+      .groupBy(_._1._1)
+      .flatMap { case (g, rows) =>
+        var acc = 0L
+        rows.sortBy(_._1._2).map { case ((_, b), c) =>
+          val o = acc; acc += c; (g, b) -> o
+        }
+      }
+    val bOff = spark.sparkContext.broadcast(offsets)
+    val off = udf { (g: String, b: Int) => bOff.value.getOrElse((g, b), 0L) }
+    // window cells are (group, bucket) — sized by the quantile grid,
+    // never by group cardinality
+    val w = Window.partitionBy(col(partCol), col("_b"))
+      .orderBy(orderCols.map(col): _*)
+    tagged
+      .withColumn("_rank",
+        row_number().over(w) + off(col(partCol).cast("string"), col("_b")))
+      .filter(col("_rank") % k === 0)
+      .drop("_b", "_rank")
+  }
 }

@@ -105,9 +105,11 @@ object IntervalOps {
       Ord.recordHighs(Tables.orders(s, d), "o_custkey", "o_orderkey", "o_totalprice")
         .select("o_custkey", "o_orderkey", "o_totalprice")
     },
-    // ----- W7: every-k-th-row downsample per group
+    // ----- W7: every-k-th-row downsample per group — the two-phase ranked
+    // form is declared: the plain window partitioned by the 3-value flag
+    // was the worst 100x-probe ratio (parallelism = group cardinality)
     "w7_downsample" -> { (s, d) =>
-      Ord.everyKth(Tables.lineitem(s, d), "l_returnflag",
+      Ord.everyKthScalable(Tables.lineitem(s, d), "l_returnflag",
           Seq("l_orderkey", "l_linenumber"), 100)
         .select("l_returnflag", "l_orderkey", "l_linenumber")
     },

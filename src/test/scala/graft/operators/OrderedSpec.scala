@@ -67,6 +67,17 @@ class OrderedSpec extends SparkSpec {
     assert(out == Seq(3, 6, 9))
   }
 
+  test("everyKthScalable equals the windowed everyKth on multi-partition data") {
+    val rnd = new scala.util.Random(31)
+    val df = (1 to 5000).map(i => (s"g${i % 3}", rnd.nextInt(1000000) * 10 + i))
+      .toDF("g", "o")
+    def collect(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    val windowed = collect(Ordered.everyKth(df, "g", Seq("o"), 7))
+    val scalable = collect(Ordered.everyKthScalable(df, "g", Seq("o"), 7))
+    assert(scalable == windowed && windowed.nonEmpty)
+  }
+
   test("asofJoin picks the latest build row at or before each probe time") {
     val probe = Seq(("u1", 10L), ("u1", 20L), ("u1", 5L), ("u2", 50L))
       .toDF("k", "t")
