@@ -35,6 +35,54 @@ object Ordered {
       .drop("tb")
   }
 
+  /** W1 exact-at-scale — the SAME cumulative sweep as [[prCurve]] without
+    * its single global-order reducer: deterministic quantile boundaries on
+    * the score bucket the rows (ties by construction share a bucket), one
+    * small aggregate collects per-bucket row/tp/fp totals, the driver
+    * prefix-sums them in descending-score bucket order, and each bucket
+    * computes its local ranks and cumsums in parallel with the offsets
+    * added. Output is row-for-row identical to [[prCurve]]. Use this when
+    * the exact curve (not [[prCurveBucketed]]'s quantized one) must come
+    * off a fact-scale input. */
+  def prCurveScalable(df: DataFrame, score: Column, tp: Column, fp: Column,
+                      tieBreak: Column): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val base = df.select(score.as("score"), tp.cast("long").as("tp"),
+      fp.cast("long").as("fp"), tieBreak.as("tb"))
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    val bounds = base.stat.approxQuantile("score", probs, 0.001).distinct.sorted
+    val bBounds = spark.sparkContext.broadcast(bounds)
+    val bucketOf = udf { (v: Double) =>
+      val i = java.util.Arrays.binarySearch(bBounds.value, v)
+      if (i >= 0) i + 1 else -(i + 1)
+    }
+    val tagged = base.withColumn("_b", bucketOf(col("score")))
+    val stats = tagged.groupBy("_b")
+      .agg(count(lit(1)).as("c"), sum("tp").as("t"), sum("fp").as("f"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val totalTp = stats.map(_._3).sum
+    // descending score == descending bucket index
+    var accC = 0L; var accT = 0L; var accF = 0L
+    val offsets: Map[Int, (Long, Long, Long)] = stats.sortBy(-_._1).map {
+      case (b, c, t, f) =>
+        val o = (accC, accT, accF); accC += c; accT += t; accF += f; b -> o
+    }.toMap
+    val bOff = spark.sparkContext.broadcast(offsets)
+    val offC = udf { (b: Int) => bOff.value(b)._1 }
+    val offT = udf { (b: Int) => bOff.value(b)._2 }
+    val offF = udf { (b: Int) => bOff.value(b)._3 }
+    val w = Window.partitionBy("_b").orderBy(col("score").desc, col("tb").asc)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("rank", row_number().over(w) + offC(col("_b")))
+      .withColumn("ctp", sum("tp").over(cum) + offT(col("_b")))
+      .withColumn("cfp", sum("fp").over(cum) + offF(col("_b")))
+      .withColumn("precision", col("ctp") / (col("ctp") + col("cfp")))
+      .withColumn("recall", col("ctp") / lit(totalTp))
+      .drop("tb", "_b")
+  }
+
   /** W1 at scale — score-bucketed P/R sweep: quantize scores to `nBuckets`,
     * aggregate tp/fp per bucket (one distributed shuffle with map-side
     * combine), then run the cumulative sweep over the SMALL bucket table.

@@ -60,10 +60,12 @@ object IntervalOps {
     "w5_interval_merge" -> { (s, d) =>
       Intervals.merge(custIntervals(s, d).drop("c_custkey"))
     },
-    // ----- W1: cumulative precision/recall sweep over a score
+    // ----- W1: cumulative precision/recall sweep over a score — the exact
+    // sweep on the two-phase scalable form (row-identical to prCurve,
+    // parallel over score-quantile buckets instead of one global reducer)
     "w1_pr_curve" -> { (s, d) =>
       val o = Tables.orders(s, d).filter(col("o_orderstatus").isin("F", "O"))
-      Ord.prCurve(o, col("o_totalprice"), col("o_orderstatus") === "F",
+      Ord.prCurveScalable(o, col("o_totalprice"), col("o_orderstatus") === "F",
           col("o_orderstatus") === "O", col("o_orderkey"))
         .select(col("rank"),
           r6(col("precision")).as("precision"),
@@ -88,7 +90,7 @@ object IntervalOps {
     // (stats_utils.py:202-210, min_class_counts_to_output)
     "m3_pr_noise_floor" -> { (s, d) =>
       val o = Tables.orders(s, d).filter(col("o_orderstatus").isin("F", "O"))
-      Ord.prCurve(o, col("o_totalprice"), col("o_orderstatus") === "F",
+      Ord.prCurveScalable(o, col("o_totalprice"), col("o_orderstatus") === "F",
           col("o_orderstatus") === "O", col("o_orderkey"))
         .filter(col("ctp") + col("cfp") >= 20)
         .select(col("rank"), col("ctp"), col("cfp"),

@@ -67,6 +67,21 @@ class OrderedSpec extends SparkSpec {
     assert(out == Seq(3, 6, 9))
   }
 
+  test("prCurveScalable equals the single-reducer exact sweep, ties included") {
+    val rnd = new scala.util.Random(43)
+    val df = (1 to 4000).map { i =>
+      // coarse scores force cross-row ties that must not split buckets
+      (math.floor(rnd.nextDouble() * 50) / 10.0, rnd.nextBoolean(), i.toLong)
+    }.toDF("s", "isTp", "id")
+    def run(f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Column,
+                org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+                org.apache.spark.sql.Column) => org.apache.spark.sql.DataFrame) =
+      f(df, col("s"), col("isTp"), !col("isTp"), col("id"))
+        .select("rank", "ctp", "cfp", "precision", "recall")
+        .collect().map(_.toSeq).toSet
+    assert(run(Ordered.prCurveScalable) == run(Ordered.prCurve))
+  }
+
   test("everyKthScalable equals the windowed everyKth on multi-partition data") {
     val rnd = new scala.util.Random(31)
     val df = (1 to 5000).map(i => (s"g${i % 3}", rnd.nextInt(1000000) * 10 + i))
