@@ -55,13 +55,24 @@ object Hash32Util {
   * `call_function` / SQL. Wired in [[graft.Spark.session]]. */
 object GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // arity is validated here (a wrong-arg-count SQL call fails analysis
+    // with the function name, not IndexOutOfBounds); argument TYPES are
+    // validated by each expression's inputTypes contract
     e.injectFunction((
       new FunctionIdentifier("graft_hash32"),
       new ExpressionInfo(classOf[Hash32].getName, "graft_hash32"),
-      (exprs: Seq[Expression]) => Hash32(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"graft_hash32 expects 1 argument, got ${exprs.length}")
+        Hash32(exprs.head)
+      }))
     e.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_dot expects 2 arguments, got ${exprs.length}")
+        DotProduct(exprs.head, exprs(1))
+      }))
   }
 }

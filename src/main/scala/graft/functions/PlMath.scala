@@ -141,15 +141,19 @@ object PlMath {
     val f = udf((pl: Seq[Int]) => if (pl == null) null else compressPl3(pl))
     c => f(c)
   }
-  /** toHaploid + haploidCall in one pass: returns (haploid_pl, gt, gq). */
-  val haploidConvertUdf: Column => Column = {
-    val f = udf((pl: Seq[Int]) =>
+  /** toHaploid + haploidCall in one pass: returns (haploid_pl, gt, gq).
+    * `noCall` carries the reference's 'maintain no call' step
+    * (convert_haploid_regions.py:65-68): when the original GT[0] was None
+    * the haploid GT stays null (the PL/GQ are still computed, as the
+    * reference still writes the collapsed PL). */
+  val haploidConvertUdf: (Column, Column) => Column = {
+    val f = udf((pl: Seq[Int], noCall: Boolean) =>
       if (pl == null) null else {
         val h = toHaploid(pl)
         val (gt, gq) = haploidCall(h)
-        (h, gt, gq)
+        (h, if (noCall) None else Some(gt), gq)
       })
-    c => f(c)
+    (c, n) => f(c, n)
   }
   /** Biallelic binding: one dose column, current GT = argmin of the input
     * PL; returns (pl, gtIndex, gq) where gtIndex is the triangular index. */

@@ -25,7 +25,11 @@ object Stats {
     * e.g. [1,1]·(1/2) → np.round(0.5) = 0, HALF_UP = 1). */
   def scaleContingencyTable(arr: Column, n: Column): Column = {
     val total = aggregate(arr, lit(0L), (acc, x) => acc + x)
-    transform(arr, x => bround(x * n.cast("double") / total).cast("long"))
+    // all-zero table: the reference's `if sum_table > 0` guard
+    // (stats_utils.py:24-28) returns the input unchanged — without it the
+    // division yields NaN cells instead of zeros
+    when(total === 0, transform(arr, x => x.cast("long")))
+      .otherwise(transform(arr, x => bround(x * n.cast("double") / total).cast("long")))
   }
 
   /** F5 — add-one smoothing then renormalize to frequencies. */

@@ -84,14 +84,35 @@ object Intervals {
   }
 
   /** Overlap anti-join: rows of `a` overlapping NO `b` interval
-    * (bcftools isec -C at interval granularity). */
+    * (bcftools isec -C at interval granularity).
+    *
+    * Key-level LEFT ANTI against the semi-join's matched keys: each a-row
+    * gets a content-hash key, the binned overlap semi-join yields the
+    * matched key set (8-byte rows), and one anti join filters `a`. The
+    * previous `exceptAll` form paid a full-width exchange + hash-distinct
+    * of every `a` column; here the only wide shuffle is the anti join on
+    * the narrow key (and none at all when `broadcastB` holds). Identical
+    * a-rows share a key and an overlap verdict, so non-overlapping
+    * duplicates all pass through. */
   def antiJoin(a: DataFrame, b: DataFrame,
                chrom: String = "chrom",
                aStart: String = "start", aEnd: String = "end",
                bStart: String = "bstart", bEnd: String = "bend",
                binSize: Long = 10000L,
-               broadcastB: Boolean = false): DataFrame =
-    a.exceptAll(semiJoin(a, b, chrom, aStart, aEnd, bStart, bEnd, binSize, broadcastB))
+               broadcastB: Boolean = false): DataFrame = {
+    val withId = a.withColumn("_aid", xxhash64(a.columns.map(col): _*))
+    val ab = withBins(withId, chrom, aStart, aEnd, binSize)
+    val bb0 = withBins(b.withColumnRenamed(chrom, "_bchrom"), "_bchrom", bStart, bEnd, binSize)
+      .withColumnRenamed("_bin", "_bbin")
+      .select("_bchrom", "_bbin", bStart, bEnd)
+    val bb = if (broadcastB) broadcast(bb0) else bb0
+    val hitKeys = ab.join(bb,
+        ab(chrom) === bb("_bchrom") && ab("_bin") === bb("_bbin") &&
+          ab(aStart) < bb(bEnd) && bb(bStart) < ab(aEnd),
+        "left_semi")
+      .select("_aid").distinct()
+    withId.join(hitKeys, Seq("_aid"), "left_anti").drop("_aid")
+  }
 
   /** Pairwise interval intersection (J6): overlapping pairs clipped to
     * `[max(starts), min(ends))`, keeping `a`'s non-coordinate columns. */

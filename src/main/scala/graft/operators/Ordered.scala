@@ -166,9 +166,15 @@ object Ordered {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(timeCol).asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    u.withColumn("_asof", last(col(payloadCol), ignoreNulls = true).over(w))
+    // the carried value is a struct that is null exactly for PROBE rows:
+    // last(ignoreNulls) then matches the latest BUILD row by time even when
+    // its payload itself is null — DuckDB ASOF JOIN semantics (a bare
+    // last(payload) would skip null-payload build rows and surface an older
+    // value)
+    u.withColumn("_m", when(col("_side") === 0, struct(col(payloadCol).as("p"))))
+      .withColumn("_asof", last(col("_m"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .select(pCols.map(col) :+ col("_asof").as(s"asof_$payloadCol"): _*)
+      .select(pCols.map(col) :+ col("_asof.p").as(s"asof_$payloadCol"): _*)
   }
 
   /** W7 — keep every k-th row per partition in the given order. */

@@ -55,9 +55,14 @@ object Concordance {
 
   /** M3/W1 — recall/precision curve per stratum over `score`, with the
     * reference's noise floor: curve points with fewer than `minCalls`
-    * remaining calls are suppressed (stats_utils.py:162-163,202-210). */
+    * remaining calls are suppressed (stats_utils.py:162-163,202-210).
+    *
+    * Runs on [[Ordered.prCurveScalable]] — row-identical to the sequential
+    * [[Ordered.prCurve]] (ConcordanceSpec proves it) but parallel over
+    * score-quantile buckets, so evaluating a full-callset curve never
+    * funnels through one reducer. */
   def recallPrecisionCurve(df: DataFrame, minCalls: Long = 20): DataFrame = {
-    val curve = Ordered.prCurve(df.filter(col("tp") || col("fp")),
+    val curve = Ordered.prCurveScalable(df.filter(col("tp") || col("fp")),
       col("score"), col("tp"), col("fp"), col("row_key"))
     curve.withColumn("n_calls", col("ctp") + col("cfp"))
       .filter(col("n_calls") >= minCalls)

@@ -16,12 +16,15 @@ import graft.operators.Intervals
   */
 object ConvertHaploidRegions {
 
-  private val convertUdf = udf { (pl: Seq[Int]) =>
+  private val convertUdf = udf { (pl: Seq[Int], noCall: Boolean) =>
     if (pl == null) null
     else {
       val h = PlMath.toHaploid(pl)
       val (gt, gq) = PlMath.haploidCall(h)
-      (h, gt, gq)
+      // maintain no-call (convert_haploid_regions.py:65-68): an input
+      // genotype of (None, None) keeps a null haploid GT; the collapsed
+      // PL/GQ are still emitted like the reference's record rewrite
+      (h, if (noCall) None else Some(gt), gq)
     }
   }
 
@@ -42,8 +45,15 @@ object ConvertHaploidRegions {
         Seq("chrom", "pos"), "left")
       .filter(col("_m").isNull).drop("_m")
       .withColumn("_haploid", lit(false))
+    // no-call detection: a `gt` array whose first element is null is the
+    // reference's (None, None) genotype; frames without a gt column are
+    // treated as all-called
+    val noCall =
+      if (variants.columns.contains("gt"))
+        col("gt").isNotNull && element_at(col("gt"), 1).isNull
+      else lit(false)
     inside.unionByName(outside)
-      .withColumn("_cv", when(col("_haploid"), convertUdf(col("pl"))))
+      .withColumn("_cv", when(col("_haploid"), convertUdf(col("pl"), noCall)))
       .withColumn("haploid_pl", col("_cv._1"))
       .withColumn("haploid_gt", col("_cv._2"))
       .withColumn("haploid_gq", col("_cv._3"))

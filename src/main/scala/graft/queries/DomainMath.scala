@@ -89,7 +89,7 @@ object DomainMath {
         (col("p_size") % 5 + 35).cast("int"),            // (1,2)
         ((col("p_partkey") + col("p_size")) % 29).cast("int")) // (2,2)
       Tables.part(s, d)
-        .withColumn("_h", PlMath.haploidConvertUdf(pl))
+        .withColumn("_h", PlMath.haploidConvertUdf(pl, lit(false)))
         .select(
           col("p_partkey"),
           array_join(col("_h._1"), ",").as("haploid_pl"),

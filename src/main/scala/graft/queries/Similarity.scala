@@ -50,6 +50,25 @@ object Similarity {
   def cellCountForAnn(n: Long): Long =
     math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong)
 
+  /** Past this many cells the flat path stops being viable: its centroid
+    * matrix is collected to the driver and every vector pays an O(C)
+    * argmax, so cost is O(N·C) — quadratic in N at the N/256 dedup sizing
+    * (~1e6 cells ≈ 256M vectors). [[assignToCellsAuto]] switches to the
+    * two-level coarse quantizer there, whose broadcast is only O(sqrt(C))
+    * and whose fine resolve is an equi-join. */
+  val FlatCellLimit: Long = 1L << 20
+
+  /** Cell assignment with the scale dispatch: flat broadcast argmax below
+    * [[FlatCellLimit]] cells (exact, and what every tested scale runs),
+    * two-level coarse quantization above it. The declared d6/e2 queries
+    * route through this, so the same code path survives a 100 TB corpus
+    * without a quadratic cliff. */
+  private[queries] def assignToCellsAuto(all: DataFrame, cents: DataFrame,
+                                         nCells: Long,
+                                         flatLimit: Long = FlatCellLimit): DataFrame =
+    if (nCells > flatLimit) assignToCellsTwoLevel(all, cents)
+    else assignToCells(all, cents)
+
   private val dedupCellsSql =
     "(SELECT greatest(8, CAST(ceil(count(*) / 256.0) AS BIGINT)) FROM embeddings)"
   private val annCellsSql =
@@ -209,7 +228,7 @@ object Similarity {
         Tables.embeddings(s, d).select(col("vec_id"), col("label")), Seq("vec_id"))
       val cents = all.filter(col("vec_id") < nCells)
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-      val assigned = assignToCells(all, cents)
+      val assigned = assignToCellsAuto(all, cents, nCells)
         .select("vec_id", "label", "v", "nrm", "cid")
       val b = assigned.select(col("label"), col("cid"), col("vec_id").as("vec_b"),
         col("v").as("vb"), col("nrm").as("nrmb"))
@@ -225,7 +244,7 @@ object Similarity {
       val all = vecs(s, d)
       val cents = all.filter(col("vec_id") < nCells)
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-      val assigned = assignToCells(all, cents)
+      val assigned = assignToCellsAuto(all, cents, nCells)
         .select("vec_id", "v", "nrm", "cid")
       // FIXED-size query batch (<=64, spread across the id space): like e1,
       // a %-of-N query set makes probe work grow with the collection

@@ -42,7 +42,7 @@ object Vcf {
 
     val fmtKeys = split(element_at(f, 9), ":")
     val fmtVals = split(element_at(f, 10 + sampleIndex), ":")
-    val sample = map_from_arrays(fmtKeys, fmtVals)
+    val sample = sampleMap(fmtKeys, fmtVals)
 
     withSampleFields(lines.select(coreCols(fld) :+ sample.as("sample"): _*))
   }
@@ -60,7 +60,7 @@ object Vcf {
     // greatest(..., 0): the slice must stay total — header lines can reach
     // this projection before the '#' filter in the same codegen stage
     val samples = transform(slice(f, lit(10), greatest(size(f) - 9, lit(0))),
-      v => map_from_arrays(fmtKeys, split(v, ":")))
+      v => sampleMap(fmtKeys, split(v, ":")))
     lines.select(coreCols(fld) :+ samples.as("samples"): _*)
   }
 
@@ -72,6 +72,17 @@ object Vcf {
     withSampleFields(
       df.select(col("*"), posexplode(col("samples")).as(Seq("sample_idx", "sample")))
         .drop("samples"))
+
+  /** FORMAT-keyed sample map, total over ragged columns: the VCF spec lets
+    * a sample drop trailing FORMAT fields (and pysam pads them), so both
+    * arrays are sliced to their common length before map_from_arrays —
+    * otherwise a `GT:AD:DP` FORMAT with a bare `0/1` sample value throws
+    * at runtime. Dropped fields are simply absent from the map (typed
+    * extraction then yields null, matching the reference's None). */
+  private def sampleMap(fmtKeys: Column, fmtVals: Column): Column = {
+    val m = least(size(fmtKeys), size(fmtVals))
+    map_from_arrays(slice(fmtKeys, lit(1), m), slice(fmtVals, lit(1), m))
+  }
 
   /** Typed extraction of the standard FORMAT fields from a `sample` map. */
   private def withSampleFields(df: DataFrame): DataFrame =

@@ -26,4 +26,24 @@ class DotExprSpec extends SparkSpec {
     val withNull = Seq((Some(Seq(1.0)), Option.empty[Seq[Double]])).toDF("a", "b")
     assert(withNull.select(call_function("graft_dot", col("a"), col("b"))).head.isNullAt(0))
   }
+
+  test("graft_dot rejects wrong arity and non-array args at analysis time") {
+    val df = Seq((Seq(1.0), "x")).toDF("a", "s")
+    intercept[Exception] {
+      df.select(call_function("graft_dot", col("a"))).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("graft_dot", col("a"), col("s"))).collect()
+    }
+  }
+
+  test("graft_dot reads array<float> natively (raw embeddings column type)") {
+    val df = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+    assert(df.select(call_function("graft_dot", col("a"), col("b")))
+      .head.getDouble(0) == 11.0)
+    // mixed float/double sides fold correctly too
+    val mixed = Seq((Seq(1.0f, 2.0f), Seq(3.0, 4.0))).toDF("a", "b")
+    assert(mixed.select(call_function("graft_dot", col("a"), col("b")))
+      .head.getDouble(0) == 11.0)
+  }
 }

@@ -23,6 +23,13 @@ class StatsSpec extends SparkSpec {
     assert(scale(Seq(10L, 20L, 25L), 10) == Seq(2L, 4L, 5L))
   }
 
+  test("scaleContingencyTable returns an all-zero table unchanged (stats_utils.py guard)") {
+    val out = Seq(Tuple1(Seq(0L, 0L, 0L))).toDF("arr")
+      .select(Stats.scaleContingencyTable(col("arr"), lit(100)))
+      .head.getSeq[Long](0)
+    assert(out.toSeq == Seq(0L, 0L, 0L))
+  }
+
   test("scaleContingencyTable rounds half to EVEN like np.round (stats_utils.py:26-27)") {
     // 1*(1/2) = 0.5 -> 0 (np.round half-even), not 1 (HALF_UP)
     val out = Seq(Tuple1(Seq(1L, 1L))).toDF("arr")

@@ -106,4 +106,14 @@ class OrderedSpec extends SparkSpec {
     assert(out(("u1", 5L)) == null)   // nothing at or before -> null
     assert(out(("u2", 50L)) == null)  // key with no build rows -> null
   }
+
+  test("asofJoin matches the latest build row even when its payload is null (DuckDB ASOF)") {
+    val probe = Seq(("u1", 10L)).toDF("k", "t")
+    val build = Seq(("u1", 5L, Some(1.0)), ("u1", 8L, Option.empty[Double]))
+      .toDF("k", "t", "q")
+    val r = Ordered.asofJoin(probe, build, Seq("k"), "t", "q").head
+    // the t=8 row is the match; its null payload must surface as null,
+    // not fall back to the older t=5 value
+    assert(r.isNullAt(r.fieldIndex("asof_q")))
+  }
 }

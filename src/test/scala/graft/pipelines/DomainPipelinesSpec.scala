@@ -75,6 +75,21 @@ class DomainPipelinesSpec extends SparkSpec {
     assert(out(900L).isNullAt(out(900L).fieldIndex("haploid_gt")))
   }
 
+  test("ConvertHaploidRegions: no-call genotypes stay no-call (convert_haploid_regions.py:65-68)") {
+    val variants = Seq(
+      ("X", 100L, Seq(0, 20, 100), Seq[Integer](0, 1)),      // called
+      ("X", 120L, Seq(0, 20, 100), Seq[Integer](null, null)) // (None, None)
+    ).toDF("chrom", "pos", "pl", "gt")
+    val regions = Seq(("X", 50L, 200L)).toDF("chrom", "bstart", "bend")
+    val out = ConvertHaploidRegions.convert(variants, regions).collect()
+      .map(r => r.getLong(1) -> r).toMap
+    assert(out(100L).getAs[Int]("haploid_gt") == 0)
+    // no-call: the collapsed PL is still written but the GT stays null
+    val nc = out(120L)
+    assert(nc.getSeq[Int](nc.fieldIndex("haploid_pl")).toSeq == Seq(0, 100))
+    assert(nc.isNullAt(nc.fieldIndex("haploid_gt")))
+  }
+
   test("ConvertHaploidRegions: membership is region_start < pos <= region_end (convert_haploid_regions.py:26-35)") {
     val variants = Seq(
       ("X", 50L, Seq(0, 20, 100)),   // pos == region_start: OUTSIDE

@@ -52,6 +52,25 @@ class PipelinesSpec extends SparkSpec {
     assert(curve.nonEmpty && curve.forall(_.getAs[Long]("n_calls") >= 20))
   }
 
+  test("Concordance: pipeline curve is row-identical to the sequential sweep") {
+    // multi-stratum shape: heavy score ties (41 distinct values over 400
+    // rows) force tied rows through the quantile-bucket boundary logic
+    val rows = (1 to 400).map { i =>
+      ((i % 41) / 10.0, i % 3 != 0, i % 3 == 0, i.toLong)
+    }
+    val df = rows.toDF("score", "tp", "fp", "row_key")
+    val viaPipeline = Concordance.recallPrecisionCurve(df, minCalls = 5)
+      .orderBy("rank").collect().toSeq
+    val sequential = graft.operators.Ordered.prCurve(
+        df.filter(col("tp") || col("fp")),
+        col("score"), col("tp"), col("fp"), col("row_key"))
+      .withColumn("n_calls", col("ctp") + col("cfp"))
+      .filter(col("n_calls") >= 5)
+      .select("rank", "score", "precision", "recall", "n_calls")
+      .orderBy("rank").collect().toSeq
+    assert(viaPipeline == sequential)
+  }
+
   test("GvcfHcr: extent filter + threshold + merge (gvcf_bed.py:9-69)") {
     val gvcf = Seq(
       ("1", 1L, 10L, 50),   // kept, spans to 10

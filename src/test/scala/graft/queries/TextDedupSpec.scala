@@ -76,6 +76,28 @@ class TextDedupSpec extends SparkSpec {
     assert(twoLevel == flat)
   }
 
+  test("assignToCellsAuto dispatches flat below the cell limit, two-level above") {
+    def unit(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r), math.sin(r))
+    }
+    val cents = Seq(0.0, 20.0, 70.0, 90.0).zipWithIndex
+      .map { case (a, i) => (i.toLong, unit(a)) }.toDF("cid", "cv")
+      .withColumn("cnrm", lit(1.0))
+    val vecs = Seq((100L, unit(25.0)), (101L, unit(60.0)), (102L, unit(85.0)))
+      .toDF("vec_id", "v").withColumn("nrm", lit(1.0))
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
+    val flat = asMap(Similarity.assignToCells(vecs, cents))
+    // default limit: 4 cells < FlatCellLimit -> flat path (what d6/e2 run
+    // at every tested scale, keeping the DuckDB oracles exact)
+    assert(asMap(Similarity.assignToCellsAuto(vecs, cents, nCells = 4)) == flat)
+    // forced limit: the dispatch genuinely engages the two-level path and
+    // lands on the same cells on this well-separated frame
+    assert(asMap(Similarity.assignToCellsAuto(vecs, cents, nCells = 4,
+      flatLimit = 2)) == flat)
+  }
+
   test("kmeansRefine converges centroids to planted cluster means") {
     // two tight clusters around orthogonal axes; init centroids are two
     // arbitrary members, refinement pulls them to the cluster centers

@@ -44,6 +44,29 @@ class VcfBedSpec extends SparkSpec {
     assert(ends.count(_ != null) == 1 && ends.contains(8L))
   }
 
+  test("ragged sample columns: trailing FORMAT fields may be dropped (VCF spec)") {
+    val d = Files.createTempDirectory("graftvcf_ragged")
+    val lines = Seq(
+      "##fileformat=VCFv4.2",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2",
+      // S1 carries only GT out of GT:AD:DP, S2 the full set
+      "chr1\t100\t.\tA\tT\t50\tPASS\tDP=9\tGT:AD:DP\t0/1\t1/1:3,4:7")
+    Files.writeString(d.resolve("r.vcf"), lines.mkString("\n"))
+    val p = d.resolve("r.vcf").toString
+    val s1 = Vcf.read(spark, p, sampleIndex = 0).head
+    assert(s1.getSeq[Integer](s1.fieldIndex("gt")).toSeq == Seq(0, 1))
+    assert(s1.isNullAt(s1.fieldIndex("ad")) && s1.isNullAt(s1.fieldIndex("dp")))
+    val s2 = Vcf.read(spark, p, sampleIndex = 1).head
+    assert(s2.getSeq[Integer](s2.fieldIndex("gt")).toSeq == Seq(1, 1))
+    assert(s2.getSeq[Integer](s2.fieldIndex("ad")).toSeq == Seq(3, 4))
+    assert(s2.getAs[Int]("dp") == 7)
+    // the one-scan multi-sample path handles the same raggedness
+    val both = Vcf.explodeSamples(Vcf.readAllSamples(spark, p))
+      .orderBy("sample_idx").collect()
+    assert(both(0).isNullAt(both(0).fieldIndex("dp")))
+    assert(both(1).getAs[Int]("dp") == 7)
+  }
+
   test("multi-sample VCF: sample discovery and per-sample reads") {
     val d = Files.createTempDirectory("graftvcf2")
     val lines = Seq(
