@@ -89,9 +89,10 @@ object Intervals {
     * Key-level LEFT ANTI against the semi-join's matched keys: each a-row
     * gets a content-hash key, the binned overlap semi-join yields the
     * matched key set (8-byte rows), and one anti join filters `a`. The
-    * previous `exceptAll` form paid a full-width exchange + hash-distinct
-    * of every `a` column; here the only wide shuffle is the anti join on
-    * the narrow key (and none at all when `broadcastB` holds). Identical
+    * previous `exceptAll` form hash-partitioned and compared EVERY `a`
+    * column; here the wide rows shuffle once keyed by a single long (with
+    * `broadcastB` the semi stage itself never shuffles the big side), and
+    * the distinct/anti machinery only ever touches 8-byte keys. Identical
     * a-rows share a key and an overlap verdict, so non-overlapping
     * duplicates all pass through. */
   def antiJoin(a: DataFrame, b: DataFrame,

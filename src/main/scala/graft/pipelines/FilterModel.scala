@@ -53,14 +53,23 @@ object FilterModel {
     new Pipeline().setStages(Array(assembler, gbt)).fit(labeled)
   }
 
+  /** The scoring CONTRACT every model shares: `tree_score` = P(true
+    * variant) rounded to 6 dp, `filter_status` = PASS iff tree_score >=
+    * threshold (filter_variants_pipeline.md:21-38). Factored out of
+    * [[score]] so the contract itself is DuckDB-oracle-gated
+    * (`ml1_filter_score`, frozen stump model) even though ml TRAINING can
+    * only be spec-gated. */
+  def applyScoreContract(df: DataFrame, p1: org.apache.spark.sql.Column,
+                         threshold: Double): DataFrame =
+    df.withColumn("tree_score", round(p1, 6))
+      .withColumn("filter_status",
+        when(col("tree_score") >= threshold, "PASS").otherwise("LOW_SCORE"))
+
   /** Score: add `tree_score` (P(true variant)) and `filter_status`
     * (PASS / LOW_SCORE at the given threshold), dropping ml temp columns. */
   def score(model: PipelineModel, df: DataFrame, threshold: Double = 0.5): DataFrame = {
     val p1 = element_at(vector_to_array(col("prob")), 2)
-    model.transform(df)
-      .withColumn("tree_score", round(p1, 6))
-      .withColumn("filter_status",
-        when(col("tree_score") >= threshold, "PASS").otherwise("LOW_SCORE"))
+    applyScoreContract(model.transform(df), p1, threshold)
       .drop("features", "rawPrediction", "prob", "prediction")
   }
 

@@ -151,6 +151,18 @@ object DomainMath {
       OverlapSuppress.suppressSegmented(recs)(s)
         .toDF()
         .select("chrom", "pos", "called", "uncalledGt")
+    },
+    // ----- ML1: the filter-model SCORING contract (tree_score rounding +
+    // PASS/LOW_SCORE cut) replayed with a frozen depth-1 stump whose leaf
+    // probabilities are class fractions (28/30 vs 2/30) — training itself
+    // is spec-gated (FilterModelSpec), but the score path a 100 TB callset
+    // flows through is exact SQL and belongs under the DuckDB gate.
+    "ml1_filter_score" -> { (s, d) =>
+      val p1 = when(col("o_totalprice") >= 150000.0, lit(28.0 / 30))
+        .otherwise(lit(2.0 / 30))
+      graft.pipelines.FilterModel.applyScoreContract(
+          Tables.orders(s, d).select("o_orderkey", "o_totalprice"), p1, 0.5)
+        .select("o_orderkey", "tree_score", "filter_status")
     }
   )
 
@@ -320,6 +332,16 @@ object DomainMath {
                  OVER (PARTITION BY chrom ORDER BY pos) AS g FROM w),
          grp AS (SELECT *, bool_or(called) OVER (PARTITION BY chrom, g) AS any_called FROM isl)
          SELECT chrom, pos, called, uncalledGt
-         FROM grp WHERE NOT (any_called AND uncalledGt)"""
+         FROM grp WHERE NOT (any_called AND uncalledGt)""",
+    // 28/30 and 2/30 are not decimal-half boundaries, so round(x, 6)
+    // agrees between Spark (decimal-string HALF_UP) and DuckDB (binary)
+    "ml1_filter_score" ->
+      """WITH s AS (SELECT o_orderkey,
+           round(CASE WHEN o_totalprice >= 150000 THEN 28.0/30 ELSE 2.0/30 END, 6)
+             AS tree_score
+           FROM orders)
+         SELECT o_orderkey, tree_score,
+           CASE WHEN tree_score >= 0.5 THEN 'PASS' ELSE 'LOW_SCORE' END AS filter_status
+         FROM s"""
   )
 }

@@ -40,6 +40,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("interval anti-join plans as key-level left_anti, not exceptAll") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val a = Tables.orders(spark, sfDir)
+      .select(lit("1").as("chrom"), col("o_orderkey").as("start"),
+        (col("o_orderkey") + 10).as("end"), col("o_totalprice"))
+    val b = Seq(("1", 100L, 200L)).toDF("chrom", "bstart", "bend")
+    val p = graft.operators.Intervals.antiJoin(a, b, broadcastB = true)
+      .queryExecution.executedPlan.toString
+    // exceptAll would show as a left-anti join over EVERY column with a
+    // row-count aggregate; the key-level form is a single-key anti join
+    assert(!p.contains("Except"), "no Except/ExceptAll machinery")
+    assert(p.contains("LeftAnti"), "anti join on the content-hash key")
+    assert(p.contains("BroadcastHashJoin"), "semi stage broadcasts the b side")
+  }
+
   test("fact-table scans prune columns (no full-width reads)") {
     val q = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
       .filter(org.apache.spark.sql.functions.col("l_quantity") > 45)

@@ -76,6 +76,30 @@ class TextDedupSpec extends SparkSpec {
     assert(twoLevel == flat)
   }
 
+  test("hot-band cap: an all-identical corpus yields O(N) star pairs, not O(N^2)") {
+    // adversarial degenerate corpus: 5000 documents with IDENTICAL minhash
+    // signatures — every band key is hot. Uncapped all-pairs banding would
+    // emit n*(n-1)/2 = 12.5M candidate pairs; the cap must degrade every
+    // band to a star over the min doc: exactly n-1 pairs, same connectivity.
+    val n = 5000L
+    val mh = (1 to 8).foldLeft(spark.range(n).toDF("doc_id")) {
+      (df, i) => df.withColumn(s"mh$i", lit(7L * i))
+    }
+    val t0 = System.nanoTime()
+    val pairs = TextDedup.lshPairs(mh)
+    assert(pairs.count() == n - 1)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 60.0, f"capped LSH on a degenerate corpus took $secs%.1f s")
+    // star pairs preserve what d7 needs: ONE connected component rooted
+    // at the min doc id
+    val comps = graft.operators.Dedup.connectedComponents(pairs)
+      .select("comp").distinct().collect().map(_.getLong(0))
+    assert(comps.toSeq == Seq(0L))
+    // and the degradation is never silent: every band reports hot
+    val hot = TextDedup.hotBands(mh).collect()
+    assert(hot.length == 4 && hot.forall(_.getAs[Long]("n_docs") == n))
+  }
+
   test("assignToCellsAuto dispatches flat below the cell limit, two-level above") {
     def unit(deg: Double) = {
       val r = math.toRadians(deg)
