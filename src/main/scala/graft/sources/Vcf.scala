@@ -35,8 +35,14 @@ object Vcf {
     * requested sample (0-based; the reference's get_vcf_df takes sample_id
     * the same way). For whole-panel work use [[readAllSamples]] /
     * [[explodeSamples]] — one scan for every sample. */
-  def read(spark: SparkSession, path: String, sampleIndex: Int = 0): DataFrame = {
-    val lines = spark.read.text(path).filter(!col("value").startsWith("#"))
+  def read(spark: SparkSession, path: String, sampleIndex: Int = 0): DataFrame =
+    fromLines(spark.read.text(path), sampleIndex)
+
+  /** Parse a raw line frame (column `value`) into the single-sample
+    * variant frame — shared by the plain-text scan and the splittable
+    * BGZF reader. */
+  def fromLines(raw: DataFrame, sampleIndex: Int = 0): DataFrame = {
+    val lines = raw.filter(!col("value").startsWith("#"))
     val f = split(col("value"), "\t")
     def fld(i: Int): Column = element_at(f, i)
 
@@ -46,6 +52,14 @@ object Vcf {
 
     withSampleFields(lines.select(coreCols(fld) :+ sample.as("sample"): _*))
   }
+
+  /** Splittable read of a bgzip-compressed VCF: [[Bgzf.readLines]] gives
+    * one task per `splitBytes` of COMPRESSED data (a plain `.gz` codec
+    * read is one task per file — a 100 TB single-file gVCF would
+    * serialize), then the same line parse as [[read]]. */
+  def readBgzf(spark: SparkSession, path: String, sampleIndex: Int = 0,
+               splitBytes: Long = 16L * 1024 * 1024): DataFrame =
+    fromLines(Bgzf.readLines(spark, path, splitBytes).toDF("value"), sampleIndex)
 
   /** Multi-sample read: ONE text scan regardless of panel width. `samples`
     * holds one FORMAT map per sample column (VCF columns 10+); pair with
