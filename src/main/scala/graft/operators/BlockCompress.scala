@@ -121,6 +121,53 @@ object BlockCompress {
       .mapPartitions(iter => new BlockIterator(iter, mergeGqThreshold, refcallGqThreshold))
   }
 
+  /** Open-block automaton state as a plain value — the exact fields
+    * [[BlockIterator]] carries, shaped for checkpointable streaming state
+    * (`Streams.streamingBlockCompress` holds one per chromosome). `minGq`
+    * doubles as the emitted block's min (they are the same running min);
+    * `maxGq` exists only for the merge-band check. */
+  case class OpenState(chrom: String, pos: Long, end: Long, minDp: Int,
+                       nRecords: Long, minGq: Int, maxGq: Int,
+                       firstPl: Seq[Int], pl3: Seq[Int])
+
+  private def closeState(o: OpenState): GvcfBlock =
+    GvcfBlock(o.chrom, o.pos, o.end, o.minGq, o.minDp,
+      if (o.nRecords == 1L) o.firstPl else o.pl3, o.nRecords)
+
+  /** One automaton transition as a PURE function: feed `r` into the open
+    * state, get (blocks closed by this record, next open state). Exactly
+    * the [[BlockIterator]] rules (compress_gvcf.py:153-158,192-212);
+    * BlockCompressSpec proves fold(step) + [[closeOpen]] ==
+    * [[compress]] record-for-record. */
+  def step(open: Option[OpenState], r: GvcfRecord, mergeGqThreshold: Int,
+           refcallGqThreshold: Int = 22): (Seq[GvcfBlock], Option[OpenState]) = {
+    val solo = r.pass || (r.isRefCall && r.gq <= refcallGqThreshold)
+    if (solo)
+      (open.map(closeState).toSeq :+
+        GvcfBlock(r.chrom, r.pos, r.end, r.gq, r.dp, r.pl, 1L), None)
+    else open match {
+      case Some(o) if r.chrom == o.chrom &&
+          r.gq - o.minGq < mergeGqThreshold && o.maxGq - r.gq < mergeGqThreshold =>
+        val c = PlMath.compressPl3(r.pl)
+        (Seq.empty, Some(o.copy(
+          end = math.max(o.end, r.end),
+          minDp = math.min(o.minDp, r.dp),
+          nRecords = o.nRecords + 1,
+          minGq = math.min(o.minGq, r.gq),
+          maxGq = math.max(o.maxGq, r.gq),
+          pl3 = o.pl3.zip(c).map { case (x, y) => math.min(x, y) })))
+      case _ =>
+        (open.map(closeState).toSeq,
+          Some(OpenState(r.chrom, r.pos, r.end, r.dp, 1L, r.gq, r.gq,
+            r.pl, PlMath.compressPl3(r.pl))))
+    }
+  }
+
+  /** Flush the final open block (the batch paths do this at partition end;
+    * a stream leaves it pending until closed by a later record). */
+  def closeOpen(open: Option[OpenState]): Seq[GvcfBlock] =
+    open.map(closeState).toSeq
+
   /** Streaming automaton. */
   private final class BlockIterator(in: Iterator[GvcfRecord], thr: Int,
                                     refcallThr: Int)

@@ -36,7 +36,17 @@ object Vcf {
     * the same way). For whole-panel work use [[readAllSamples]] /
     * [[explodeSamples]] — one scan for every sample. */
   def read(spark: SparkSession, path: String, sampleIndex: Int = 0): DataFrame =
-    fromLines(spark.read.text(path), sampleIndex)
+    if (looksBgzf(spark, path)) readBgzf(spark, path, sampleIndex)
+    else fromLines(spark.read.text(path), sampleIndex)
+
+  /** True for a single `.gz`/`.bgz` file with a valid BGZF chain — those
+    * dispatch to the splittable reader; plain gzip (unsplittable, but
+    * rare outside bgzip in this domain) and globs/directories fall back
+    * to the codec text scan. */
+  private def looksBgzf(spark: SparkSession, path: String): Boolean =
+    (path.endsWith(".gz") || path.endsWith(".bgz")) &&
+      (try Bgzf.isBgzf(spark.sessionState.newHadoopConf(), path)
+       catch { case _: Throwable => false })
 
   /** Parse a raw line frame (column `value`) into the single-sample
     * variant frame — shared by the plain-text scan and the splittable

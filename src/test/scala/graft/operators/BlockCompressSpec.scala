@@ -111,6 +111,33 @@ class BlockCompressSpec extends SparkSpec {
     }
   }
 
+  test("pure step fold equals the partition automaton on a randomized stream") {
+    val rnd = new scala.util.Random(17)
+    val recs = (1 to 400).map { i =>
+      val chrom = if (i <= 200) "1" else "2"
+      rec(chrom, i.toLong, 15 + rnd.nextInt(30),
+        pass = rnd.nextInt(12) == 0,
+        dp = 10 + rnd.nextInt(40),
+        pl = Seq(rnd.nextInt(20), rnd.nextInt(60), 40 + rnd.nextInt(60)),
+        refcall = rnd.nextInt(5) == 0)
+    }
+    val viaCompress = compress(recs, 8)
+    // per-chrom pos-ordered fold over the pure transition + final flush —
+    // exactly what the streaming form does per group
+    val viaStep = recs.groupBy(_.chrom).toSeq.flatMap { case (_, rs) =>
+      var open = Option.empty[BlockCompress.OpenState]
+      val out = Seq.newBuilder[GvcfBlock]
+      rs.sortBy(_.pos).foreach { r =>
+        val (closed, next) = BlockCompress.step(open, r, 8)
+        out ++= closed
+        open = next
+      }
+      out ++= BlockCompress.closeOpen(open)
+      out.result()
+    }.sortBy(b => (b.chrom, b.pos))
+    assert(viaStep == viaCompress)
+  }
+
   test("compression ratio on a GQ-banded run (shape of the 4438->1184 invariant)") {
     // 4 alternating GQ bands of 25 records each; threshold 10 keeps bands apart
     val recs = (0 until 100).map(i => rec("1", i.toLong, gq = (i / 25 % 2) * 30 + 10))

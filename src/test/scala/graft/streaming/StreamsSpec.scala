@@ -65,6 +65,48 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streamingBlockCompress equals the batch automaton, with in-window reorder") {
+    import graft.operators.{BlockCompress, GvcfRecord}
+    implicit val sqlCtx = spark.sqlContext
+    def trec(min: Long, chrom: String, pos: Long, gq: Int,
+             pass: Boolean = false): TimedGvcfRecord =
+      TimedGvcfRecord(ts(min), chrom, pos, pos + 1, gq, 30, Seq(0, 10, 100), pass)
+    // chrom 1: two mergeable bands split by a PASS; the pos=3 record
+    // arrives a BATCH LATE but inside the 10-minute watermark window, so
+    // the buffer must reorder it before the automaton sees it
+    val batch1 = Seq(trec(0, "1", 1, 20), trec(1, "1", 2, 22),
+      trec(3, "1", 10, 50, pass = true), trec(2, "2", 1, 30))
+    val batch2 = Seq(trec(2, "1", 3, 21), trec(4, "1", 11, 40),
+      trec(5, "1", 12, 41), trec(6, "1", 20, 60, pass = true),
+      trec(5, "2", 2, 31), trec(7, "2", 9, 70, pass = true))
+    // sentinel PASS records with far-future timestamps push the watermark
+    // past every real record so each group flushes (two rounds: one to
+    // raise the watermark, one to process under it)
+    val sent1 = Seq(trec(1000, "1", 900, 50, pass = true),
+      trec(1000, "2", 900, 50, pass = true))
+    val sent2 = Seq(trec(2000, "1", 901, 50, pass = true),
+      trec(2000, "2", 901, 50, pass = true))
+
+    val mem = MemoryStream[TimedGvcfRecord]
+    val query = Streams.streamingBlockCompress(mem.toDS(), mergeGqThreshold = 8)
+      .writeStream.format("memory").queryName("w2stream").outputMode("append").start()
+    try {
+      Seq(batch1, batch2, sent1, sent2).foreach { b =>
+        mem.addData(b: _*)
+        query.processAllAvailable()
+      }
+      val streamed = spark.table("w2stream")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getInt(3), r.getLong(6)))
+        .filter(_._2 < 900).sorted.toSeq
+      val real = (batch1 ++ batch2).map(t =>
+        GvcfRecord(t.chrom, t.pos, t.end, t.gq, t.dp, t.pl, t.pass, t.isRefCall))
+      val batch = BlockCompress.compress(real.toDS(), 8).collect()
+        .map(b => (b.chrom, b.pos, b.end, b.minGq, b.nRecords)).sorted.toSeq
+      assert(streamed == batch)
+    } finally query.stop()
+  }
+
   test("incremental LSH: a near-dup arriving in a later batch pairs with its original") {
     implicit val sqlCtx = spark.sqlContext
     val text =
