@@ -17,10 +17,14 @@ import duckdb
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfbig"
 N = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-# --skew: additionally collapse 30% of replicated lineitem rows onto ONE hot
-# order key (and orders gets that key once), producing the pathological
-# join-key skew AQE's skew-join split is meant to absorb
+# --skew: additionally (a) collapse 30% of replicated lineitem rows onto ONE
+# hot order key (pathological join-key skew for AQE's skew-join split) and
+# (b) collapse every 10th document's text onto one boilerplate string (a hot
+# LSH band orders of magnitude past HOT_BAND_CAP, plus a massive exact-dup
+# group) — the combined skew+dedup adversarial probe
 SKEW = len(sys.argv) > 4 and sys.argv[4] == "--skew"
+BOILER = ("identical boilerplate document text shared by every tenth row "
+          "for hot band probing with enough words to shingle properly")
 
 # table -> list of key columns to shift per copy (by i * (max(col)+1))
 SHIFT = {
@@ -50,6 +54,9 @@ for t, keys in SHIFT.items():
     if SKEW and t == "lineitem":
         union = (f"SELECT * REPLACE (CASE WHEN l_linenumber % 3 = 0 THEN 1 "
                  f"ELSE l_orderkey END AS l_orderkey) FROM ({union})")
+    if SKEW and t == "documents":
+        union = (f"SELECT * REPLACE (CASE WHEN doc_id % 10 = 0 THEN '{BOILER}' "
+                 f"ELSE text END AS text) FROM ({union})")
     con.execute(f"COPY ({union}) TO '{OUT}/{t}.parquet' (FORMAT PARQUET)")
     n = con.execute(f"SELECT count(*) FROM read_parquet('{OUT}/{t}.parquet')").fetchone()[0]
     print(f"{t}: {n} rows ({N}x)")
