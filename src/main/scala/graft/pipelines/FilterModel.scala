@@ -1,10 +1,11 @@
 package graft.pipelines
 
 import org.apache.spark.ml.Pipeline
-import org.apache.spark.ml.classification.{GBTClassifier, RandomForestClassifier}
+import org.apache.spark.ml.classification.{GBTClassificationModel, GBTClassifier, RandomForestClassificationModel, RandomForestClassifier}
 import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.ml.PipelineModel
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.ml.tree.{CategoricalSplit, ContinuousSplit, GraftTreeShim, InternalNode, LeafNode, Node}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** M1 — callset filtering model (reference: docs/train_models_pipeline.md:1-98,
@@ -75,4 +76,67 @@ object FilterModel {
 
   private def vector_to_array(c: org.apache.spark.sql.Column) =
     org.apache.spark.ml.functions.vector_to_array(c)
+
+  /** One decision tree compiled to a nested when/otherwise Column over the
+    * raw feature columns. Split semantics mirror `Node.predictImpl`:
+    * continuous goes left on `feature <= threshold`, categorical on set
+    * membership. Null/NaN agree with the ml path by construction — the
+    * assembler's handleInvalid="keep" turns null into NaN, and
+    * `NaN <= t` is false both in Java and in Spark SQL (NaN sorts above
+    * every value), while a SQL null predicate is falsy in `when` — so all
+    * three land in the right child exactly as predictImpl does. */
+  private def treeColumn(root: Node, features: IndexedSeq[Column],
+                         leaf: LeafNode => Double): Column = root match {
+    case l: LeafNode => lit(leaf(l))
+    case n: InternalNode =>
+      val goLeft = n.split match {
+        case s: ContinuousSplit => features(s.featureIndex) <= lit(s.threshold)
+        case s: CategoricalSplit =>
+          features(s.featureIndex).isin(s.leftCategories.map(Double.box).toIndexedSeq: _*)
+      }
+      when(goLeft, treeColumn(n.leftChild, features, leaf))
+        .otherwise(treeColumn(n.rightChild, features, leaf))
+  }
+
+  /** P(true variant) as a PURE Catalyst expression compiled from the
+    * trained ensemble — the inference fast path for scoring a full-scale
+    * callset. `model.transform` is already map-only, but it assembles a
+    * Vector object per row and walks JVM tree objects outside codegen;
+    * the compiled form needs no assembled vector (the scan prunes to the
+    * feature columns alone) and evaluates as fused when/otherwise chains
+    * inside whole-stage codegen.
+    *
+    * RF replays `predictRaw`: each tree votes its leaf's normalized class
+    * distribution, and probability = votes/numTrees (every trained leaf
+    * has a nonzero count total, so the vote-sum normalizer is numTrees).
+    * GBT replays the logistic margin: P(1) = 1/(1+e^(-2·Σ wᵢ·treeᵢ(x))). */
+  def probabilityExpr(model: PipelineModel): Column = {
+    val assembler = model.stages.collectFirst { case a: VectorAssembler => a }
+      .getOrElse(throw new IllegalArgumentException("no VectorAssembler stage"))
+    val feats = assembler.getInputCols.toIndexedSeq.map(c => col(c).cast("double"))
+    model.stages.last match {
+      case rf: RandomForestClassificationModel =>
+        rf.trees.map { t =>
+          treeColumn(t.rootNode, feats, { l =>
+            val counts = GraftTreeShim.classCounts(l)
+            val total = counts.sum
+            if (total == 0) 0.0 else counts(1) / total
+          })
+        }.reduce(_ + _) / lit(rf.getNumTrees.toDouble)
+      case gbt: GBTClassificationModel =>
+        val margin = gbt.trees.zip(gbt.treeWeights).map { case (t, w) =>
+          treeColumn(t.rootNode, feats, _.prediction) * lit(w)
+        }.reduce(_ + _)
+        lit(1.0) / (lit(1.0) + exp(lit(-2.0) * margin))
+      case other =>
+        throw new IllegalArgumentException(s"unsupported model ${other.getClass}")
+    }
+  }
+
+  /** [[score]] through [[probabilityExpr]] — same contract, no ml runtime
+    * in the scoring job at all (the model is compiled into the plan on the
+    * driver; executors see only Catalyst expressions). */
+  def scoreCompiled(model: PipelineModel, df: DataFrame,
+                    threshold: Double = 0.5): DataFrame =
+    applyScoreContract(df, probabilityExpr(model), threshold)
 }
