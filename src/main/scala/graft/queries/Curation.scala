@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Text
+
+/** Corpus-curation operators beyond dedup: eval-set decontamination,
+  * boilerplate n-gram detection, and deterministic domain mix-sampling —
+  * the remaining steps a full-scale training-data run executes between
+  * "raw crawl" and "training shards".
+  *
+  * Scale design (the shapes that survive 100 TB):
+  *  - Decontamination (x6): the eval benchmark is small by construction
+  *    (MBs), so its distinct n-gram pool is BROADCAST; the corpus side is
+  *    one scan → explode → broadcast-hash semi-join → groupBy doc_id
+  *    (near-unique key, map-side combine). No shuffle of corpus text ever.
+  *  - Hotspot n-grams (d8): one groupBy on the shingle hash — a
+  *    combiner-friendly aggregate whose result (the boilerplate list) is
+  *    tiny and broadcast back for per-doc annotation (x8). The corpus is
+  *    scanned, never self-joined.
+  *  - Mix sampling (x7): per-source rates derive from a 20-row aggregate;
+  *    membership is a pure hash predicate (`hash32("mix"||doc_id) % 1e6 <
+  *    floor(rate*1e6)`) — deterministic, reproducible across engines and
+  *    re-runs, no RNG state, trivially repartition-safe. This is how a real
+  *    pipeline pins its data mixture for a training run.
+  */
+object Curation {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic eval-set membership: doc_id % EVAL_MOD == 0 stands in
+    * for "this document is in a held-out benchmark". */
+  val EVAL_MOD = 17
+
+  /** A corpus doc sharing at least this many distinct 3-gram shingles with
+    * the eval pool is flagged contaminated (n-gram containment, the
+    * standard train/test decontamination rule). */
+  val MIN_SHARED = 6
+
+  /** A shingle appearing in at least this many distinct documents is
+    * boilerplate (headers, footers, license blocks). */
+  val HOT_DF = 5
+
+  /** Distinct 3-gram shingle hashes per document. */
+  private def shingleSets(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("_th", Text.tokenHashes(Text.tokens(col("text"))))
+      .select(col("doc_id"),
+        array_distinct(Text.shingleHashes3(col("_th"))).as("sh"))
+
+  /** Hotspot (boilerplate) shingles with their document frequency. */
+  def hotspotNgrams(docs: DataFrame, hotDf: Int = HOT_DF): DataFrame =
+    shingleSets(docs)
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= hotDf)
+
+  /** Contaminated corpus docs: distinct-shingle containment against the
+    * broadcast eval pool. */
+  def decontaminate(docs: DataFrame, evalMod: Int = EVAL_MOD,
+                    minShared: Int = MIN_SHARED): DataFrame = {
+    val sh = shingleSets(docs)
+    val pool = sh.filter(col("doc_id") % evalMod === 0)
+      .select(explode(col("sh")).as("h")).distinct()
+    sh.filter(col("doc_id") % evalMod =!= 0)
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+      .join(broadcast(pool), Seq("h"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Per-document boilerplate load: how many of its distinct shingles are
+    * corpus hotspots, and the fraction (a standard quality-filter input). */
+  def boilerFraction(docs: DataFrame, hotDf: Int = HOT_DF): DataFrame = {
+    val sh = shingleSets(docs)
+    val hot = hotspotNgrams(docs, hotDf).select("h")
+    val perDoc = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+      .join(broadcast(hot), Seq("h"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+    sh.select(col("doc_id"), size(col("sh")).as("n_shingles"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        r6(coalesce(col("n_boiler"), lit(0L)).cast("double") / col("n_shingles"))
+          .as("boiler_ratio"))
+  }
+
+  /** Per-source temperature-sampling rates: rate = min(1, 0.5*sqrt(max_n/n))
+    * upsamples rare domains relative to dominant ones (sqrt = temperature
+    * 0.5 flattening), keeping half of the largest source. Pure double
+    * arithmetic on integer counts — bit-identical in any IEEE engine. */
+  def mixRates(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val mx = counts.agg(max("n_docs").as("mx"))
+    counts.crossJoin(broadcast(mx))
+      .select(col("source"), col("n_docs"),
+        least(lit(1.0), sqrt(col("mx").cast("double") / col("n_docs")) * 0.5)
+          .as("rate"))
+  }
+
+  /** Deterministic mix sample summary: per source, the derived rate and how
+    * many docs the hash predicate keeps. The KEEP rule — not the summary —
+    * is the pipeline step: `hash32('mix'||doc_id) % 1e6 < floor(rate*1e6)`
+    * selects the same documents on any engine, any partitioning, any rerun. */
+  def mixSampleSummary(docs: DataFrame): DataFrame = {
+    val rates = mixRates(docs)
+    val thr = floor(col("rate") * 1000000.0).cast("long")
+    val kept = docs.join(broadcast(rates), Seq("source"))
+      .filter(Text.hash32(concat(lit("mix"), col("doc_id").cast("string"))) % 1000000L < thr)
+      .groupBy("source").agg(count(lit(1)).as("n_sampled"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), r6(col("rate")).as("rate"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // ----- X6: train/test decontamination — n-gram containment of every
+    // corpus doc against the broadcast eval pool
+    "x6_decontaminate" -> { (s, d) => decontaminate(Tables.documents(s, d)) },
+    // ----- D8: boilerplate n-gram detection — document frequency of every
+    // 3-gram shingle, hotspots only
+    "d8_ngram_hotspots" -> { (s, d) => hotspotNgrams(Tables.documents(s, d)) },
+    // ----- X8: per-doc boilerplate fraction (quality-filter input)
+    "x8_boiler_fraction" -> { (s, d) => boilerFraction(Tables.documents(s, d)) },
+    // ----- X7: deterministic temperature mix-sampling per source domain
+    "x7_mix_sample" -> { (s, d) => mixSampleSummary(Tables.documents(s, d)) }
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  private val shCte =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       th AS (SELECT doc_id, list_transform(t,
+         x -> CAST(('0x'||substr(md5(x),1,8)) AS BIGINT)) AS h FROM tok),
+       hsh AS (SELECT doc_id, list_transform(range(1, len(h)-1),
+         i -> (h[i]*299 + h[i+1]*991 + h[i+2]) % 4294967291) AS hs FROM th),
+       ds AS (SELECT doc_id, list_distinct(hs) AS sh FROM hsh)"""
+
+  val oracles: Map[String, String] = Map(
+    "x6_decontaminate" ->
+      s"""$shCte,
+          pool AS (SELECT DISTINCT unnest(sh) AS h FROM ds WHERE doc_id % $EVAL_MOD = 0),
+          corpus AS (SELECT doc_id, unnest(sh) AS h FROM ds WHERE doc_id % $EVAL_MOD <> 0)
+          SELECT doc_id, count(*) AS n_shared
+          FROM corpus JOIN pool USING (h)
+          GROUP BY 1 HAVING count(*) >= $MIN_SHARED""",
+    "d8_ngram_hotspots" ->
+      s"""$shCte,
+          ex AS (SELECT doc_id, unnest(sh) AS h FROM ds)
+          SELECT h, count(*) AS df FROM ex GROUP BY 1 HAVING count(*) >= $HOT_DF""",
+    "x8_boiler_fraction" ->
+      s"""$shCte,
+          ex AS (SELECT doc_id, unnest(sh) AS h FROM ds),
+          hot AS (SELECT h FROM ex GROUP BY 1 HAVING count(*) >= $HOT_DF),
+          pd AS (SELECT doc_id, count(*) AS n_boiler FROM ex JOIN hot USING (h) GROUP BY 1)
+          SELECT ds.doc_id, len(sh) AS n_shingles,
+            coalesce(n_boiler, 0) AS n_boiler,
+            floor(coalesce(n_boiler, 0)*1.0/len(sh)*1000000 + 0.5)/1000000 AS boiler_ratio
+          FROM ds LEFT JOIN pd ON ds.doc_id = pd.doc_id""",
+    "x7_mix_sample" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+         m AS (SELECT max(n_docs) AS mx FROM c),
+         r AS (SELECT source, n_docs,
+                 least(1.0, sqrt(mx*1.0/n_docs) * 0.5) AS rate FROM c, m),
+         s AS (SELECT d.source, count(*) AS n_sampled
+               FROM documents d JOIN r USING (source)
+               WHERE CAST(('0x'||substr(md5('mix'||doc_id),1,8)) AS BIGINT) % 1000000
+                     < CAST(floor(rate*1000000) AS BIGINT)
+               GROUP BY 1)
+         SELECT r.source, n_docs,
+           floor(rate*1000000 + 0.5)/1000000 AS rate,
+           coalesce(n_sampled, 0) AS n_sampled
+         FROM r LEFT JOIN s ON r.source = s.source"""
+  )
+}

@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Behavior of the curation operators on constructed corpora: containment
+  * decontamination, hotspot boilerplate detection, and the determinism of
+  * hash mix-sampling (the DuckDB oracle gates the exact values at sf scale;
+  * these specs pin the semantics on frames small enough to reason about). */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val evalText =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+  private val cleanText =
+    "one two three four five six seven eight nine ten eleven twelve"
+
+  test("decontaminate flags a verbatim copy of an eval doc and spares disjoint text") {
+    // doc 0 is eval (0 % 17 == 0); doc 1 copies it; doc 2 shares nothing
+    val docs = Seq((0L, evalText), (1L, evalText), (2L, cleanText))
+      .toDF("doc_id", "text")
+    val flagged = Curation.decontaminate(docs, minShared = 6).collect()
+    assert(flagged.map(_.getLong(0)).toSet == Set(1L))
+    // the copy shares every one of its 10 distinct shingles with the pool
+    assert(flagged.head.getLong(1) == 10L)
+  }
+
+  test("partial contamination counts only the shared shingle overlap") {
+    // doc 1 takes the first 8 eval tokens (6 shared shingles) then diverges
+    val partial = "alpha beta gamma delta epsilon zeta eta theta nope nada zip"
+    val docs = Seq((0L, evalText), (1L, partial)).toDF("doc_id", "text")
+    val atSix = Curation.decontaminate(docs, minShared = 6).collect()
+    assert(atSix.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 6L)))
+    assert(Curation.decontaminate(docs, minShared = 7).isEmpty)
+  }
+
+  test("hotspot n-grams find exactly the shingles crossing the df threshold") {
+    // "x y z" appears in docs 1-4 (df=4); all other shingles are unique
+    val boiler = "x y z"
+    val docs = (1L to 4L).map(i => (i, s"u$i v$i w$i $boiler")) :+
+      (5L, "p q r s t u v")
+    val hot = Curation.hotspotNgrams(docs.toDF("doc_id", "text"), hotDf = 4).collect()
+    // tokens u_i v_i w_i differ per doc, so only shingles fully inside
+    // "x y z" context can repeat; exactly the df>=4 ones survive
+    assert(hot.forall(_.getLong(1) >= 4L))
+    assert(hot.nonEmpty)
+    val all = Curation.hotspotNgrams(docs.toDF("doc_id", "text"), hotDf = 1)
+      .filter(col("df") >= 4).count()
+    assert(hot.length.toLong == all)
+  }
+
+  test("boiler fraction is n_boiler/n_shingles with zero-boiler docs present") {
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c x y"), (3L, "a b c p q"),
+      (4L, "m n o r s")).toDF("doc_id", "text")
+    // "a b c" is the only shingle with df >= 3
+    val bf = Curation.boilerFraction(docs, hotDf = 3).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(bf(1L) == ((3, 1L)) && bf(2L) == ((3, 1L)) && bf(3L) == ((3, 1L)))
+    assert(bf(4L) == ((3, 0L))) // zero-boiler doc still reported
+  }
+
+  test("mix rates flatten the source distribution and cap at 1") {
+    val docs = (1L to 100L).map(i => (i, if (i <= 80) "big" else "small", "t"))
+      .toDF("doc_id", "source", "text")
+    val rates = Curation.mixRates(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(rates("big") - 0.5) < 1e-12)          // 0.5*sqrt(80/80)
+    assert(math.abs(rates("small") - 0.5 * math.sqrt(4.0)) < 1e-12 ||
+      rates("small") == 1.0)                               // 0.5*sqrt(80/20)=1.0 capped
+    assert(rates.values.forall(r => r > 0 && r <= 1.0))
+  }
+
+  test("mix sampling is deterministic and repartition-invariant") {
+    val docs = (1L to 500L).map(i => (i, s"src${i % 7}", "text body here"))
+      .toDF("doc_id", "source", "text")
+    val a = Curation.mixSampleSummary(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3))).sortBy(_._1)
+    val b = Curation.mixSampleSummary(docs.repartition(13)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3))).sortBy(_._1)
+    assert(a.sameElements(b))
+    // sampled counts respect the rate direction: no source keeps more docs
+    // than it has, every source with rate 1 keeps everything it hashed in
+    assert(a.forall { case (_, n, k) => k <= n })
+  }
+}
