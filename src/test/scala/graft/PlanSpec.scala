@@ -18,7 +18,8 @@ class PlanSpec extends SparkSpec {
     "e2_ivf_ann",          // broadcast centroids + query batch
     "d6_cosine_dedup",     // broadcast centroid assignment before cell-blocked pairs
     "a10_hist_percentiles", // crossJoin of 5 quantile constants with tiny hist
-    "w1_pr_curve")          // single global window over small sweep
+    "w1_pr_curve",          // single global window over small sweep
+    "x7_mix_sample")        // crossJoin of the 1-row max(n_docs) aggregate
 
   test("no query plans an unbroadcast cartesian product") {
     val plans: Map[String, String] = SparkEntry.queries.map { case (name, fn) =>
