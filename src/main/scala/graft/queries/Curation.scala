@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Text
@@ -113,6 +114,57 @@ object Curation {
         coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
   }
 
+  /** Fixed context-window size (tokens) for chunking, and the training
+    * sequence budget for packing. */
+  val CHUNK = 64
+  val PACK_BUDGET = 512
+
+  /** Shard count for packing streams: packing is inherently sequential
+    * WITHIN a stream, so parallelism comes from sharding — each
+    * (source, shard) stream packs independently, and the shard is a pure
+    * hash of doc_id, so the layout is deterministic at any cluster size. */
+  val PACK_SHARDS = 4
+
+  /** Context-window chunking: every document split into CHUNK-token
+    * windows (last = remainder), one row per chunk with an order-sensitive
+    * rolling fingerprint. Scalar + posexplode — zero shuffles; this is the
+    * map-only shard-prep step before tokenized training shards. */
+  def chunkPack(docs: DataFrame, chunk: Int = CHUNK): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val nChunks = floor((size(toks) + lit(chunk - 1)) / lit(chunk)).cast("int")
+    docs
+      .withColumn("_t", toks)
+      .withColumn("_chunks",
+        transform(sequence(lit(0), nChunks - 1),
+          i => slice(col("_t"), i * chunk + 1, lit(chunk))))
+      .select(col("doc_id"), posexplode(col("_chunks")).as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx"), size(col("c")).as("n_tokens"),
+        Text.fingerprint(col("c")).as("chunk_fp"))
+  }
+
+  /** Concat-and-cut sequence packing: within each (source, shard) stream,
+    * documents concatenate in doc_id order and are cut at PACK_BUDGET-token
+    * boundaries; each doc reports the packs its tokens land in. The window
+    * is partitioned by (source, shard) — parallelism scales with shard
+    * count, and the assignment is identical on any partitioning because
+    * both the stream membership (hash) and the order (doc_id) are
+    * data-derived. */
+  def seqPack(docs: DataFrame, budget: Int = PACK_BUDGET,
+              shards: Int = PACK_SHARDS): DataFrame = {
+    val n = docs.select(col("source"), col("doc_id"),
+      Text.hash32(concat(lit("pack"), col("doc_id").cast("string"))) % shards,
+      size(Text.tokens(col("text"))).as("n_tokens"))
+      .toDF("source", "doc_id", "shard", "n_tokens")
+    val w = Window.partitionBy("source", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    n.withColumn("cum", sum("n_tokens").over(w))
+      .select(col("source"), col("shard"), col("doc_id"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / lit(budget.toDouble)).cast("long")
+          .as("pack_first"),
+        floor((col("cum") - 1) / lit(budget.toDouble)).cast("long")
+          .as("pack_last"))
+  }
+
   val queries: Map[String, Q] = Map(
     // ----- X6: train/test decontamination — n-gram containment of every
     // corpus doc against the broadcast eval pool
@@ -123,7 +175,11 @@ object Curation {
     // ----- X8: per-doc boilerplate fraction (quality-filter input)
     "x8_boiler_fraction" -> { (s, d) => boilerFraction(Tables.documents(s, d)) },
     // ----- X7: deterministic temperature mix-sampling per source domain
-    "x7_mix_sample" -> { (s, d) => mixSampleSummary(Tables.documents(s, d)) }
+    "x7_mix_sample" -> { (s, d) => mixSampleSummary(Tables.documents(s, d)) },
+    // ----- X9: context-window chunking (map-only shard prep)
+    "x9_chunk_pack" -> { (s, d) => chunkPack(Tables.documents(s, d)) },
+    // ----- X10: concat-and-cut sequence packing over sharded streams
+    "x10_seq_pack" -> { (s, d) => seqPack(Tables.documents(s, d)) }
   )
 
   // ---------------------------------------------------------------- oracles
@@ -170,6 +226,30 @@ object Curation {
          SELECT r.source, n_docs,
            floor(rate*1000000 + 0.5)/1000000 AS rate,
            coalesce(n_sampled, 0) AS n_sampled
-         FROM r LEFT JOIN s ON r.source = s.source"""
+         FROM r LEFT JOIN s ON r.source = s.source""",
+    "x9_chunk_pack" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          ix AS (SELECT doc_id, t,
+                   unnest(range(0, CAST(ceil(len(t)/$CHUNK.0) AS BIGINT))) AS chunk_idx
+                 FROM tok),
+          ch AS (SELECT doc_id, chunk_idx,
+                   list_slice(t, chunk_idx*$CHUNK + 1, chunk_idx*$CHUNK + $CHUNK) AS c
+                 FROM ix)
+          SELECT doc_id, chunk_idx, len(c) AS n_tokens,
+            list_reduce(list_concat([CAST(0 AS BIGINT)],
+              list_transform(c, x -> CAST(('0x'||substr(md5(x),1,8)) AS BIGINT))),
+              (a, b) -> (a*31 + b) % 1000000007) AS chunk_fp
+          FROM ch""",
+    "x10_seq_pack" ->
+      s"""WITH n AS (SELECT source, doc_id,
+                 CAST(('0x'||substr(md5('pack'||doc_id),1,8)) AS BIGINT) % $PACK_SHARDS AS shard,
+                 len(string_split(text, ' ')) AS n_tokens
+               FROM documents),
+          c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source, shard
+                  ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM n)
+          SELECT source, shard, doc_id, n_tokens,
+            CAST(floor((cum - n_tokens)/$PACK_BUDGET.0) AS BIGINT) AS pack_first,
+            CAST(floor((cum - 1)/$PACK_BUDGET.0) AS BIGINT) AS pack_last
+          FROM c"""
   )
 }

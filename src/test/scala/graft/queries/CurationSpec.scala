@@ -71,6 +71,36 @@ class CurationSpec extends SparkSpec {
     assert(rates.values.forall(r => r > 0 && r <= 1.0))
   }
 
+  test("chunking cuts exact CHUNK windows with a remainder tail, fingerprints ordered") {
+    val toks = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens, chunk=4
+    val docs = Seq((1L, toks)).toDF("doc_id", "text")
+    val rows = Curation.chunkPack(docs, chunk = 4).collect()
+      .map(r => (r.getInt(0 + 1), r.getInt(2))).sortBy(_._1)
+    assert(rows.toSeq == Seq((0, 4), (1, 4), (2, 2)))
+    // order sensitivity: permuting tokens changes the chunk fingerprint
+    val fp1 = Curation.chunkPack(docs, chunk = 4).orderBy("chunk_idx")
+      .collect().map(_.getLong(3)).toSeq
+    val docs2 = Seq((1L, (1 to 10).reverse.map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val fp2 = Curation.chunkPack(docs2, chunk = 4).orderBy("chunk_idx")
+      .collect().map(_.getLong(3)).toSeq
+    assert(fp1 != fp2)
+  }
+
+  test("packing concatenates per stream: pack ids advance with cumulative tokens") {
+    // one source, force one shard by using shards=1; budget 10; docs of 6/6/10
+    val docs = Seq(
+      (1L, "s", (1 to 6).map(_ => "w").mkString(" ")),
+      (2L, "s", (1 to 6).map(_ => "w").mkString(" ")),
+      (3L, "s", (1 to 10).map(_ => "w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val rows = Curation.seqPack(docs, budget = 10, shards = 1).collect()
+      .map(r => r.getLong(2) -> (r.getLong(4), r.getLong(5))).toMap
+    assert(rows(1L) == ((0L, 0L)))   // tokens 0-5
+    assert(rows(2L) == ((0L, 1L)))   // tokens 6-11 straddles the cut at 10
+    assert(rows(3L) == ((1L, 2L)))   // tokens 12-21
+  }
+
   test("mix sampling is deterministic and repartition-invariant") {
     val docs = (1L to 500L).map(i => (i, s"src${i % 7}", "text body here"))
       .toDF("doc_id", "source", "text")
