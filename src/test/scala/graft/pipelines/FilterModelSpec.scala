@@ -42,4 +42,36 @@ class FilterModelSpec extends SparkSpec {
     val df = fixture
     assertSeparates(FilterModel.score(FilterModel.trainGbt(df, maxIter = 20), df))
   }
+
+  // the compiled Catalyst scorer must be a drop-in for model.transform:
+  // same tree_score (to the contract's 6 dp) and same filter_status on
+  // every row, for both ensemble types
+  private def assertCompiledMatches(model: org.apache.spark.ml.PipelineModel): Unit = {
+    val df = fixture
+    val viaMl = FilterModel.score(model, df)
+      .select("row_id", "tree_score", "filter_status")
+    val viaExpr = FilterModel.scoreCompiled(model, df)
+      .select("row_id", "tree_score", "filter_status")
+    assert(viaExpr.exceptAll(viaMl).isEmpty && viaMl.exceptAll(viaExpr).isEmpty)
+  }
+
+  test("compiled RF scorer equals the spark.ml scoring path row-for-row") {
+    assertCompiledMatches(FilterModel.train(fixture))
+  }
+
+  test("compiled GBT scorer equals the spark.ml scoring path row-for-row") {
+    assertCompiledMatches(FilterModel.trainGbt(fixture, maxIter = 20))
+  }
+
+  test("compiled scorer handles nulls the way handleInvalid=keep does") {
+    val model = FilterModel.train(fixture)
+    val withNulls = fixture
+      .withColumn("qual", when(col("row_id") % 5 === 0, lit(null)).otherwise(col("qual")))
+      .withColumn("gq", when(col("row_id") % 7 === 0, lit(null)).otherwise(col("gq")))
+    val viaMl = FilterModel.score(model, withNulls)
+      .select("row_id", "tree_score", "filter_status")
+    val viaExpr = FilterModel.scoreCompiled(model, withNulls)
+      .select("row_id", "tree_score", "filter_status")
+    assert(viaExpr.exceptAll(viaMl).isEmpty && viaMl.exceptAll(viaExpr).isEmpty)
+  }
 }
