@@ -1,0 +1,23 @@
+package graft
+
+/** Targeted query probe: run named SparkEntry queries against any sfDir and
+  * print per-query wall seconds + row counts. Complements Bench (which runs
+  * the whole inventory) for adversarial/scale probes of a few operators.
+  * Usage: runMain graft.RunQuery <sfDir> <query> [query ...] */
+object RunQuery {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: RunQuery <sfDir> <query> [query ...]")
+    val sfDir = args.head
+    val spark = Spark.session("graft-runquery")
+    spark.range(1000000).selectExpr("id % 97 AS k").groupBy("k").count()
+      .write.format("noop").mode("overwrite").save() // warm-up
+    args.drop(1).foreach { name =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query $name"))
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      println(f"[runquery] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  $n%d rows")
+    }
+    spark.stop()
+  }
+}

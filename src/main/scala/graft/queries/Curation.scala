@@ -49,10 +49,23 @@ object Curation {
       .select(col("doc_id"),
         array_distinct(Text.shingleHashes3(col("_th"))).as("sh"))
 
+  /** Explode an EXPENSIVE computed array without the optimizer's inferred
+    * pre-Generate filter: plain `explode` makes Catalyst add
+    * `size(arr) > 0 AND isnotnull(arr)` BELOW the Generate, inlining the
+    * array expression into the condition — and higher-order functions are
+    * interpreted with no subexpression elimination, so every `element_at`
+    * of the inlined token-hash transform re-evaluates it per ELEMENT:
+    * O(tokens²) md5 calls per document (measured 100× wall blowup on a
+    * 50k-doc frame). `explode_outer` infers nothing; dropping the null
+    * rows of the GENERATED column afterwards is semantically identical
+    * and keeps the shingle pipeline O(tokens). */
+  private def explodeShingles(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), explode_outer(col("sh")).as("h"))
+      .filter(col("h").isNotNull)
+
   /** Hotspot (boilerplate) shingles with their document frequency. */
   def hotspotNgrams(docs: DataFrame, hotDf: Int = HOT_DF): DataFrame =
-    shingleSets(docs)
-      .select(col("doc_id"), explode(col("sh")).as("h"))
+    explodeShingles(shingleSets(docs))
       .groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= hotDf)
 
@@ -61,10 +74,9 @@ object Curation {
   def decontaminate(docs: DataFrame, evalMod: Int = EVAL_MOD,
                     minShared: Int = MIN_SHARED): DataFrame = {
     val sh = shingleSets(docs)
-    val pool = sh.filter(col("doc_id") % evalMod === 0)
-      .select(explode(col("sh")).as("h")).distinct()
-    sh.filter(col("doc_id") % evalMod =!= 0)
-      .select(col("doc_id"), explode(col("sh")).as("h"))
+    val pool = explodeShingles(sh.filter(col("doc_id") % evalMod === 0))
+      .select("h").distinct()
+    explodeShingles(sh.filter(col("doc_id") % evalMod =!= 0))
       .join(broadcast(pool), Seq("h"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -75,7 +87,7 @@ object Curation {
   def boilerFraction(docs: DataFrame, hotDf: Int = HOT_DF): DataFrame = {
     val sh = shingleSets(docs)
     val hot = hotspotNgrams(docs, hotDf).select("h")
-    val perDoc = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+    val perDoc = explodeShingles(sh)
       .join(broadcast(hot), Seq("h"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
     sh.select(col("doc_id"), size(col("sh")).as("n_shingles"))
@@ -137,7 +149,11 @@ object Curation {
       .withColumn("_chunks",
         transform(sequence(lit(0), nChunks - 1),
           i => slice(col("_t"), i * chunk + 1, lit(chunk))))
-      .select(col("doc_id"), posexplode(col("_chunks")).as(Seq("chunk_idx", "c")))
+      // outer + null-filter: same reason as explodeShingles — don't let the
+      // optimizer rebuild the chunk array inside an inferred pre-Generate
+      // filter (here only a constant-factor tax, but free to avoid)
+      .select(col("doc_id"), posexplode_outer(col("_chunks")).as(Seq("chunk_idx", "c")))
+      .filter(col("c").isNotNull)
       .select(col("doc_id"), col("chunk_idx"), size(col("c")).as("n_tokens"),
         Text.fingerprint(col("c")).as("chunk_fp"))
   }

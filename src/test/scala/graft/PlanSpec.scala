@@ -57,6 +57,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "semi stage broadcasts the b side")
   }
 
+  test("no Filter node inlines the token-hash pipeline (inferred pre-Generate filter)") {
+    // plain `explode` over a computed shingle array lets Catalyst infer
+    // `size(arr)>0 AND isnotnull(arr)` BELOW the Generate, inlining the md5
+    // token-hash transform into an interpreted (no-CSE) filter condition —
+    // O(tokens²) hashing per document. The curation queries explode via
+    // explode_outer + post-filter precisely to keep hashing out of Filters.
+    for (q <- Seq("d8_ngram_hotspots", "x6_decontaminate",
+                  "x8_boiler_fraction", "x9_chunk_pack")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val bad = plan.linesIterator
+        .filter(l => l.contains("Filter"))
+        .filter(l => l.contains("graft_hash32") || l.contains("md5"))
+        .toSeq
+      assert(bad.isEmpty, s"$q has a Filter inlining the hash pipeline:\n${bad.mkString("\n")}")
+    }
+  }
+
   test("fact-table scans prune columns (no full-width reads)") {
     val q = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
       .filter(org.apache.spark.sql.functions.col("l_quantity") > 45)
