@@ -15,7 +15,11 @@ object RunQuery {
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query $name"))
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      // NOT .count(): the optimizer rewrites an Aggregate-count on top of
+      // the query (e.g. eliminating a cardinality-preserving left join and
+      // everything feeding it), which under-reports the real cost. toRdd
+      // executes the physical plan exactly as the query compiles it.
+      val n = fn(spark, sfDir).queryExecution.toRdd.count()
       println(f"[runquery] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  $n%d rows")
     }
     spark.stop()

@@ -85,8 +85,14 @@ object Curation {
   /** Per-document boilerplate load: how many of its distinct shingles are
     * corpus hotspots, and the fraction (a standard quality-filter input). */
   def boilerFraction(docs: DataFrame, hotDf: Int = HOT_DF): DataFrame = {
-    val sh = shingleSets(docs)
-    val hot = hotspotNgrams(docs, hotDf).select("h")
+    // both the hotspot aggregate and the per-doc counts scan the shingle
+    // frame; persist it (doc_id + ~60 longs/doc — small) so the corpus is
+    // tokenized+hashed ONCE. At petabyte scale the same role is played by
+    // a parquet checkpoint (cf. TextDedup.signaturesToParquet).
+    val sh = shingleSets(docs).persist()
+    val hot = explodeShingles(sh)
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= hotDf).select("h")
     val perDoc = explodeShingles(sh)
       .join(broadcast(hot), Seq("h"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
