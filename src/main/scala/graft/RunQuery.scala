@@ -11,7 +11,10 @@ object RunQuery {
     val spark = Spark.session("graft-runquery")
     spark.range(1000000).selectExpr("id % 97 AS k").groupBy("k").count()
       .write.format("noop").mode("overwrite").save() // warm-up
-    args.drop(1).foreach { name =>
+    val names =
+      if (args(1) == "ALL") SparkEntry.queries.keys.toSeq.sorted
+      else args.drop(1).toSeq
+    names.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query $name"))
       val t0 = System.nanoTime()
@@ -21,6 +24,10 @@ object RunQuery {
       // executes the physical plan exactly as the query compiles it.
       val n = fn(spark, sfDir).queryExecution.toRdd.count()
       println(f"[runquery] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  $n%d rows")
+      // cross-query canonical-plan cache hits mask standalone cost (a
+      // persisted frame from query A silently serves query B) — drop them
+      // so every number reflects the query alone
+      spark.catalog.clearCache()
     }
     spark.stop()
   }
