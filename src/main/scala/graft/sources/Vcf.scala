@@ -77,15 +77,22 @@ object Vcf {
     * for the long (one row per sample) shape distributed joins want. */
   def readAllSamples(spark: SparkSession, path: String): DataFrame = {
     val lines = spark.read.text(path).filter(!col("value").startsWith("#"))
-    val f = split(col("value"), "\t")
-    def fld(i: Int): Column = element_at(f, i)
-
-    val fmtKeys = split(element_at(f, 9), ":")
+    // materialize the line split and the FORMAT keys BEFORE the per-sample
+    // transform: expressions referenced inside a HOF lambda re-evaluate per
+    // ELEMENT, so inlining `split(value)` there re-splits the whole line
+    // once per sample — O(width²) per record (a 1000-sample panel parsed
+    // ~0.2 s/LINE; materialized it is ~milliseconds). The multi-reference
+    // `_f` column keeps CollapseProject from re-inlining it.
+    val wide = lines
+      .withColumn("_f", split(col("value"), "\t"))
+      .withColumn("_keys", split(element_at(col("_f"), 9), ":"))
+    def fld(i: Int): Column = element_at(col("_f"), i)
     // greatest(..., 0): the slice must stay total — header lines can reach
     // this projection before the '#' filter in the same codegen stage
-    val samples = transform(slice(f, lit(10), greatest(size(f) - 9, lit(0))),
-      v => sampleMap(fmtKeys, split(v, ":")))
-    lines.select(coreCols(fld) :+ samples.as("samples"): _*)
+    val samples = transform(
+      slice(col("_f"), lit(10), greatest(size(col("_f")) - 9, lit(0))),
+      v => sampleMap(col("_keys"), split(v, ":")))
+    wide.select(coreCols(fld) :+ samples.as("samples"): _*)
   }
 
   /** Long format: one row per (record, sample) with typed gt/ad/pl/dp/gq and
@@ -94,7 +101,13 @@ object Vcf {
     * frame per individual; at panel scale this replaces that loop). */
   def explodeSamples(df: DataFrame): DataFrame =
     withSampleFields(
-      df.select(col("*"), posexplode(col("samples")).as(Seq("sample_idx", "sample")))
+      // outer + null-filter, NOT plain posexplode: the inferred pre-Generate
+      // filter `size(samples)>0` inlines the whole per-sample transform into
+      // an interpreted condition, re-splitting the line once per sample —
+      // O(width²) per record again (measured 53s -> 6s on a 1000-sample
+      // panel). Filtering the GENERATED index afterwards is equivalent.
+      df.select(col("*"), posexplode_outer(col("samples")).as(Seq("sample_idx", "sample")))
+        .filter(col("sample_idx").isNotNull)
         .drop("samples"))
 
   /** FORMAT-keyed sample map, total over ragged columns: the VCF spec lets

@@ -105,6 +105,25 @@ class VcfBedSpec extends SparkSpec {
     assert(r2.getSeq[Integer](r2.fieldIndex("gt")).toSeq == Seq(null, null))
     // long-form GQs line up with sample order within each record
     assert(long.map(_.getAs[Int]("gq")).toSeq == Seq(88, 42, 7, 10, 20, 30))
+
+    // panel-width scaling guard: no Filter node may inline the line split —
+    // an inferred pre-Generate filter (or a collapsed projection) that
+    // re-derives `split(value)` inside an interpreted lambda re-splits the
+    // line once per SAMPLE: O(width²) per record on a wide panel (measured
+    // 0.2-0.35 s/LINE at 1000 samples before materializing _f/_keys and
+    // switching to posexplode_outer)
+    for (frame <- Seq(wide, Vcf.explodeSamples(wide))) {
+      val plan = frame.queryExecution.optimizedPlan.toString
+      val bad = plan.linesIterator
+        .filter(l => l.contains("Filter") && l.contains("split(value"))
+        .toSeq
+      assert(bad.isEmpty, s"filter inlines the line split:\n${bad.mkString("\n")}")
+      // the line must be split ONCE (the materialized _f projection) — a
+      // collapsed projection that re-inlines it into the per-sample lambda
+      // shows up as many occurrences
+      val n = "split\\(value".r.findAllIn(plan).length
+      assert(n <= 2, s"line split inlined $n times")
+    }
   }
 
   test("withInfoFields projects custom INFO fields to typed lower-cased columns (sv_stats_collect.py:34-36)") {
