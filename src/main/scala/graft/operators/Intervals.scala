@@ -210,7 +210,10 @@ object Intervals {
       }
     }
     withId.join(hits, Seq("_aid"), "left")
-      .withColumn("_piece", explode(carve(col(aStart), col(aEnd), col("_cover"))))
+      // outer + null-filter: plain explode infers a size>0 pre-Generate
+      // filter that evaluates the carve UDF two extra times per row
+      .withColumn("_piece", explode_outer(carve(col(aStart), col(aEnd), col("_cover"))))
+      .filter(col("_piece").isNotNull)
       .withColumn(aStart, col("_piece._1"))
       .withColumn(aEnd, col("_piece._2"))
       .select(aCols.map(col): _*)

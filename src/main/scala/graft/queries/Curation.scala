@@ -137,11 +137,28 @@ object Curation {
   val CHUNK = 64
   val PACK_BUDGET = 512
 
-  /** Shard count for packing streams: packing is inherently sequential
+  /** Base shard count for packing streams: packing is inherently sequential
     * WITHIN a stream, so parallelism comes from sharding — each
     * (source, shard) stream packs independently, and the shard is a pure
-    * hash of doc_id, so the layout is deterministic at any cluster size. */
+    * hash of doc_id, so the layout is deterministic at any cluster size.
+    * The EFFECTIVE count per source grows with its size (see
+    * [[packShardCounts]]) so one dominant domain cannot serialize the job. */
   val PACK_SHARDS = 4
+
+  /** Docs per packing stream before a source gets more shards. */
+  val PACK_DOCS_PER_SHARD = 250000L
+
+  /** Per-source shard counts: max(base, ceil(n/docsPerShard)) — derived
+    * from data like the IVF cell count derives from N, so the same code is
+    * correct at sf0.01 and at 100 TB. The counts frame is tiny (one row
+    * per source) and broadcast. */
+  def packShardCounts(docs: DataFrame, base: Int = PACK_SHARDS,
+                      docsPerShard: Long = PACK_DOCS_PER_SHARD): DataFrame =
+    docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+      .select(col("source"),
+        greatest(lit(base.toLong),
+          ceil(col("n_src").cast("double") / docsPerShard).cast("long"))
+          .as("n_shards"))
 
   /** Context-window chunking: every document split into CHUNK-token
     * windows (last = remainder), one row per chunk with an order-sensitive
@@ -173,9 +190,10 @@ object Curation {
     * data-derived. */
   def seqPack(docs: DataFrame, budget: Int = PACK_BUDGET,
               shards: Int = PACK_SHARDS): DataFrame = {
-    val n = docs.select(col("source"), col("doc_id"),
-      Text.hash32(concat(lit("pack"), col("doc_id").cast("string"))) % shards,
-      size(Text.tokens(col("text"))).as("n_tokens"))
+    val n = docs.join(broadcast(packShardCounts(docs, base = shards)), Seq("source"))
+      .select(col("source"), col("doc_id"),
+        Text.hash32(concat(lit("pack"), col("doc_id").cast("string"))) % col("n_shards"),
+        size(Text.tokens(col("text"))).as("n_tokens"))
       .toDF("source", "doc_id", "shard", "n_tokens")
     val w = Window.partitionBy("source", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -263,10 +281,13 @@ object Curation {
               (a, b) -> (a*31 + b) % 1000000007) AS chunk_fp
           FROM ch""",
     "x10_seq_pack" ->
-      s"""WITH n AS (SELECT source, doc_id,
-                 CAST(('0x'||substr(md5('pack'||doc_id),1,8)) AS BIGINT) % $PACK_SHARDS AS shard,
+      s"""WITH sc AS (SELECT source,
+                 greatest($PACK_SHARDS, CAST(ceil(count(*)*1.0/$PACK_DOCS_PER_SHARD) AS BIGINT)) AS n_shards
+               FROM documents GROUP BY 1),
+          n AS (SELECT d.source, doc_id,
+                 CAST(('0x'||substr(md5('pack'||doc_id),1,8)) AS BIGINT) % n_shards AS shard,
                  len(string_split(text, ' ')) AS n_tokens
-               FROM documents),
+               FROM documents d JOIN sc ON d.source = sc.source),
           c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source, shard
                   ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM n)
           SELECT source, shard, doc_id, n_tokens,
