@@ -69,13 +69,18 @@ object Curation {
       .groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= hotDf)
 
+  /** Distinct shingle hashes of the eval subset — the (small) pool every
+    * corpus document is checked against. */
+  def evalPool(docs: DataFrame, evalMod: Int = EVAL_MOD): DataFrame =
+    explodeShingles(shingleSets(docs).filter(col("doc_id") % evalMod === 0))
+      .select("h").distinct()
+
   /** Contaminated corpus docs: distinct-shingle containment against the
     * broadcast eval pool. */
   def decontaminate(docs: DataFrame, evalMod: Int = EVAL_MOD,
                     minShared: Int = MIN_SHARED): DataFrame = {
     val sh = shingleSets(docs)
-    val pool = explodeShingles(sh.filter(col("doc_id") % evalMod === 0))
-      .select("h").distinct()
+    val pool = evalPool(docs, evalMod)
     explodeShingles(sh.filter(col("doc_id") % evalMod =!= 0))
       .join(broadcast(pool), Seq("h"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))

@@ -53,6 +53,25 @@ object Streams {
       .select(col("user_id"), col("session.start").as("session_start"),
         col("session.end").as("session_end"), col("n_events"), col("sum_value"))
 
+  /** Streaming eval-set decontamination — the continuous-ingest form of
+    * x6_decontaminate: the eval pool (small by construction — it is a
+    * held-out benchmark) ships into every task as an array literal, and
+    * each arriving document is flagged by a scalar distinct-shingle
+    * intersection. NO state, NO shuffle, append-mode — the streaming
+    * shape a contamination firewall in front of a training-data ingest
+    * actually wants. Batch-equivalent to `Curation.decontaminate` on the
+    * same pool (spec-proven). */
+  def decontaminateStream(docs: DataFrame, pool: Seq[Long],
+                          minShared: Int): DataFrame = {
+    import graft.functions.Text
+    docs
+      .withColumn("_th", Text.tokenHashes(Text.tokens(col("text"))))
+      .withColumn("_sh", array_distinct(Text.shingleHashes3(col("_th"))))
+      .select(col("doc_id"),
+        size(array_intersect(col("_sh"), typedLit(pool))).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Streaming exact dedup — the continuous-ingest form of d1_exact_dedup:
     * `flatMapGroupsWithState` keyed on the content fingerprint; the first
     * document to arrive under a key becomes the canonical id (held in

@@ -42,6 +42,36 @@ class StreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("decontaminateStream over a MemoryStream equals batch decontamination") {
+    implicit val sqlCtx = spark.sqlContext
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (0L, evalText),                                        // eval (0 % 17 == 0)
+      (1L, evalText),                                        // full copy
+      (2L, "alpha beta gamma delta epsilon nope nada zip x y"), // partial
+      (3L, "one two three four five six seven eight nine ten"))
+    val batchDf = docs.toDF("doc_id", "text")
+    val pool = graft.queries.Curation.evalPool(batchDf).collect().map(_.getLong(0)).toSeq
+    val expected = graft.queries.Curation.decontaminate(batchDf, minShared = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val mem = MemoryStream[(Long, String)]
+    val query = Streams.decontaminateStream(
+        mem.toDF().toDF("doc_id", "text"), pool, minShared = 3)
+      .writeStream.format("memory").queryName("decontam").outputMode("append").start()
+    try {
+      // corpus docs arrive over two micro-batches
+      mem.addData((1L, docs(1)._2), (2L, docs(2)._2))
+      query.processAllAvailable()
+      mem.addData((3L, docs(3)._2))
+      query.processAllAvailable()
+      val got = spark.table("decontam").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"stream $got vs batch $expected")
+      assert(got.contains(1L) && got.contains(2L) && !got.contains(3L))
+    } finally query.stop()
+  }
+
   test("incrementalDedup flags later arrivals across micro-batches (streaming d1)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[KeyedDoc]
