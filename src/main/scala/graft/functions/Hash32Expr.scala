@@ -74,5 +74,15 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_dot expects 2 arguments, got ${exprs.length}")
         DotProduct(exprs.head, exprs(1))
       }))
+    e.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash].getName, "graft_simhash"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_simhash expects 2 arguments (hashes, bits), got ${exprs.length}")
+        require(exprs(1).foldable,
+          "graft_simhash bits must be a literal")
+        SimHash(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
+      }))
   }
 }

@@ -73,8 +73,19 @@ object Text {
   def simhash(toks: Column, bits: Int): Column =
     simhashFromHashes(transform(toks, t => hash32(t)), bits)
 
-  /** SimHash from an already-computed token-hash array column. */
-  def simhashFromHashes(hashes: Column, bits: Int): Column =
+  /** SimHash from an already-computed token-hash array column. Uses the
+    * native single-pass [[SimHash]] expression when the session registered
+    * it (graft.Spark.session does; the built-in form folds the array once
+    * PER BIT through interpreted aggregates — 16 passes at bits=16). */
+  def simhashFromHashes(hashes: Column, bits: Int): Column = {
+    val active = org.apache.spark.sql.SparkSession.active
+    if (active.catalog.functionExists("graft_simhash"))
+      call_function("graft_simhash", hashes, lit(bits))
+    else simhashBuiltin(hashes, bits)
+  }
+
+  /** Built-in-only form (what the DuckDB oracle replays, bit-identical). */
+  def simhashBuiltin(hashes: Column, bits: Int): Column =
     (0 until bits).map { j =>
       val bitsum = aggregate(hashes, lit(0L),
         (acc, h) => acc + (shiftright(h, j).bitwiseAND(1) * 2 - 1))
