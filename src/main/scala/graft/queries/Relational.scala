@@ -307,6 +307,24 @@ object Relational {
         .cube("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("sum_price"))
     },
+    // ----- A18: approx distinct (HLL++ sketch) with a bounded-error gate.
+    // At 100 TB exact count-distinct shuffles every key; the HLL sketch is
+    // fixed-size per group, merges map-side (partial aggregation), and is
+    // the only viable form of "unique users/tokens per stratum" at corpus
+    // scale. Sketches aren't hash-replayable across engines, so the gate
+    // asserts the sketch's error CONTRACT instead: |approx-exact| within
+    // 5% (2.5x the configured 2% rsd) + a small-group absolute slack. The
+    // oracle computes the exact counts and expects every group in bound —
+    // a real correctness gate on the sketch, deterministic on both sides.
+    "a18_approx_distinct" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("exact_users"),
+             approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            greatest(round(col("exact_users") * 0.05), lit(8))).as("sketch_ok"))
+    },
     // ----- F1/F2/F6/F7/F12: scalar function suite (math_utils.py, run_no_gt_report.py:143)
     "f_scalar_suite" -> { (s, d) =>
       Tables.part(s, d).select(
@@ -495,13 +513,10 @@ object Relational {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
          round(sum(l_extendedprice),2) AS sum_price
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
-    "u4_except_all" ->
-      """SELECT l_partkey AS k FROM lineitem
-         EXCEPT ALL SELECT p_partkey AS k FROM part WHERE p_size > 25""",
-    "a17_cube" ->
-      """SELECT l_returnflag, l_linestatus, count(*) AS n,
-         round(sum(l_extendedprice),2) AS sum_price
-         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    // exact side of the sketch gate: every group must be within bound
+    "a18_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+         TRUE AS sketch_ok FROM events GROUP BY event_type""",
     "f_scalar_suite" ->
       """SELECT p_partkey,
          round(-10.0*log10(p_retailprice/10000.0),6) AS phred,

@@ -90,7 +90,7 @@ object Similarity {
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
 
   /** embeddings with double vector + precomputed norm. */
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  private[queries] def vecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(
       col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -200,6 +200,116 @@ object Similarity {
       .select(all.columns.map(col) :+ col("f_cid").as("cid"): _*)
   }
 
+  // ---- E3: product quantization (PQ) ---------------------------------
+  // The memory side of the ANN scale story: IVF prunes WHICH vectors a
+  // probe touches; PQ shrinks WHAT a scan reads. A 64-dim float vector is
+  // 256 B; its PQ code is M=8 small ints (one byte each packed — 32x).
+  // At 100 TB of raw embeddings the code table is ~3 TB and fits cluster
+  // memory, so the ADC scan (codes x per-query LUT) never rereads the
+  // vectors; exact re-ranking of the short-list is the only full-vector
+  // access. Codebooks are a deterministic subsample (first K vectors'
+  // subvectors) like the IVF centroids, so the DuckDB oracle replays
+  // encode + LUT + ADC exactly; kmeansRefine is the quality upgrade a
+  // real deployment would run per subspace.
+  val PQ_M = 8 // subspaces
+  val PQ_SUB = DIM / PQ_M // dims per subspace
+  val PQ_K = 16 // codebook entries per subspace
+
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Collect the deterministic PQ codebook: the full vectors of
+    * `vec_id < PQ_K`, ordered by id (K x DIM doubles — trivially small). */
+  private def pqCodebook(all: DataFrame): Array[Array[Double]] =
+    all.filter(col("vec_id") < PQ_K).orderBy("vec_id")
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+
+  /** PQ-encode: per subspace m, the index of the codebook entry with the
+    * smallest squared L2 distance to the vector's m-th subvector
+    * (distances rounded to 6 dp before the argmin, ties -> lowest k —
+    * mirrors the oracle's `ORDER BY dd, k`). Map-only over a broadcast
+    * codebook, the same shape as [[assignToCells]]. */
+  private def pqEncodeUdf(all: DataFrame, cb: Array[Array[Double]]): Column => Column = {
+    val bcb = all.sparkSession.sparkContext.broadcast(cb)
+    val f = udf { (v: Seq[Double]) =>
+      val vv = v.toArray
+      Array.tabulate(PQ_M) { m =>
+        var bestK = -1; var bestD = Double.PositiveInfinity
+        var k = 0
+        while (k < bcb.value.length) {
+          val cv = bcb.value(k)
+          var ds = 0.0; var i = 0
+          while (i < PQ_SUB) {
+            val t = vv(m * PQ_SUB + i) - cv(m * PQ_SUB + i); ds += t * t; i += 1
+          }
+          val dr = round6(ds)
+          if (dr < bestD) { bestD = dr; bestK = k }
+          k += 1
+        }
+        bestK
+      }
+    }
+    c => f(c)
+  }
+
+  /** Per-query ADC lookup table: lut[m][k] = <q_sub(m), cb[k]_sub(m)>,
+    * rounded to 6 dp. Runs only over the fixed-size query batch. */
+  private def pqLutUdf(all: DataFrame, cb: Array[Array[Double]]): Column => Column = {
+    val bcb = all.sparkSession.sparkContext.broadcast(cb)
+    val f = udf { (qv: Seq[Double]) =>
+      val vv = qv.toArray
+      Seq.tabulate(PQ_M)(m => Seq.tabulate(bcb.value.length) { k =>
+        val cv = bcb.value(k)
+        var sdp = 0.0; var i = 0
+        while (i < PQ_SUB) { sdp += vv(m * PQ_SUB + i) * cv(m * PQ_SUB + i); i += 1 }
+        round6(sdp)
+      })
+    }
+    c => f(c)
+  }
+
+  /** Library form of the ingest-time encode: (vec_id, codes) with `codes`
+    * an array<int> of length [[PQ_M]]. A deployment persists this (plus
+    * the codebook) once and serves every ADC scan from it. */
+  def pqEncode(all: DataFrame): DataFrame = {
+    val cb = pqCodebook(all)
+    all.select(col("vec_id"), pqEncodeUdf(all, cb)(col("v")).as("codes"))
+  }
+
+  /** Two-stage retrieval: ADC scan over PQ codes to a `shortlist`-deep
+    * candidate set, then EXACT cosine re-rank of only those candidates —
+    * the standard production shape (compressed scan bounds IO, the
+    * re-rank touches `shortlist` full vectors per query instead of N).
+    * `queries` must carry (qid, qv, qnrm); returns exact top-`k`.
+    * The candidate join is an equi-join on vec_id, so only the shortlist
+    * rows ever rehydrate their full vectors. */
+  def pqSearchRerank(all: DataFrame, queries: DataFrame,
+                     shortlist: Int = 50, k: Int = TOPK): DataFrame = {
+    val cb = pqCodebook(all)
+    val codes = all.select(col("vec_id"), pqEncodeUdf(all, cb)(col("v")).as("codes"))
+    val q = queries.select(col("qid"), pqLutUdf(all, cb)(col("qv")).as("lut"),
+      col("qv"), col("qnrm"))
+    val wAdc = Window.partitionBy("qid").orderBy(col("asim").desc, col("vec_id").asc)
+    val cand = codes.crossJoin(broadcast(q.select("qid", "lut")))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(aggregate(
+          zip_with(col("codes"), col("lut"), (c, l) => element_at(l, c + 1)),
+          lit(0.0), (acc, x) => acc + x), 6).as("asim"))
+      .withColumn("_r", row_number().over(wAdc))
+      .filter(col("_r") <= shortlist)
+      .select("qid", "vec_id")
+    val wExact = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    cand.join(all, Seq("vec_id")) // shortlist-sized equi-join rehydrates vectors
+      .join(broadcast(q.select("qid", "qv", "qnrm")), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("sim"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "sim")
+  }
+
   val queries: Map[String, Q] = Map(
     // ----- E1: brute-force cosine top-k (exact baseline)
     // The query batch is FIXED SIZE (first 32 ids), not a fraction of the
@@ -258,6 +368,33 @@ object Similarity {
         .withColumn("rank", row_number().over(wRank))
         .filter(col("rank") <= TOPK)
         .select("qid", "rank", "vec_id", "sim")
+    },
+    // ----- E3: PQ-compressed ANN (asymmetric-distance scan over codes).
+    // The collection is touched exactly twice: once to ENCODE (map-only,
+    // broadcast codebook — the step a real deployment runs at ingest and
+    // persists), once for the ADC scan, which reads only the M-int code
+    // column + the broadcast per-query LUTs. The scan's similarity is a
+    // pure Catalyst fold (zip_with + element_at over the LUT) — no vector
+    // arithmetic and no UDF on the N x Q hot path.
+    "e3_pq_ann" -> { (s, d) =>
+      val all = vecs(s, d).select("vec_id", "v")
+      val cb = pqCodebook(all)
+      val encode = pqEncodeUdf(all, cb)
+      val lutOf = pqLutUdf(all, cb)
+      val codes = all.select(col("vec_id"), encode(col("v")).as("codes"))
+      // FIXED-size query batch spread across the id space, like e1/e2
+      val q = all.filter(col("vec_id") % 100 === 0 && col("vec_id") < 3200)
+        .select(col("vec_id").as("qid"), lutOf(col("v")).as("lut"))
+      val wRank = Window.partitionBy("qid").orderBy(col("asim").desc, col("vec_id").asc)
+      codes.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(aggregate(
+            zip_with(col("codes"), col("lut"), (c, l) => element_at(l, c + 1)),
+            lit(0.0), (acc, x) => acc + x), 6).as("asim"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= TOPK)
+        .select("qid", "rank", "vec_id", "asim")
     }
   )
 
@@ -319,6 +456,39 @@ object Similarity {
           r AS (SELECT qid, vec_id, sim,
                   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
                 FROM p)
-          SELECT qid, rank, vec_id, sim FROM r WHERE rank <= $TOPK"""
+          SELECT qid, rank, vec_id, sim FROM r WHERE rank <= $TOPK""",
+    // full replay of encode + LUT + ADC: subspace distances/dots use the
+    // same m*SUB+i indexing into the FULL vectors as the Spark UDFs, are
+    // rounded to 6 dp before argmin/summing, and sum in ascending-m order
+    // (list_sum is the same left fold as the Spark `aggregate`)
+    "e3_pq_ann" ->
+      s"""WITH $vecsCte,
+          cb AS (SELECT vec_id AS k, v AS cv FROM n WHERE vec_id < $PQ_K),
+          sub AS (SELECT m FROM range(0, $PQ_M) t(m)),
+          enc0 AS (SELECT a.vec_id, s.m, c.k,
+                     round(list_sum(list_transform(range(1, ${PQ_SUB + 1}),
+                       i -> (a.v[s.m*$PQ_SUB+i] - c.cv[s.m*$PQ_SUB+i])
+                          * (a.v[s.m*$PQ_SUB+i] - c.cv[s.m*$PQ_SUB+i]))), 6) AS dd
+                   FROM n a CROSS JOIN sub s CROSS JOIN cb c),
+          enc AS (SELECT vec_id, m, k FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                      ORDER BY dd, k) AS r FROM enc0) WHERE r = 1),
+          codes AS (SELECT vec_id, list(k ORDER BY m) AS codes FROM enc GROUP BY vec_id),
+          q AS (SELECT vec_id AS qid, v AS qv FROM n
+                WHERE vec_id % 100 = 0 AND vec_id < 3200),
+          lut0 AS (SELECT q.qid, s.m, c.k,
+                     round(list_sum(list_transform(range(1, ${PQ_SUB + 1}),
+                       i -> q.qv[s.m*$PQ_SUB+i] * c.cv[s.m*$PQ_SUB+i])), 6) AS dp
+                   FROM q CROSS JOIN sub s CROSS JOIN cb c),
+          lutm AS (SELECT qid, m, list(dp ORDER BY k) AS dl FROM lut0 GROUP BY qid, m),
+          lut AS (SELECT qid, list(dl ORDER BY m) AS lut FROM lutm GROUP BY qid),
+          adc AS (SELECT l.qid, c.vec_id,
+                    round(list_sum(list_transform(range(1, ${PQ_M + 1}),
+                      m -> l.lut[m][c.codes[m]+1])), 6) AS asim
+                  FROM codes c CROSS JOIN lut l WHERE c.vec_id <> l.qid),
+          r AS (SELECT qid, vec_id, asim,
+                  row_number() OVER (PARTITION BY qid ORDER BY asim DESC, vec_id) AS rank
+                FROM adc)
+          SELECT qid, rank, vec_id, asim FROM r WHERE rank <= $TOPK"""
   )
 }

@@ -15,6 +15,7 @@ class PlanSpec extends SparkSpec {
   private val bnljAllowed = Set(
     "j9_point_in_region",  // broadcast region list, range predicate
     "e1_knn_cosine",       // broadcast query batch, cross score
+    "e3_pq_ann",           // broadcast per-query LUTs, ADC code scan
     "e2_ivf_ann",          // broadcast centroids + query batch
     "d6_cosine_dedup",     // broadcast centroid assignment before cell-blocked pairs
     "a10_hist_percentiles", // crossJoin of 5 quantile constants with tiny hist
