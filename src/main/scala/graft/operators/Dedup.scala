@@ -19,8 +19,12 @@ object Dedup {
   /** (id, component) for every id appearing in `pairs`; component = min id
     * reachable. Runs until fixpoint or `maxIter`. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // persisted PRE-PARTITIONED on the per-round join key: InMemoryRelation
+    // keeps the hash partitioning, so the edge set is shuffled once here,
+    // not once per iteration (only the small labels side moves each round)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("dst"))
       .persist()
     // localCheckpoint per round truncates lineage — without it the nested
     // plan grows with every iteration and planning itself blows up
@@ -32,14 +36,14 @@ object Dedup {
     while (iter < maxIter && !converged) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min("comp").as("ncomp"))
+      // carry the previous label through the checkpoint so convergence is
+      // a scan of the materialized rows — not an extra join + shuffle
       val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("_old"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
         .localCheckpoint()
-      val changed = updated
-        .join(labels.withColumnRenamed("comp", "old"), Seq("id"))
-        .filter(col("comp") =!= col("old")).count()
-      labels = updated
+      val changed = updated.filter(col("comp") =!= col("_old")).count()
+      labels = updated.select("id", "comp")
       converged = changed == 0
       iter += 1
     }

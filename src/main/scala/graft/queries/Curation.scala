@@ -210,6 +210,37 @@ object Curation {
           .as("pack_last"))
   }
 
+  /** Heavy-hitter counters per group in phase 1. k=256 against a 1/64
+    * frequency threshold leaves a 4x guarantee margin (MG superset holds
+    * for anything above N/(k+1) = N/257). */
+  val HH_K = 256
+
+  /** Frequency threshold: a token is a heavy hitter in its language when
+    * its count reaches max(4, ceil(total_lang_tokens/64)). */
+  val HH_DIV = 64
+
+  /** X11 — exact per-language frequent tokens via the two-pass
+    * Misra-Gries sketch ([[graft.functions.MisraGries]]). Phase 1 bounds
+    * state to [[HH_K]] counters per language (no shuffle of the distinct-
+    * token universe — the fatal cost of exact groupBy(token) at corpus
+    * scale); the surviving keys are a guaranteed superset of every token
+    * at or above the threshold. Phase 2 recounts ONLY those candidates
+    * (broadcast equi-join) and applies the exact threshold, so the output
+    * is precisely the true frequent-token set — replayable by the exact
+    * SQL oracle despite the sketch's partitioning-dependent internals. */
+  def heavyHitters(docs: DataFrame, k: Int = HH_K, div: Int = HH_DIV): DataFrame = {
+    val toks = docs.select(col("lang"), explode(Text.tokens(col("text"))).as("token"))
+    val mg = udaf(new graft.functions.MisraGries(k))
+    val cand = toks.groupBy("lang")
+      .agg(mg(col("token")).as("sketch"), count(lit(1)).as("total"))
+      .select(col("lang"), col("total"), explode(map_keys(col("sketch"))).as("token"))
+    toks.join(broadcast(cand), Seq("lang", "token"))
+      .groupBy("lang", "token", "total")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= greatest(lit(4), ceil(col("total") / lit(div))))
+      .select("lang", "token", "cnt")
+  }
+
   val queries: Map[String, Q] = Map(
     // ----- X6: train/test decontamination — n-gram containment of every
     // corpus doc against the broadcast eval pool
@@ -224,7 +255,9 @@ object Curation {
     // ----- X9: context-window chunking (map-only shard prep)
     "x9_chunk_pack" -> { (s, d) => chunkPack(Tables.documents(s, d)) },
     // ----- X10: concat-and-cut sequence packing over sharded streams
-    "x10_seq_pack" -> { (s, d) => seqPack(Tables.documents(s, d)) }
+    "x10_seq_pack" -> { (s, d) => seqPack(Tables.documents(s, d)) },
+    // ----- X11: exact frequent tokens per language via two-pass Misra-Gries
+    "x11_heavy_hitters" -> { (s, d) => heavyHitters(Tables.documents(s, d)) }
   )
 
   // ---------------------------------------------------------------- oracles
@@ -298,6 +331,16 @@ object Curation {
           SELECT source, shard, doc_id, n_tokens,
             CAST(floor((cum - n_tokens)/$PACK_BUDGET.0) AS BIGINT) AS pack_first,
             CAST(floor((cum - 1)/$PACK_BUDGET.0) AS BIGINT) AS pack_last
-          FROM c"""
+          FROM c""",
+    // exact replay: the two-pass MG output IS the true frequent set, so
+    // the oracle needs no sketch — just the exact counts + threshold
+    "x11_heavy_hitters" ->
+      s"""WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+                      FROM documents),
+          tot AS (SELECT lang, count(*) AS total FROM tok GROUP BY 1),
+          c AS (SELECT lang, token, count(*) AS cnt FROM tok GROUP BY 1, 2)
+          SELECT c.lang, c.token, c.cnt
+          FROM c JOIN tot USING (lang)
+          WHERE c.cnt >= greatest(4, CAST(ceil(total/$HH_DIV.0) AS BIGINT))"""
   )
 }
