@@ -310,6 +310,47 @@ object Similarity {
       .select("qid", "rank", "vec_id", "sim")
   }
 
+  /** IVF-PQ composed search — the full production ANN stack in one call:
+    * (1) IVF cell assignment restricts WHICH codes a probe touches
+    * (O(N/C) of the collection per query), (2) the PQ ADC scan inside the
+    * cell reads only the M-int codes, (3) exact re-rank rehydrates just
+    * `shortlist` full vectors. `queries` carries (qid, qv, qnrm); probes
+    * search their own cell (single-probe; widen by unioning neighbor
+    * cells if recall demands). */
+  def ivfPqSearch(all: DataFrame, queries: DataFrame, nCells: Long,
+                  shortlist: Int = 50, k: Int = TOPK): DataFrame = {
+    val cents = all.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val assigned = assignToCellsAuto(all, cents, nCells)
+    val cb = pqCodebook(all)
+    val codes = assigned.select(col("vec_id"), col("cid"),
+      pqEncodeUdf(all, cb)(col("v")).as("codes"))
+    val qCells = assignToCellsAuto(
+      queries.select(col("qid").as("vec_id"), col("qv").as("v"), col("qnrm").as("nrm")),
+      cents, nCells)
+      .select(col("vec_id").as("qid"), col("cid").as("qcid"))
+    val q = queries.join(qCells, Seq("qid"))
+      .select(col("qid"), col("qcid"), pqLutUdf(all, cb)(col("qv")).as("lut"))
+    val wAdc = Window.partitionBy("qid").orderBy(col("asim").desc, col("vec_id").asc)
+    val cand = codes.join(broadcast(q),
+        col("cid") === col("qcid") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(aggregate(
+          zip_with(col("codes"), col("lut"), (c, l) => element_at(l, c + 1)),
+          lit(0.0), (acc, x) => acc + x), 6).as("asim"))
+      .withColumn("_r", row_number().over(wAdc))
+      .filter(col("_r") <= shortlist)
+      .select("qid", "vec_id")
+    val wExact = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    cand.join(all, Seq("vec_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("sim"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "sim")
+  }
+
   val queries: Map[String, Q] = Map(
     // ----- E1: brute-force cosine top-k (exact baseline)
     // The query batch is FIXED SIZE (first 32 ids), not a fraction of the

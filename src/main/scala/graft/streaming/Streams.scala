@@ -26,6 +26,14 @@ case class W2State(open: Option[BlockCompress.OpenState],
 case class DedupVerdict(key: Long, docId: Long, canonical: Long,
                         isDuplicate: Boolean)
 
+/** One token occurrence in a language-keyed stream. */
+case class TokenEvent(lang: String, token: String)
+
+/** A surviving Misra-Gries counter for (lang, token) after a micro-batch;
+  * `minCount` is the sketch's conservative estimate (true count is within
+  * +N/(k+1) of it). */
+case class HhSnapshot(lang: String, token: String, minCount: Long)
+
 /** Structured Streaming surface.
   *
   * The reference is pure batch (SURVEY.md §2.10) — nothing here is needed
@@ -138,6 +146,30 @@ object Streams {
           }
           state.update(W2State(open, hold))
           out.result().iterator
+        })
+  }
+
+  /** Streaming Misra-Gries heavy hitters — the continuous-ingest form of
+    * x11: per-language counters bounded at `k` across ALL micro-batches
+    * (`flatMapGroupsWithState`, Update mode), reusing the batch sketch's
+    * transition function so the cross-batch guarantee is the same one
+    * proven in HeavyHittersSpec: any token above 1/(k+1) of the stream so
+    * far is always among the emitted candidates. Each batch re-emits the
+    * group's refreshed candidate set; a downstream exact recount over the
+    * candidates (the batch phase 2) turns a snapshot into exact counts. */
+  def streamingHeavyHitters(toks: Dataset[TokenEvent],
+                            k: Int = 256): Dataset[HhSnapshot] = {
+    import toks.sparkSession.implicits._
+    val mg = new graft.functions.MisraGries(k)
+    toks.groupByKey(_.lang)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (lang: String, rows: Iterator[TokenEvent],
+         state: GroupState[Map[String, Long]]) => {
+          val buf = scala.collection.mutable.HashMap.empty[String, Long]
+          state.getOption.foreach(m => buf ++= m)
+          rows.foreach(r => mg.reduce(buf, r.token))
+          state.update(buf.toMap)
+          buf.toSeq.map { case (t, c) => HhSnapshot(lang, t, c) }.iterator
         })
   }
 

@@ -115,6 +115,30 @@ class PqSpec extends SparkSpec {
     assert(rrRecall > 0.0)
   }
 
+  test("ivfPqSearch returns dense exact-reranked top-k; pruning only narrows") {
+    val all = Similarity.vecs(spark, d)
+    val q = all.filter(col("vec_id") < 32)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val nCells = Similarity.cellCountForAnn(all.count())
+    val rows = Similarity.ivfPqSearch(all, q, nCells).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    byQ.foreach { case (qid, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted.toSeq
+      assert(ranks == (1 to ranks.length), s"dense ranks for query $qid")
+      assert(ranks.length <= 5)
+    }
+    // cell pruning can only lose candidates vs the full-scan rerank
+    val truth = SparkEntry.queries("e1_knn_cosine")(spark, d).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val full = Similarity.pqSearchRerank(all, q, shortlist = 50).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+    val pruned = rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+    val fullRecall = full.count(truth).toDouble / full.length
+    val prunedRecall = pruned.count(truth).toDouble / pruned.length
+    info(s"ivf-pq recall=$prunedRecall full-scan-pq recall=$fullRecall")
+  }
+
   test("a18 sketch stays within its error contract on real events") {
     val rows = SparkEntry.queries("a18_approx_distinct")(spark, d).collect()
     assert(rows.nonEmpty)

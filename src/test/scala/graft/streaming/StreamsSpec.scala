@@ -176,4 +176,27 @@ class StreamsSpec extends SparkSpec {
       .map(r => (r.getTimestamp(0).getTime / 3600000, r.getInt(1)) -> r.getLong(2)).toMap
     assert(out((0L, 3)) == 2L && out((0L, 7)) == 1L && out((1L, 3)) == 1L)
   }
+
+  test("streamingHeavyHitters keeps a frequent token across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TokenEvent]
+    val query = Streams.streamingHeavyHitters(mem.toDS(), k = 8)
+      .writeStream.format("memory").queryName("hh").outputMode("update").start()
+    try {
+      // batch 1: "hot" 5 times + unique junk
+      mem.addData(Seq.fill(5)(TokenEvent("en", "hot")) ++
+        (1 to 20).map(i => TokenEvent("en", s"j1_$i")): _*)
+      query.processAllAvailable()
+      // batch 2: more junk — hot must survive in state across batches
+      mem.addData(Seq.fill(5)(TokenEvent("en", "hot")) ++
+        (1 to 20).map(i => TokenEvent("en", s"j2_$i")): _*)
+      query.processAllAvailable()
+      val snap = spark.sql(
+        "SELECT token, minCount FROM hh WHERE lang = 'en'").collect()
+      // last Update-mode emission for the group: hot present, k respected
+      val latest = snap.map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(latest.contains("hot"), "frequent token must survive both batches")
+      assert(latest("hot") >= 2L, "hot's counter reflects both batches (minus MG decrements)")
+    } finally query.stop()
+  }
 }
