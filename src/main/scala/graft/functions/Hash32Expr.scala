@@ -75,6 +75,14 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         DotProduct(exprs.head, exprs(1))
       }))
     e.injectFunction((
+      new FunctionIdentifier("graft_adc"),
+      new ExpressionInfo(classOf[AdcFold].getName, "graft_adc"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_adc expects 2 arguments (codes, lut), got ${exprs.length}")
+        AdcFold(exprs.head, exprs(1))
+      }))
+    e.injectFunction((
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash].getName, "graft_simhash"),
       (exprs: Seq[Expression]) => {

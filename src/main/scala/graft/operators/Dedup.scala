@@ -19,11 +19,16 @@ object Dedup {
   /** (id, component) for every id appearing in `pairs`; component = min id
     * reachable. Runs until fixpoint or `maxIter`. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    // persisted PRE-PARTITIONED on the per-round join key: InMemoryRelation
+    // symmetrize with ONE pass over `pairs`: a two-branch union evaluates
+    // the whole upstream pipeline (LSH band join + distinct at 100x) twice;
+    // exploding both directions from each row reads it once.
+    // Persisted PRE-PARTITIONED on the per-round join key: InMemoryRelation
     // keeps the hash partitioning, so the edge set is shuffled once here,
     // not once per iteration (only the small labels side moves each round)
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("dst"))
       .persist()
     // localCheckpoint per round truncates lineage — without it the nested

@@ -269,6 +269,17 @@ object Similarity {
     c => f(c)
   }
 
+  /** ADC similarity via the native codegen'd [[graft.functions.AdcFold]]
+    * (one fused loop, no per-pair intermediate array — the N×Q hot path);
+    * composed-HOF fallback when the extension isn't installed. Both forms
+    * sum in ascending-m left-associated order, matching the oracle. */
+  private def adcSim(codes: Column, lut: Column): Column = {
+    val active = org.apache.spark.sql.SparkSession.active
+    if (active.catalog.functionExists("graft_adc")) call_function("graft_adc", codes, lut)
+    else aggregate(zip_with(codes, lut, (c, l) => element_at(l, c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+  }
+
   /** Library form of the ingest-time encode: (vec_id, codes) with `codes`
     * an array<int> of length [[PQ_M]]. A deployment persists this (plus
     * the codebook) once and serves every ADC scan from it. */
@@ -294,9 +305,7 @@ object Similarity {
     val cand = codes.crossJoin(broadcast(q.select("qid", "lut")))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        round(aggregate(
-          zip_with(col("codes"), col("lut"), (c, l) => element_at(l, c + 1)),
-          lit(0.0), (acc, x) => acc + x), 6).as("asim"))
+        round(adcSim(col("codes"), col("lut")), 6).as("asim"))
       .withColumn("_r", row_number().over(wAdc))
       .filter(col("_r") <= shortlist)
       .select("qid", "vec_id")
@@ -335,9 +344,7 @@ object Similarity {
     val cand = codes.join(broadcast(q),
         col("cid") === col("qcid") && col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        round(aggregate(
-          zip_with(col("codes"), col("lut"), (c, l) => element_at(l, c + 1)),
-          lit(0.0), (acc, x) => acc + x), 6).as("asim"))
+        round(adcSim(col("codes"), col("lut")), 6).as("asim"))
       .withColumn("_r", row_number().over(wAdc))
       .filter(col("_r") <= shortlist)
       .select("qid", "vec_id")
@@ -430,9 +437,7 @@ object Similarity {
       codes.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
-          round(aggregate(
-            zip_with(col("codes"), col("lut"), (c, l) => element_at(l, c + 1)),
-            lit(0.0), (acc, x) => acc + x), 6).as("asim"))
+          round(adcSim(col("codes"), col("lut")), 6).as("asim"))
         .withColumn("rank", row_number().over(wRank))
         .filter(col("rank") <= TOPK)
         .select("qid", "rank", "vec_id", "asim")

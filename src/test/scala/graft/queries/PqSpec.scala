@@ -139,6 +139,25 @@ class PqSpec extends SparkSpec {
     info(s"ivf-pq recall=$prunedRecall full-scan-pq recall=$fullRecall")
   }
 
+  test("native graft_adc equals the composed HOF fold and rejects bad types") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(0, 1, 1), Seq(Seq(1.5, 2.0), Seq(3.0, 4.25), Seq(5.0, 6.75))),
+      (Seq(1, 0, 0), Seq(Seq(0.1, 0.2), Seq(0.3, 0.4), Seq(0.5, 0.6)))
+    ).toDF("codes", "lut")
+    val out = df.select(
+      call_function("graft_adc", col("codes"), col("lut")).as("native"),
+      aggregate(zip_with(col("codes"), col("lut"), (c, l) => element_at(l, c + 1)),
+        lit(0.0), (acc, x) => acc + x).as("hof")).collect()
+    out.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    assert(out.head.getDouble(0) == 1.5 + 4.25 + 6.75)
+    assert(out(1).getDouble(0) == 0.2 + 0.3 + 0.5)
+    val bad = intercept[Exception] {
+      df.select(call_function("graft_adc", col("lut"), col("codes"))).collect()
+    }
+    assert(bad.getMessage.contains("graft_adc"), "type mismatch must name the function")
+  }
+
   test("a18 sketch stays within its error contract on real events") {
     val rows = SparkEntry.queries("a18_approx_distinct")(spark, d).collect()
     assert(rows.nonEmpty)
