@@ -3,7 +3,6 @@ package graft.pipelines
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.PlMath
-import graft.operators.Intervals
 
 /** Haploid-region genotype conversion (reference:
   * ugvc/pipelines/convert_haploid_regions.py:26-99): variants inside
@@ -11,8 +10,9 @@ import graft.operators.Intervals
   * to the homozygous entries, renormalized, and re-called as a haploid GT
   * with GQ = gap to the second-best.
   *
-  * Region membership is the J9 broadcast overlap semi-join; the PL math is
-  * PlMath.toHaploid/haploidCall in one typed UDF pass.
+  * Region membership is the J9 point-in-region rule evaluated as a scalar
+  * `exists` against a broadcast per-bin region list (one fact scan); the
+  * PL math is PlMath.toHaploid/haploidCall in one typed UDF pass.
   */
 object ConvertHaploidRegions {
 
@@ -36,15 +36,18 @@ object ConvertHaploidRegions {
     * (convert_haploid_regions.py:26-35: `region_start < pos <=
     * region_end`), expressed against the half-open interval machinery by
     * testing the shifted point [pos-1, pos) against [bstart, bend). */
-  def convert(variants: DataFrame, regions: DataFrame): DataFrame = {
-    val asIv = variants.withColumn("start", col("pos") - 1).withColumn("end", col("pos"))
-    val inside = Intervals.semiJoin(asIv, regions, broadcastB = true)
-      .drop("start", "end").withColumn("_haploid", lit(true))
-    val outside = asIv.drop("start", "end")
-      .join(inside.select("chrom", "pos").withColumn("_m", lit(1)),
-        Seq("chrom", "pos"), "left")
-      .filter(col("_m").isNull).drop("_m")
-      .withColumn("_haploid", lit(false))
+  def convert(variants: DataFrame, regions: DataFrame,
+              binSize: Long = 10000L): DataFrame = {
+    // ONE scan of the variants: the region list is small by construction
+    // (a haploid BED), so it is exploded to bins, grouped per (chrom, bin)
+    // and BROADCAST; each point resolves membership with a scalar `exists`
+    // over its own bin's interval list. (The previous inside-semi-join ∪
+    // outside-anti-join shape read the fact table three times.)
+    val rBin = regions
+      .withColumn("_bin", explode(sequence(floor(col("bstart") / binSize),
+        floor((col("bend") - 1) / binSize))))
+      .groupBy(col("chrom"), col("_bin"))
+      .agg(collect_list(struct(col("bstart"), col("bend"))).as("_ivs"))
     // no-call detection: a `gt` array whose first element is null is the
     // reference's (None, None) genotype; frames without a gt column are
     // treated as all-called
@@ -52,7 +55,14 @@ object ConvertHaploidRegions {
       if (variants.columns.contains("gt"))
         col("gt").isNotNull && element_at(col("gt"), 1).isNull
       else lit(false)
-    inside.unionByName(outside)
+    variants
+      // the shifted point [pos-1, pos) lives in exactly one bin
+      .withColumn("_bin", floor((col("pos") - 1) / binSize))
+      .join(broadcast(rBin), Seq("chrom", "_bin"), "left")
+      .withColumn("_haploid", coalesce(exists(col("_ivs"),
+        iv => iv.getField("bstart") < col("pos") &&
+          col("pos") <= iv.getField("bend")), lit(false)))
+      .drop("_ivs", "_bin")
       .withColumn("_cv", when(col("_haploid"), convertUdf(col("pl"), noCall)))
       .withColumn("haploid_pl", col("_cv._1"))
       .withColumn("haploid_gt", col("_cv._2"))

@@ -155,6 +155,11 @@ object Similarity {
           s => s.getField("m")).as("cv"))
         .withColumn("cnrm",
           sqrt(aggregate(transform(col("cv"), x => x * x), lit(0.0), (a, x) => a + x)))
+        // materialize once (C rows — tiny): the union branch AND the
+        // empty-cell anti-join both read `means`; unchecked, each round's
+        // assignment+aggregation would run twice, and the plan would nest
+        // across iterations
+        .localCheckpoint()
       // empty cells keep their previous centroid
       c = means.unionByName(
         c.join(means.select("cid"), Seq("cid"), "left_anti"))
