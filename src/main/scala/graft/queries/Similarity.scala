@@ -446,6 +446,17 @@ object Similarity {
         .withColumn("rank", row_number().over(wRank))
         .filter(col("rank") <= TOPK)
         .select("qid", "rank", "vec_id", "asim")
+    },
+    // ----- E4: the composed IVF-PQ stack as a declared, oracle-gated
+    // query — cell pruning bounds WHICH codes a probe touches, ADC reads
+    // only codes, exact re-rank rehydrates the 50-vector shortlist. Note
+    // the plan shape vs e1/e3: the ADC stage is an EQUI-join on the cell
+    // id (hash join), not a cross join.
+    "e4_ivf_pq" -> { (s, d) =>
+      val all = vecs(s, d)
+      val q = all.filter(col("vec_id") % 100 === 0 && col("vec_id") < 6400)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+      ivfPqSearch(all, q, cellCountForAnn(Tables.embeddings(s, d).count()))
     }
   )
 
@@ -540,6 +551,59 @@ object Similarity {
           r AS (SELECT qid, vec_id, asim,
                   row_number() OVER (PARTITION BY qid ORDER BY asim DESC, vec_id) AS rank
                 FROM adc)
-          SELECT qid, rank, vec_id, asim FROM r WHERE rank <= $TOPK"""
+          SELECT qid, rank, vec_id, asim FROM r WHERE rank <= $TOPK""",
+    // composed replay: e2's cell assignment + e3's encode/LUT, ADC
+    // restricted to the query's cell, 50-deep shortlist, exact re-rank
+    "e4_ivf_pq" ->
+      s"""WITH $vecsCte,
+          c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $annCellsSql),
+          asg0 AS (SELECT a.vec_id, c.cid,
+                     round(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*c.cv[i]))
+                       /(a.nrm*c.cnrm), 6) AS csim
+                   FROM n a CROSS JOIN c),
+          asg AS (SELECT vec_id, cid FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY csim DESC, cid) AS crank FROM asg0)
+                  WHERE crank = 1),
+          cb AS (SELECT vec_id AS k, v AS cv FROM n WHERE vec_id < $PQ_K),
+          sub AS (SELECT m FROM range(0, $PQ_M) t(m)),
+          enc0 AS (SELECT a.vec_id, s.m, c2.k,
+                     round(list_sum(list_transform(range(1, ${PQ_SUB + 1}),
+                       i -> (a.v[s.m*$PQ_SUB+i] - c2.cv[s.m*$PQ_SUB+i])
+                          * (a.v[s.m*$PQ_SUB+i] - c2.cv[s.m*$PQ_SUB+i]))), 6) AS dd
+                   FROM n a CROSS JOIN sub s CROSS JOIN cb c2),
+          enc AS (SELECT vec_id, m, k FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                      ORDER BY dd, k) AS r FROM enc0) WHERE r = 1),
+          codes AS (SELECT vec_id, list(k ORDER BY m) AS codes FROM enc GROUP BY vec_id),
+          q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n
+                WHERE vec_id % 100 = 0 AND vec_id < 6400),
+          qc AS (SELECT q.qid, q.qv, q.qnrm, a.cid AS qcid
+                 FROM q JOIN asg a ON a.vec_id = q.qid),
+          lut0 AS (SELECT q.qid, s.m, c2.k,
+                     round(list_sum(list_transform(range(1, ${PQ_SUB + 1}),
+                       i -> q.qv[s.m*$PQ_SUB+i] * c2.cv[s.m*$PQ_SUB+i])), 6) AS dp
+                   FROM q CROSS JOIN sub s CROSS JOIN cb c2),
+          lutm AS (SELECT qid, m, list(dp ORDER BY k) AS dl FROM lut0 GROUP BY qid, m),
+          lut AS (SELECT qid, list(dl ORDER BY m) AS lut FROM lutm GROUP BY qid),
+          adc AS (SELECT qc.qid, co.vec_id,
+                    round(list_sum(list_transform(range(1, ${PQ_M + 1}),
+                      m -> l.lut[m][co.codes[m]+1])), 6) AS asim
+                  FROM codes co
+                  JOIN asg a ON co.vec_id = a.vec_id
+                  JOIN qc ON a.cid = qc.qcid AND co.vec_id <> qc.qid
+                  JOIN lut l ON l.qid = qc.qid),
+          sl AS (SELECT qid, vec_id FROM (
+                   SELECT *, row_number() OVER (PARTITION BY qid
+                     ORDER BY asim DESC, vec_id) AS r FROM adc) WHERE r <= 50),
+          ex AS (SELECT sl.qid, sl.vec_id,
+                   round(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*qc.qv[i]))
+                     /(a.nrm*qc.qnrm), 6) AS sim
+                 FROM sl JOIN n a ON a.vec_id = sl.vec_id
+                 JOIN qc ON qc.qid = sl.qid),
+          r AS (SELECT qid, vec_id, sim,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+                FROM ex)
+          SELECT qid, rank, vec_id, sim FROM r WHERE rank <= $TOPK"""
   )
 }
