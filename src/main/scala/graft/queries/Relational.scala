@@ -325,6 +325,32 @@ object Relational {
           (abs(col("approx_users") - col("exact_users")) <=
             greatest(round(col("exact_users") * 0.05), lit(8))).as("sketch_ok"))
     },
+    // ----- A19: percentile sketch gated on its RANK-ERROR contract.
+    // percentile_approx (GK) promises an ELEMENT whose rank is within
+    // eps*N of q*N — the fixed-size mergeable form of quantiles at corpus
+    // scale. The gate recomputes the returned element's exact rank
+    // bounds (strict < and non-strict <=, so duplicated values cannot
+    // fake a failure) and asserts the contract; the oracle expects every
+    // (group, q) in bound. Same pattern as a18: sketch internals aren't
+    // engine-replayable, the CONTRACT is.
+    "a19_approx_quantiles" -> { (s, d) =>
+      val probs = Seq(0.5, 0.9, 0.99)
+      val acc = 100 // rank error <= N/acc
+      val pArr = array(probs.map(lit): _*)
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val approx = ev.groupBy("event_type")
+        .agg(percentile_approx(col("value"), pArr, lit(acc)).as("ap"),
+             count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"), posexplode(col("ap")).as(Seq("qi", "av")))
+      approx.join(ev, Seq("event_type"))
+        .groupBy("event_type", "qi", "n", "av")
+        .agg(count(when(col("value") < col("av"), 1)).as("rk_lo"),
+             count(when(col("value") <= col("av"), 1)).as("rk_hi"))
+        .select(col("event_type"), col("qi").cast("int").as("qi"),
+          (col("rk_lo") <= (element_at(pArr, col("qi") + 1) + 1.0 / acc) * col("n") &&
+           col("rk_hi") >= (element_at(pArr, col("qi") + 1) - 1.0 / acc) * col("n"))
+            .as("sketch_ok"))
+    },
     // ----- F1/F2/F6/F7/F12: scalar function suite (math_utils.py, run_no_gt_report.py:143)
     "f_scalar_suite" -> { (s, d) =>
       Tables.part(s, d).select(
@@ -517,6 +543,10 @@ object Relational {
     "a18_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
          TRUE AS sketch_ok FROM events GROUP BY event_type""",
+    "a19_approx_quantiles" ->
+      """SELECT e.event_type, CAST(t.m AS INTEGER) AS qi, TRUE AS sketch_ok
+         FROM (SELECT DISTINCT event_type FROM events) e
+         CROSS JOIN range(0, 3) t(m)""",
     "f_scalar_suite" ->
       """SELECT p_partkey,
          round(-10.0*log10(p_retailprice/10000.0),6) AS phred,

@@ -164,4 +164,11 @@ class PqSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Boolean]("sketch_ok"),
       s"sketch out of bound for ${r.get(0)}"))
   }
+
+  test("a19 quantile sketch stays within its rank-error contract") {
+    val rows = SparkEntry.queries("a19_approx_quantiles")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Boolean]("sketch_ok"),
+      s"quantile out of bound for ${r.get(0)} q#${r.get(1)}"))
+  }
 }
