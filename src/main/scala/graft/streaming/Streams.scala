@@ -8,6 +8,9 @@ import graft.operators.{BlockCompress, GvcfBlock, GvcfRecord}
 /** A document keyed for dedup (key = content fingerprint / prefix hash). */
 case class KeyedDoc(key: Long, docId: Long)
 
+/** A keyed document with the event time driving TTL state eviction. */
+case class TimedKeyedDoc(ts: java.sql.Timestamp, key: Long, docId: Long)
+
 /** A gVCF record with the ingestion timestamp that drives the stream's
   * watermark. Within a chromosome, `pos` order must agree with `ts` order
   * up to the watermark delay (the sequencer-append assumption): records
@@ -101,6 +104,39 @@ object Streams {
           }
           state.update(canon)
           verdicts.iterator
+        })
+  }
+
+  /** [[incrementalDedup]] with BOUNDED state: each dedup key's canonical
+    * id expires `ttl` after the key's latest arrival (event time, so
+    * eviction is deterministic and replay-safe — a processing-time TTL
+    * would depend on wall clock). This is the piece that makes infinite-
+    * corpus streaming dedup deployable: state size tracks the ACTIVE key
+    * set, not the all-time key universe. Semantics after expiry are the
+    * honest consequence: a duplicate arriving later than `ttl` after its
+    * original's last sighting is treated as a fresh canonical (exactly
+    * the window-bounded dedup guarantee, stated rather than hidden). */
+  def incrementalDedupTtl(docs: Dataset[TimedKeyedDoc],
+                          ttlMillis: Long = 3600000L,
+                          watermark: String = "10 minutes"): Dataset[DedupVerdict] = {
+    import docs.sparkSession.implicits._
+    docs.withWatermark("ts", watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: Long, rows: Iterator[TimedKeyedDoc], state: GroupState[Long]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var canon = state.getOption.getOrElse(Long.MinValue)
+            val batch = rows.toSeq.sortBy(d => (d.ts.getTime, d.docId))
+            val verdicts = batch.map { d =>
+              if (canon == Long.MinValue) canon = d.docId
+              DedupVerdict(key, d.docId, canon, d.docId != canon)
+            }
+            state.update(canon)
+            // expire `ttl` past the key's newest arrival
+            state.setTimeoutTimestamp(batch.map(_.ts.getTime).max + ttlMillis)
+            verdicts.iterator
+          }
         })
   }
 

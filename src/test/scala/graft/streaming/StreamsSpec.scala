@@ -177,6 +177,38 @@ class StreamsSpec extends SparkSpec {
     assert(out((0L, 3)) == 2L && out((0L, 7)) == 1L && out((1L, 3)) == 1L)
   }
 
+  test("incrementalDedupTtl evicts idle keys; late twins become fresh canonicals") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(min: Long) = new Timestamp(min * 60000L)
+    val mem = MemoryStream[TimedKeyedDoc]
+    // ttl 30 min, watermark 0 (no reorder slack needed here)
+    val query = Streams.incrementalDedupTtl(mem.toDS(), ttlMillis = 30 * 60000L,
+        watermark = "0 minutes")
+      .writeStream.format("memory").queryName("dedupttl").outputMode("append").start()
+    try {
+      // start past minute 0: a row at the initial watermark (0) would be
+      // dropped by the pre-state late filter
+      mem.addData(TimedKeyedDoc(t(5), 100L, 1L))
+      query.processAllAvailable()
+      // within TTL: still the same canonical
+      mem.addData(TimedKeyedDoc(t(10), 100L, 2L))
+      query.processAllAvailable()
+      // advance the watermark far past t(10)+30min: key 100 expires.
+      // (needs a row on ANOTHER key — watermark is global)
+      mem.addData(TimedKeyedDoc(t(120), 200L, 3L))
+      query.processAllAvailable()
+      // after expiry: doc 9 under key 100 must start a NEW cluster
+      mem.addData(TimedKeyedDoc(t(125), 100L, 9L))
+      query.processAllAvailable()
+      val rows = spark.table("dedupttl").collect()
+        .map(r => r.getAs[Long]("docId") ->
+          (r.getAs[Long]("canonical"), r.getAs[Boolean]("isDuplicate"))).toMap
+      assert(rows(1L) == ((1L, false)))
+      assert(rows(2L) == ((1L, true)), "arrival inside TTL joins the cluster")
+      assert(rows(9L) == ((9L, false)), "arrival after eviction starts fresh")
+    } finally query.stop()
+  }
+
   test("streamingHeavyHitters keeps a frequent token across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[TokenEvent]
