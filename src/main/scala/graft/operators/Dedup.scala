@@ -16,6 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Below this many nodes, pointer jumping is disabled: each jump costs a
+    * fixed localCheckpoint (~seconds), and at small V the extra plain
+    * rounds it would save are cheaper than the jumps themselves. */
+  val JumpMinNodes: Long = 1L << 18
+
   /** (id, component) for every id appearing in `pairs`; component = min id
     * reachable. Runs until fixpoint or `maxIter`. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
@@ -36,6 +41,7 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
+    val jump = labels.count() >= JumpMinNodes // scan of the checkpoint — cheap
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -43,10 +49,27 @@ object Dedup {
         .groupBy(col("src")).agg(min("comp").as("ncomp"))
       // carry the previous label through the checkpoint so convergence is
       // a scan of the materialized rows — not an extra join + shuffle
-      val updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+      var updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(col("id"), col("comp").as("_old"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
         .localCheckpoint()
+      // pointer jumping between the E-sized propagations: comp := comp(comp),
+      // a LABEL-table self-join (V-sized — cheap relative to the edge
+      // round). A label is always a reachable node's id, so following it
+      // stays within the component and is monotone toward the min; chains
+      // that would cost one heavy edge round per hop collapse geometrically
+      // instead (the skewed-replica probe's boilerplate chains: d7 312s
+      // without jumps, 122s with; the unskewed 100x graph 128s -> 104s).
+      // Gated to iteration 2+ (diameter-<=2 clusters converge without ever
+      // paying the extra checkpoint) and to >= JumpMinNodes graphs (below
+      // that the fixed checkpoint latency outweighs whole saved rounds).
+      if (jump && iter >= 1) {
+        val j = updated.select(col("id").as("_jid"), col("comp").as("_jcomp"))
+        updated = updated.join(j, updated("comp") === j("_jid"), "left")
+          .select(updated("id"), updated("_old"),
+            coalesce(col("_jcomp"), updated("comp")).as("comp"))
+          .localCheckpoint()
+      }
       val changed = updated.filter(col("comp") =!= col("_old")).count()
       labels = updated.select("id", "comp")
       converged = changed == 0
