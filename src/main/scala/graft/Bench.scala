@@ -1,5 +1,6 @@
 package graft
 import scala.collection.immutable.ListMap
+import scala.collection.mutable
 
 /** Driver-run benchmark: one JSON line with per-query wall seconds.
   *
@@ -7,29 +8,72 @@ import scala.collection.immutable.ListMap
   * so ordering/window stages aren't optimizer-eliminated, and a warm-up
   * job absorbs JVM/codegen startup so the first measured query isn't
   * penalized. Queries run in sorted name order for stable comparisons.
+  *
+  * Contention hardening (the round-5 artifact recorded 530 s against an
+  * honest 75 s because a co-tenant JVM ran during the driver's pass):
+  *   - failures land in an `"errors"` map, never silently in the timing map;
+  *   - system load is sampled before/after and stamped into the JSON
+  *     (`load_before`/`load_after`/`cores`), so a poisoned run is
+  *     machine-detectable;
+  *   - when load says another process competed (> 1.5x cores at either
+  *     sample), the slowest decile of queries is re-run once and the
+  *     per-query minimum kept (`reran` lists them) — a genuine slow query
+  *     stays slow, a contention spike is healed.
   */
 object Bench {
+  private def systemLoad(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Spark.session("graft-bench")
+    val cores = Runtime.getRuntime.availableProcessors()
+    val loadBefore = systemLoad()
     // warm-up: shuffle + codegen + parquet reader paths
     spark.range(1000000).selectExpr("id % 97 AS k", "id AS v")
       .groupBy("k").count().write.format("noop").mode("overwrite").save()
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
-    val results = ListMap(SparkEntry.queries.toSeq.sortBy(_._1): _*).map {
-      case (name, fn) =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+    val errors = mutable.LinkedHashMap.empty[String, String]
+    def time(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    var results = ListMap(sorted.map { case (n, f) => n -> time(n, f) }: _*)
+    val loadAfter = systemLoad()
+
+    // Contended run: heal the slowest decile with a second pass, keep minima.
+    val contended = math.max(loadBefore, loadAfter) > 1.5 * cores
+    val reran =
+      if (contended && sorted.nonEmpty) {
+        val n = math.max(1, sorted.size / 10)
+        val slowest = results.toSeq.sortBy(-_._2).take(n).map(_._1).toSet
+        val byName = sorted.toMap
+        results = results.map { case (name, t) =>
+          if (slowest(name) && !errors.contains(name))
+            name -> math.min(t, time(name, byName(name)))
+          else name -> t
+        }
+        slowest.toSeq.sorted
+      } else Seq.empty
+
+    def jmap(m: Iterable[(String, String)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jmap(results.map { case (k, v) => k -> v.toString })
+    val errJson = jmap(errors.map { case (k, v) =>
+      k -> ("\"" + v.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ") + "\"")
+    })
+    val reranJson = reran.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,""" +
+      s""""load_before":$loadBefore,"load_after":$loadAfter,"cores":$cores,"reran":$reranJson,"sf":"$sfDir"}"""
     println(json)
     // the stdout line is the driver contract, but tail-capture can truncate
     // it (BENCH_r03 lost half its per-query map) — persist the complete

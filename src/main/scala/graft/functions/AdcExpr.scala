@@ -22,7 +22,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * Codes are 0-based indices into their subspace's LUT row; both arrays
   * must be non-null with non-null elements (PQ encode/LUT generation
   * guarantees this). Folds over the common prefix on length mismatch,
-  * like [[DotProduct]].
+  * like [[DotProduct]]. Because `graft_adc` is registered as a general
+  * SQL function, each code is bounds-checked against its LUT row before
+  * the read — UnsafeArrayData.getDouble does NOT check, so an
+  * out-of-range code from user input would otherwise silently read
+  * out-of-bounds memory; we raise instead.
   */
 case class AdcFold(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -46,7 +50,12 @@ case class AdcFold(left: Expression, right: Expression)
     var s = 0.0
     var m = 0
     while (m < n) {
-      s += lut.getArray(m).getDouble(codes.getInt(m))
+      val row = lut.getArray(m)
+      val c = codes.getInt(m)
+      if (c < 0 || c >= row.numElements())
+        throw new IllegalArgumentException(
+          s"graft_adc: code $c out of range for LUT row of ${row.numElements()} at subspace $m")
+      s += row.getDouble(c)
       m += 1
     }
     s
@@ -57,11 +66,20 @@ case class AdcFold(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       val m = ctx.freshName("m")
+      val row = ctx.freshName("row")
+      val c = ctx.freshName("c")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $m = 0; $m < $n; $m++) {
-         |  $s += $b.getArray($m).getDouble($a.getInt($m));
+         |  org.apache.spark.sql.catalyst.util.ArrayData $row = $b.getArray($m);
+         |  int $c = $a.getInt($m);
+         |  if ($c < 0 || $c >= $row.numElements()) {
+         |    throw new IllegalArgumentException(
+         |      "graft_adc: code " + $c + " out of range for LUT row of " +
+         |      $row.numElements() + " at subspace " + $m);
+         |  }
+         |  $s += $row.getDouble($c);
          |}
          |${ev.value} = $s;
        """.stripMargin

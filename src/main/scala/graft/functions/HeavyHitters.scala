@@ -36,13 +36,12 @@ class MisraGries(k: Int)
       case None if b.size < k => b(a) = 1L
       case None =>
         // classic MG step: a full sketch meeting a new item decrements
-        // every counter (the new item is absorbed into the error budget)
-        val dead = mutable.ArrayBuffer.empty[String]
-        b.keysIterator.foreach { t =>
-          val c = b(t) - 1L
-          if (c <= 0L) dead += t else b(t) = c
-        }
-        dead.foreach(b.remove)
+        // every counter (the new item is absorbed into the error budget).
+        // In-place map/filter rather than mutation-during-keysIterator:
+        // value writes happen to be safe on today's HashMap, but mutating
+        // while iterating is contract-undefined.
+        b.mapValuesInPlace((_, c) => c - 1L)
+        b.filterInPlace((_, c) => c > 0L)
     }
     b
   }
@@ -55,12 +54,8 @@ class MisraGries(k: Int)
       // counters survive — restores the k-counter bound with total added
       // error <= the subtracted value per item (mergeable-MG analysis)
       val pivot = x.values.toArray.sortInPlace()(Ordering[Long].reverse)(k)
-      val dead = mutable.ArrayBuffer.empty[String]
-      x.keysIterator.foreach { t =>
-        val c = x(t) - pivot
-        if (c <= 0L) dead += t else x(t) = c
-      }
-      dead.foreach(x.remove)
+      x.mapValuesInPlace((_, c) => c - pivot)
+      x.filterInPlace((_, c) => c > 0L)
     }
     x
   }

@@ -115,6 +115,34 @@ object Intervals {
     withId.join(hitKeys, Seq("_aid"), "left_anti").drop("_aid")
   }
 
+  /** Point-in-region semi-join (J9): rows of `points` whose `pos` falls
+    * inside `(lo, hi]` of at least one region — the reference's
+    * `in_regions` boundary convention (convert_haploid_regions.py:26-35).
+    *
+    * The naive theta join plans as a BroadcastNestedLoopJoin — O(points ×
+    * regions) predicate evaluations, which is ~10¹² at a 100× replica.
+    * Here each region explodes to its covered fixed-width bins and each
+    * point computes its single bin, so the pairing is a hash equi-join on
+    * `_bin` (broadcast when the region list is small) and the exact
+    * boundary predicate runs only within buckets. The predicate is
+    * evaluated on the ORIGINAL values (doubles included), so results are
+    * bit-identical to the naive form — bins only prune, never decide.
+    * A point has exactly one bin, so left-semi needs no dedup pass.
+    */
+  def pointInRegion(points: DataFrame, regions: DataFrame,
+                    pos: String = "pos", lo: String = "lo", hi: String = "hi",
+                    binSize: Double = 10000.0,
+                    broadcastRegions: Boolean = true): DataFrame = {
+    val pb = points.withColumn("_bin", floor(col(pos) / binSize))
+    val rb0 = regions.withColumn("_rbin",
+      explode(sequence(floor(col(lo) / binSize), floor(col(hi) / binSize))))
+    val rb = if (broadcastRegions) broadcast(rb0) else rb0
+    pb.join(rb,
+        pb("_bin") === rb("_rbin") && pb(pos) > rb(lo) && pb(pos) <= rb(hi),
+        "left_semi")
+      .drop("_bin")
+  }
+
   /** Pairwise interval intersection (J6): overlapping pairs clipped to
     * `[max(starts), min(ends))`, keeping `a`'s non-coordinate columns. */
   def intersectSets(a: DataFrame, b: DataFrame,

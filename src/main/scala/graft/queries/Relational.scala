@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.Genomics
+import graft.operators.Intervals
 
 /** Relational operator inventory (SURVEY.md §2.2–2.4, §2.6–2.8) expressed on
   * the driver's TPC-H-ish tables. Each query has a matching DuckDB oracle in
@@ -242,13 +243,18 @@ object Relational {
         col("l_orderkey") === col("ok2"), "left_semi").agg(count(lit(1)).as("n")).select(lit("loose").as("mode"), col("n"))
       exact.unionByName(loose)
     },
-    // ----- J9: point-in-region broadcast semi-join (convert_haploid_regions.py:26-35)
+    // ----- J9: point-in-region via the binned interval path
+    // (convert_haploid_regions.py:26-35, boundary start < pos <= end).
+    // The former theta semi-join planned as BroadcastNestedLoopJoin —
+    // correct but O(points × regions); the binned form is a broadcast
+    // HASH join on the point's bin with the same boundary predicate
+    // evaluated on the raw doubles, so output is bit-identical.
     "j9_point_in_region" -> { (s, d) =>
       val regions = Tables.supplier(s, d)
         .select((col("s_acctbal") - 500).as("lo"), (col("s_acctbal") + 500).as("hi"))
-      Tables.customer(s, d)
-        .join(broadcast(regions),
-          col("c_acctbal") > col("lo") && col("c_acctbal") <= col("hi"), "left_semi")
+      Intervals.pointInRegion(
+          Tables.customer(s, d).select("c_custkey", "c_acctbal"),
+          regions, pos = "c_acctbal", lo = "lo", hi = "hi", binSize = 500.0)
         .select("c_custkey", "c_acctbal")
     },
 
@@ -339,8 +345,11 @@ object Relational {
       val pArr = array(probs.map(lit): _*)
       val ev = Tables.events(s, d).select(col("event_type"), col("value"))
       val approx = ev.groupBy("event_type")
+        // n = non-null count: percentile_approx and the rank counts both
+        // ignore nulls, so the rank bounds must be computed over the same
+        // population the sketch saw or the gate is spuriously strict
         .agg(percentile_approx(col("value"), pArr, lit(acc)).as("ap"),
-             count(lit(1)).as("n"))
+             count(col("value")).as("n"))
         .select(col("event_type"), col("n"), posexplode(col("ap")).as(Seq("qi", "av")))
       approx.join(ev, Seq("event_type"))
         .groupBy("event_type", "qi", "n", "av")

@@ -123,18 +123,21 @@ object Streams {
     docs.withWatermark("ts", watermark)
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (key: Long, rows: Iterator[TimedKeyedDoc], state: GroupState[Long]) => {
+        (key: Long, rows: Iterator[TimedKeyedDoc], state: GroupState[(Long, Long)]) => {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var canon = state.getOption.getOrElse(Long.MinValue)
+            var (canon, maxTs) = state.getOption.getOrElse((Long.MinValue, Long.MinValue))
             val batch = rows.toSeq.sortBy(d => (d.ts.getTime, d.docId))
             val verdicts = batch.map { d =>
               if (canon == Long.MinValue) canon = d.docId
               DedupVerdict(key, d.docId, canon, d.docId != canon)
             }
-            state.update(canon)
-            // expire `ttl` past the key's newest arrival
-            state.setTimeoutTimestamp(batch.map(_.ts.getTime).max + ttlMillis)
+            // expire `ttl` past the key's ALL-TIME latest event time, not
+            // this batch's max: an out-of-order (within-watermark) older
+            // event must never move the expiry backwards
+            maxTs = math.max(maxTs, batch.map(_.ts.getTime).max)
+            state.update((canon, maxTs))
+            state.setTimeoutTimestamp(maxTs + ttlMillis)
             verdicts.iterator
           }
         })

@@ -13,7 +13,6 @@ class PlanSpec extends SparkSpec {
   // broadcast side probed with a non-equi predicate (range membership,
   // query batches). Everything else must hash/sort-merge join.
   private val bnljAllowed = Set(
-    "j9_point_in_region",  // broadcast region list, range predicate
     "e1_knn_cosine",       // broadcast query batch, cross score
     "e3_pq_ann",           // broadcast per-query LUTs, ADC code scan
     "e2_ivf_ann",          // broadcast centroids + query batch
@@ -32,6 +31,16 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
     }.keys.toSeq
     assert(stray.isEmpty, s"unexpected BroadcastNestedLoopJoin in: $stray")
+  }
+
+  test("point-in-region plans as a broadcast HASH join on the point's bin") {
+    // j9 used to be the one declared query carrying a BroadcastNestedLoop-
+    // Join (O(points × regions) at scale); the binned rewrite must keep it
+    // a hash equi-join with the boundary predicate as a residual condition.
+    val p = SparkEntry.queries("j9_point_in_region")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), "j9 must not nested-loop")
+    assert(p.contains("BroadcastHashJoin"), "j9 pairs on the bin hash key")
   }
 
   test("interval overlap joins compile to hash joins on (chrom, bin)") {
