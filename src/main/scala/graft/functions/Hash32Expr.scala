@@ -83,6 +83,19 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         AdcFold(exprs.head, exprs(1))
       }))
     e.injectFunction((
+      new FunctionIdentifier("graft_bucket"),
+      new ExpressionInfo(classOf[BucketBin].getName, "graft_bucket"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_bucket expects 2 arguments (value, bounds), got ${exprs.length}")
+        require(exprs(1).foldable,
+          "graft_bucket bounds must be a literal array")
+        val arr = exprs(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray()
+        BucketBin(exprs.head, arr)
+      }))
+    e.injectFunction((
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash].getName, "graft_simhash"),
       (exprs: Seq[Expression]) => {

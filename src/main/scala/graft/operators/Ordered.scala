@@ -52,12 +52,10 @@ object Ordered {
       fp.cast("long").as("fp"), tieBreak.as("tb"))
     val probs = (1 until n).map(_.toDouble / n).toArray
     val bounds = base.stat.approxQuantile("score", probs, 0.001).distinct.sorted
-    val bBounds = spark.sparkContext.broadcast(bounds)
-    val bucketOf = udf { (v: Double) =>
-      val i = java.util.Arrays.binarySearch(bBounds.value, v)
-      if (i >= 0) i + 1 else -(i + 1)
-    }
-    val tagged = base.withColumn("_b", bucketOf(col("score")))
+    // native binary-search bucket tag — keeps the whole stage in codegen
+    // (the former Scala UDF forced a serialization boundary per row)
+    val tagged = base.withColumn("_b",
+      graft.functions.BucketBinUtil.bucketCol(col("score").cast("double"), bounds))
     val stats = tagged.groupBy("_b")
       .agg(count(lit(1)).as("c"), sum("tp").as("t"), sum("fp").as("f"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -68,16 +66,19 @@ object Ordered {
       case (b, c, t, f) =>
         val o = (accC, accT, accF); accC += c; accT += t; accF += f; b -> o
     }.toMap
-    val bOff = spark.sparkContext.broadcast(offsets)
-    val offC = udf { (b: Int) => bOff.value(b)._1 }
-    val offT = udf { (b: Int) => bOff.value(b)._2 }
-    val offF = udf { (b: Int) => bOff.value(b)._3 }
+    // bucket offsets as literal arrays indexed by bucket+1: element_at is
+    // codegen'd, and the grid is tiny (shuffle-partition count entries)
+    def offArr(pick: ((Long, Long, Long)) => Long): Column = {
+      val a = (0 to bounds.length).map(b =>
+        pick(offsets.getOrElse(b, (0L, 0L, 0L))))
+      element_at(array(a.map(lit(_)): _*), col("_b") + 1)
+    }
     val w = Window.partitionBy("_b").orderBy(col("score").desc, col("tb").asc)
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
-      .withColumn("rank", row_number().over(w) + offC(col("_b")))
-      .withColumn("ctp", sum("tp").over(cum) + offT(col("_b")))
-      .withColumn("cfp", sum("fp").over(cum) + offF(col("_b")))
+      .withColumn("rank", row_number().over(w) + offArr(_._1))
+      .withColumn("ctp", sum("tp").over(cum) + offArr(_._2))
+      .withColumn("cfp", sum("fp").over(cum) + offArr(_._3))
       .withColumn("precision", col("ctp") / (col("ctp") + col("cfp")))
       .withColumn("recall", col("ctp") / lit(totalTp))
       .drop("tb", "_b")
@@ -209,13 +210,11 @@ object Ordered {
     val rangeCol = orderCols.head
     val probs = (1 until n).map(_.toDouble / n).toArray
     val bounds = df.stat.approxQuantile(rangeCol, probs, 0.001)
-      .map(math.floor(_).toLong).distinct.sorted
-    val bBounds = spark.sparkContext.broadcast(bounds)
-    val bucketOf = udf { (v: Long) =>
-      val i = java.util.Arrays.binarySearch(bBounds.value, v)
-      if (i >= 0) i + 1 else -(i + 1)
-    }
-    val tagged = df.withColumn("_b", bucketOf(col(rangeCol).cast("long")))
+      .map(math.floor(_)).distinct.sorted
+    // native binary-search bucket tag (exact for keys < 2^53 — the floor'd
+    // quantile bounds and the cast key compare identically in double space)
+    val tagged = df.withColumn("_b",
+      graft.functions.BucketBinUtil.bucketCol(col(rangeCol).cast("double"), bounds))
     val counts = tagged
       .groupBy(col(partCol).cast("string").as("_g"), col("_b"))
       .count().collect()
@@ -228,15 +227,23 @@ object Ordered {
           val o = acc; acc += c; (g, b) -> o
         }
       }
-    val bOff = spark.sparkContext.broadcast(offsets)
-    val off = udf { (g: String, b: Int) => bOff.value.getOrElse((g, b), 0L) }
+    // (group → per-bucket offset array) as a literal map: element_at twice
+    // stays inside codegen; absent cells (no rows) coalesce to 0
+    val offMap: Map[String, Seq[Long]] = offsets.keys.map(_._1).toSeq.distinct
+      .map { g =>
+        g -> (0 to bounds.length).map(b => offsets.getOrElse((g, b), 0L))
+      }.toMap
+    val offExpr = coalesce(
+      element_at(
+        element_at(typedlit(offMap), col(partCol).cast("string")),
+        col("_b") + 1),
+      lit(0L))
     // window cells are (group, bucket) — sized by the quantile grid,
     // never by group cardinality
     val w = Window.partitionBy(col(partCol), col("_b"))
       .orderBy(orderCols.map(col): _*)
     tagged
-      .withColumn("_rank",
-        row_number().over(w) + off(col(partCol).cast("string"), col("_b")))
+      .withColumn("_rank", row_number().over(w) + offExpr)
       .filter(col("_rank") % k === 0)
       .drop("_b", "_rank")
   }

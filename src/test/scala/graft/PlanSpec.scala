@@ -43,6 +43,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "j9 pairs on the bin hash key")
   }
 
+  test("two-phase rankers carry no Scala UDF (native graft_bucket + literal offsets)") {
+    // prCurveScalable/everyKthScalable used 4 per-row Scala UDFs for the
+    // bucket tag and the offset lookups — serialization boundaries in the
+    // hottest per-row stage. The native BucketBin expression + element_at
+    // literal arrays must keep the whole stage in codegen.
+    for (q <- Seq("w1_pr_curve", "m3_pr_noise_floor", "w7_downsample",
+                  "o5_stratified_sample")) {
+      val p = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("UDF"), s"$q plan still carries a Scala UDF")
+    }
+  }
+
   test("interval overlap joins compile to hash joins on (chrom, bin)") {
     val p = SparkEntry.queries("j5_interval_overlap")(spark, sfDir)
       .queryExecution.executedPlan.toString
