@@ -1,0 +1,436 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.io.Text
+import org.apache.hadoop.util.LineReader
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** VCF DataSourceV2: `spark.read.format("vcf").load(path)` with real
+  * scan-time (chrom, pos) predicate pushdown and column pruning — the
+  * reference's manual `bcftools view -r/-i` region restriction BEFORE
+  * parsing (correct_genotypes_by_imputation.py:141-148,
+  * train_lib_prep_recalibration_model.py:57), expressed as a Spark
+  * `TableProvider` so Catalyst routes the filters down automatically.
+  *
+  * Why it matters at scale: the expression path ([[Vcf.read]]) always
+  * splits all 10+N tab fields and builds the INFO map and FORMAT sample
+  * map for EVERY line before the region filter runs. Here a pushed region
+  * predicate is evaluated on a cheap two-field partial parse (chrom, pos)
+  * and non-matching lines skip the full parse entirely; pruned columns
+  * (`SupportsPushDownRequiredColumns`) skip whole parse stages (no INFO
+  * map for a (chrom,pos) projection, no FORMAT parse unless a sample
+  * field is required). On a whole-genome scan restricted to one locus
+  * that is ~100% of parse work avoided.
+  *
+  * Splits: BGZF files get one task per `split_bytes` of compressed data
+  * via [[Bgzf.splitLines]]'s single-owner rule; plain text files get byte
+  * ranges with the standard skip-first-partial-line / read-through-end
+  * convention (a line belongs to the split containing its first byte,
+  * inclusive of the end boundary). Both are embarrassingly parallel —
+  * no driver-side line handling.
+  *
+  * Pushed filters are ALSO returned as post-scan filters (Spark
+  * re-applies them), so the source only ever prunes, never decides —
+  * results are row-identical to `Vcf.read(...).filter(...)` (spec-gated
+  * in VcfBedSpec).
+  *
+  * Options: `sample_index` (default 0), `split_bytes` (default 16 MiB).
+  */
+class VcfDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "vcf"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    VcfV2.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("vcf source requires a path"))
+    val sampleIndex = Option(properties.get("sample_index")).map(_.toInt).getOrElse(0)
+    val splitBytes = Option(properties.get("split_bytes")).map(_.toLong)
+      .getOrElse(16L * 1024 * 1024)
+    new VcfTable(path, sampleIndex, splitBytes)
+  }
+}
+
+object VcfV2 {
+  /** Same columns, order, and types as [[Vcf.read]]'s output frame. */
+  val schema: StructType = StructType(Seq(
+    StructField("chrom", StringType),
+    StructField("pos", LongType),
+    StructField("id", StringType),
+    StructField("ref", StringType),
+    StructField("alleles", ArrayType(StringType)),
+    StructField("qual", DoubleType),
+    StructField("filter", StringType),
+    StructField("info", MapType(StringType, StringType)),
+    StructField("sample", MapType(StringType, StringType, valueContainsNull = false)),
+    StructField("gt", ArrayType(IntegerType)),
+    StructField("ad", ArrayType(IntegerType)),
+    StructField("pl", ArrayType(IntegerType)),
+    StructField("dp", IntegerType),
+    StructField("gq", IntegerType)))
+}
+
+class VcfTable(path: String, sampleIndex: Int, splitBytes: Long)
+    extends Table with SupportsRead {
+  override def name(): String = s"vcf $path"
+  override def schema(): StructType = VcfV2.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new VcfScanBuilder(path, sampleIndex, splitBytes)
+}
+
+class VcfScanBuilder(path: String, sampleIndex: Int, splitBytes: Long)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = VcfV2.schema
+
+  /** Accept (chrom, pos) predicates the partial parse can evaluate; every
+    * filter is ALSO kept post-scan (returned unchanged), so pushdown can
+    * only skip lines the engine would drop anyway. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(VcfFilterEval.supported)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new VcfScan(path, sampleIndex, splitBytes,
+    pushed, required)
+}
+
+class VcfScan(path: String, sampleIndex: Int, splitBytes: Long,
+              pushed: Array[Filter], required: StructType)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  // surfaced in the plan text (BatchScan ... PushedFilters/ReadSchema) so
+  // pushdown is assertable the same way parquet scans are
+  override def description(): String =
+    s"vcf $path PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    val base = new Path(path)
+    val fs = base.getFileSystem(conf)
+    val files = fs.globStatus(base) match {
+      case null => Array.empty[org.apache.hadoop.fs.FileStatus]
+      case st => st.flatMap { s =>
+        if (s.isDirectory) fs.listStatus(s.getPath).filter(_.isFile) else Array(s)
+      }.filter { s =>
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+    }
+    files.flatMap { s =>
+      val p = s.getPath.toString
+      val len = s.getLen
+      val gz = p.endsWith(".gz") || p.endsWith(".bgz")
+      val bgzf = gz && (try Bgzf.isBgzf(conf, p) catch { case _: Throwable => false })
+      if (gz && !bgzf)
+        // plain gzip is not splittable: one whole-file partition through the
+        // codec (same caveat as Vcf.read — feed many files at scale)
+        Seq(VcfPartition(p, 0, len, VcfPartition.Gzip))
+      else {
+        val kind = if (bgzf) VcfPartition.Bgzf else VcfPartition.Text
+        val n = math.max(1L, (len + splitBytes - 1) / splitBytes).toInt
+        (0 until n).map { i =>
+          VcfPartition(p, i.toLong * splitBytes,
+            math.min((i + 1).toLong * splitBytes, len), kind)
+        }
+      }
+    }.toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // Configuration is not serializable: ship entries, rebuild per task
+    val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    val entries = {
+      val it = conf.iterator()
+      val b = Seq.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.result()
+    }
+    VcfReaderFactory(entries, sampleIndex, pushed, required.fieldNames)
+  }
+}
+
+case class VcfPartition(path: String, start: Long, end: Long, kind: Int)
+    extends InputPartition
+
+object VcfPartition {
+  val Text = 0; val Bgzf = 1; val Gzip = 2
+}
+
+case class VcfReaderFactory(confEntries: Seq[(String, String)],
+                            sampleIndex: Int, pushed: Array[Filter],
+                            fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[VcfPartition]
+    val conf = new Configuration(false)
+    confEntries.foreach { case (k, v) => conf.set(k, v) }
+    val lines = p.kind match {
+      case VcfPartition.Bgzf => Bgzf.splitLines(conf, p.path, p.start, p.end)
+      case VcfPartition.Gzip => VcfLineParser.gzipLines(conf, p.path)
+      case _ => VcfLineParser.textSplitLines(conf, p.path, p.start, p.end)
+    }
+    new VcfPartitionReader(lines, sampleIndex, pushed, fields)
+  }
+}
+
+/** Iterates lines, applies the pushed (chrom, pos) predicates on a
+  * two-field partial parse, then parses only the required columns. */
+class VcfPartitionReader(lines: Iterator[String], sampleIndex: Int,
+                         pushed: Array[Filter], fields: Array[String])
+    extends PartitionReader[InternalRow] {
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    row = null
+    while (row == null && lines.hasNext) {
+      val line = lines.next()
+      if (!line.startsWith("#")) {
+        val tab1 = line.indexOf('\t')
+        val chrom = if (tab1 < 0) line else line.substring(0, tab1)
+        val tab2 = if (tab1 < 0) -1 else line.indexOf('\t', tab1 + 1)
+        val posStr =
+          if (tab1 < 0) null
+          else if (tab2 < 0) line.substring(tab1 + 1)
+          else line.substring(tab1 + 1, tab2)
+        val pos = VcfLineParser.toLongOrNull(posStr)
+        if (pushed.forall(VcfFilterEval.eval(_, chrom, pos)))
+          row = VcfLineParser.parse(line, chrom, pos, sampleIndex, fields)
+      }
+    }
+    row != null
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+}
+
+/** Scan-side evaluation of the pushable (chrom, pos) filter shapes. */
+object VcfFilterEval {
+  private val cols = Set("chrom", "pos")
+
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(a, _) => cols(a)
+    case In(a, _) => cols(a)
+    case IsNotNull(a) => cols(a)
+    case GreaterThan("pos", _) => true
+    case GreaterThanOrEqual("pos", _) => true
+    case LessThan("pos", _) => true
+    case LessThanOrEqual("pos", _) => true
+    case And(l, r) => supported(l) && supported(r)
+    case Or(l, r) => supported(l) && supported(r)
+    case _ => false
+  }
+
+  private def num(v: Any): Long = v.asInstanceOf[Number].longValue()
+
+  /** SQL three-valued logic collapsed to "keep?": null comparisons are
+    * not-keep, matching the engine-side filter the row would hit anyway. */
+  def eval(f: Filter, chrom: String, pos: java.lang.Long): Boolean = f match {
+    case EqualTo("chrom", v) => chrom != null && chrom == v
+    case EqualTo("pos", v) => pos != null && pos.longValue() == num(v)
+    case In("chrom", vs) => chrom != null && vs.contains(chrom)
+    case In("pos", vs) =>
+      pos != null && vs.exists(v => num(v) == pos.longValue())
+    case IsNotNull("chrom") => chrom != null
+    case IsNotNull("pos") => pos != null
+    case GreaterThan("pos", v) => pos != null && pos.longValue() > num(v)
+    case GreaterThanOrEqual("pos", v) => pos != null && pos.longValue() >= num(v)
+    case LessThan("pos", v) => pos != null && pos.longValue() < num(v)
+    case LessThanOrEqual("pos", v) => pos != null && pos.longValue() <= num(v)
+    case And(l, r) => eval(l, chrom, pos) && eval(r, chrom, pos)
+    case Or(l, r) => eval(l, chrom, pos) || eval(r, chrom, pos)
+    case _ => true
+  }
+}
+
+/** Line → InternalRow parse, replaying [[Vcf.fromLines]]'s expression
+  * semantics field-for-field (split with -1 limit, out-of-range
+  * element_at → null, "."/"" handling, FORMAT raggedness slice) so the
+  * two paths are row-identical — gated by VcfBedSpec on every fixture. */
+object VcfLineParser {
+
+  def toLongOrNull(s: String): java.lang.Long =
+    if (s == null) null
+    else try java.lang.Long.valueOf(s.trim) catch { case _: NumberFormatException => null }
+
+  private def toIntOrNull(s: String): java.lang.Integer =
+    if (s == null) null
+    else try java.lang.Integer.valueOf(s.trim) catch { case _: NumberFormatException => null }
+
+  private def toDoubleOrNull(s: String): java.lang.Double =
+    if (s == null) null
+    else try java.lang.Double.valueOf(s.trim) catch { case _: NumberFormatException => null }
+
+  private def utf8(s: String): UTF8String =
+    if (s == null) null else UTF8String.fromString(s)
+
+  /** element_at semantics: 1-based, out of range → null. */
+  private def at(f: Array[String], i: Int): String =
+    if (i >= 1 && i <= f.length) f(i - 1) else null
+
+  def parse(line: String, chrom: String, pos: java.lang.Long,
+            sampleIndex: Int, fields: Array[String]): InternalRow = {
+    val f = line.split("\t", -1)
+
+    // FORMAT sample map, built lazily once for the gt/ad/pl/dp/gq family
+    var sampleComputed = false
+    var sampleMap: Map[String, String] = null
+    def sample: Map[String, String] = {
+      if (!sampleComputed) {
+        sampleComputed = true
+        val keys = at(f, 9)
+        val vals = at(f, 10 + sampleIndex)
+        if (keys != null && vals != null) {
+          val ks = keys.split(":", -1)
+          val vs = vals.split(":", -1)
+          val m = math.min(ks.length, vs.length)
+          sampleMap = ks.take(m).zip(vs.take(m)).toMap
+        }
+      }
+      sampleMap
+    }
+    def sampleField(k: String): String =
+      if (sample == null) null else sample.getOrElse(k, null)
+
+    def strMapData(m: Map[String, String], order: Seq[String]): ArrayBasedMapData =
+      new ArrayBasedMapData(
+        new GenericArrayData(order.map(utf8).toArray[Any]),
+        new GenericArrayData(order.map(k => utf8(m(k))).toArray[Any]))
+
+    val values = fields.map {
+      case "chrom" => utf8(chrom)
+      case "pos" => pos
+      case "id" => utf8(at(f, 3))
+      case "ref" => utf8(at(f, 4))
+      case "alleles" =>
+        val alt = at(f, 5)
+        if (alt == null) null
+        else new GenericArrayData(
+          (at(f, 4) +: alt.split(",", -1).toSeq).map(utf8).toArray[Any])
+      case "qual" =>
+        val q = at(f, 6)
+        if (q == ".") null else toDoubleOrNull(q)
+      case "filter" => utf8(at(f, 7))
+      case "info" =>
+        val info = at(f, 8)
+        if (info == null) null
+        else {
+          // str_to_map semantics: ";"-split keeps empties, "="-split limit
+          // 2 (value = rest after first '='), entry without '=' → null value
+          val parts = info.split(";", -1)
+          val order = scala.collection.mutable.LinkedHashSet.empty[String]
+          val m = scala.collection.mutable.Map.empty[String, String]
+          parts.foreach { part =>
+            val e = part.indexOf('=')
+            val (k, v) =
+              if (e < 0) (part, null) else (part.substring(0, e), part.substring(e + 1))
+            order += k; m(k) = v
+          }
+          strMapData(m.toMap, order.toSeq)
+        }
+      case "sample" =>
+        val s = sample
+        if (s == null) null
+        else {
+          // FORMAT order, first occurrence wins like map_from_arrays
+          val keys = at(f, 9).split(":", -1)
+          val m = math.min(keys.length, at(f, 10 + sampleIndex).split(":", -1).length)
+          strMapData(s, keys.take(m).distinct.toSeq)
+        }
+      case "gt" =>
+        val gt = sampleField("GT")
+        if (gt == null) null
+        else new GenericArrayData(
+          gt.replace('|', '/').split("/", -1)
+            .map(g => if (g == "." || g == "") null else toIntOrNull(g))
+            .toArray[Any])
+      case "ad" => intArrayData(sampleField("AD"))
+      case "pl" => intArrayData(sampleField("PL"))
+      case "dp" => toIntOrNull(sampleField("DP"))
+      case "gq" => toIntOrNull(sampleField("GQ"))
+      case other => throw new IllegalArgumentException(s"unknown vcf column $other")
+    }
+    InternalRow.fromSeq(values.toSeq)
+  }
+
+  private def intArrayData(s: String): GenericArrayData =
+    if (s == null) null
+    else new GenericArrayData(s.split(",", -1).map(x => toIntOrNull(x)).toArray[Any])
+
+  /** Whole-file gzip line iterator (plain gzip only; BGZF takes the
+    * splittable path). */
+  def gzipLines(conf: Configuration, path: String): Iterator[String] = {
+    val p = new Path(path)
+    val in = new java.util.zip.GZIPInputStream(p.getFileSystem(conf).open(p))
+    val br = new java.io.BufferedReader(
+      new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+    Iterator.continually(br.readLine()).takeWhile { l =>
+      if (l == null) br.close(); l != null
+    }
+  }
+
+  /** Plain-text byte-range line iterator: split `[start, end)` owns the
+    * lines whose first byte lies in `(start, end]` (from byte 0 when
+    * `start == 0`) — the standard Hadoop LineRecordReader convention, so
+    * ranges tile a file exactly once. */
+  def textSplitLines(conf: Configuration, path: String,
+                     start: Long, end: Long): Iterator[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    in.seek(start)
+    val lr = new LineReader(in)
+    val text = new Text()
+    var pos = start
+    if (start != 0) pos += lr.readLine(text) // discard the straddler's tail
+
+    new Iterator[String] {
+      private var pending: String = _
+      private var closed = false
+
+      override def hasNext: Boolean = {
+        if (pending == null && !closed) {
+          if (pos > end) { closed = true; in.close() }
+          else {
+            val n = lr.readLine(text)
+            if (n == 0) { closed = true; in.close() }
+            else { pending = text.toString; pos += n }
+          }
+        }
+        pending != null
+      }
+
+      override def next(): String = {
+        if (!hasNext) throw new NoSuchElementException
+        val r = pending; pending = null; r
+      }
+    }
+  }
+}

@@ -195,6 +195,81 @@ class VcfBedSpec extends SparkSpec {
     assert(norm(a) == norm(b))
   }
 
+  test("vcf DataSourceV2: row-identical to the expression path") {
+    val v1 = Vcf.read(spark, vcfDir)
+    val v2 = spark.read.format("vcf").load(vcfDir)
+    assert(v2.schema.map(f => (f.name, f.dataType)) ==
+      v1.schema.map(f => (f.name, f.dataType)))
+    val a = v1.orderBy("chrom", "pos").collect().map(_.toSeq)
+    val b = v2.orderBy("chrom", "pos").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("vcf DataSourceV2: region predicate is pushed to the scan (bcftools -r parity)") {
+    val q = spark.read.format("vcf").load(vcfDir)
+      .filter(col("chrom") === "chr1" && col("pos") > 150L)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), "vcf scan surfaces pushed filters")
+    assert(plan.contains("chrom") && plan.contains("pos"),
+      s"region predicates reach the scan: $plan")
+    val expect = Vcf.read(spark, vcfDir)
+      .filter(col("chrom") === "chr1" && col("pos") > 150L)
+      .collect().map(_.toSeq)
+    assert(q.collect().map(_.toSeq).toSeq == expect.toSeq)
+  }
+
+  test("vcf DataSourceV2: column pruning reaches the scan") {
+    val q = spark.read.format("vcf").load(vcfDir).select("chrom", "pos")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: chrom,pos"), s"pruned scan schema: $plan")
+    assert(q.orderBy("chrom", "pos").collect().map(_.toSeq).toSeq ==
+      Seq(Seq("chr1", 100L), Seq("chr1", 200L), Seq("chr2", 5L)))
+  }
+
+  test("vcf DataSourceV2: byte-range splits tile a plain-text file exactly once") {
+    val d = Files.createTempDirectory("graftvcfsplit")
+    val header = vcfLines.take(3)
+    val body = (1 to 500).map { i =>
+      s"chr${1 + i % 3}\t${i * 10}\t.\tA\tT\t$i\tPASS\tDP=$i\tGT:DP\t0/1:$i"
+    }
+    Files.writeString(d.resolve("big.vcf"), (header ++ body).mkString("\n"))
+    val p = d.resolve("big.vcf").toString
+    val v2 = spark.read.format("vcf").option("split_bytes", "2048").load(p)
+    assert(v2.rdd.getNumPartitions > 1, "small split_bytes yields multiple tasks")
+    val got = v2.agg(count(lit(1)), sum("pos"), sum("dp")).head
+    assert(got.getLong(0) == 500L)
+    assert(got.getLong(1) == (1 to 500).map(_ * 10L).sum)
+    assert(got.getLong(2) == (1 to 500).map(_.toLong).sum)
+    // pushed region query agrees with the expression path on the split read
+    val v2r = v2.filter(col("pos") > 2000L && col("pos") <= 3000L)
+    val v1r = Vcf.read(spark, p).filter(col("pos") > 2000L && col("pos") <= 3000L)
+    assert(v2r.orderBy("chrom", "pos").collect().map(_.toSeq).toSeq ==
+      v1r.orderBy("chrom", "pos").collect().map(_.toSeq).toSeq)
+  }
+
+  test("vcf DataSourceV2: BGZF files split; plain gzip falls back to one whole-file task") {
+    val d = Files.createTempDirectory("graftvcfv2gz")
+    val header = vcfLines.take(3)
+    val body = (1 to 300).map { i =>
+      s"chr1\t$i\t.\tG\tC\t50\tPASS\tDP=$i\tGT\t0/1"
+    }
+    val bg = d.resolve("b.vcf.gz")
+    val os = Files.newOutputStream(bg)
+    Bgzf.write((header ++ body).iterator, os, blockBytes = 1024)
+    os.close()
+    val v2 = spark.read.format("vcf").option("split_bytes", "1024").load(bg.toString)
+    assert(v2.rdd.getNumPartitions > 1, "bgzf read splits by compressed offset")
+    assert(v2.count() == 300L)
+    assert(v2.agg(sum("pos")).head.getLong(0) == (1 to 300).map(_.toLong).sum)
+
+    val gz = d.resolve("p.vcf.gz")
+    val go = new java.util.zip.GZIPOutputStream(Files.newOutputStream(gz))
+    go.write((header ++ body).mkString("\n").getBytes("UTF-8")); go.close()
+    val v2g = spark.read.format("vcf").option("split_bytes", "1024").load(gz.toString)
+    assert(v2g.rdd.getNumPartitions == 1, "plain gzip is not splittable")
+    assert(v2g.count() == 300L)
+  }
+
   test("BED read/write round-trip with half-open intervals") {
     val d = Files.createTempDirectory("graftbed")
     Files.writeString(d.resolve("t.bed"), "chr1\t0\t100\nchr1\t150\t300\nchr2\t10\t20\n")
