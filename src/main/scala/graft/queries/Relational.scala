@@ -386,6 +386,19 @@ object Relational {
     "f19_json_extract" -> { (s, d) =>
       Tables.events(s, d).select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))
+    },
+    // ----- QC1: fold-penalty sweep of the QC report layer
+    // (createQCReport.ipynb "Coverage": Cumu cumulative fraction, FN =
+    // median / first coverage whose cumulative fraction exceeds 1-N/100).
+    // The histogram aggregates facts FIRST; the window runs over the tiny
+    // per-group histogram, so the report math itself is oracle-gated while
+    // staying a partial+final aggregate at fact scale.
+    "qc1_fold_penalty" -> { (s, d) =>
+      val hist = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("sample"),
+                 col("l_quantity").cast("int").as("coverage"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.reports.QcReport.foldPenalty(hist)
     }
   )
 
@@ -571,6 +584,29 @@ object Relational {
       """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
          round(sum(value),4) AS sum_value FROM events GROUP BY 1,2""",
     "f19_json_extract" ->
-      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events"
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events",
+    "qc1_fold_penalty" ->
+      """WITH h AS (
+           SELECT l_returnflag AS sample, CAST(l_quantity AS INTEGER) AS coverage,
+                  count(*) AS cnt
+           FROM lineitem GROUP BY 1, 2
+         ), c AS (
+           SELECT sample, coverage,
+                  CAST(sum(cnt) OVER (PARTITION BY sample ORDER BY coverage) AS DOUBLE)
+                    / sum(cnt) OVER (PARTITION BY sample) AS cumu
+           FROM h
+         ), p AS (
+           SELECT sample,
+                  min(CASE WHEN cumu > 0.05 THEN coverage END) AS p05,
+                  min(CASE WHEN cumu > 0.10 THEN coverage END) AS p10,
+                  min(CASE WHEN cumu > 0.20 THEN coverage END) AS p20,
+                  min(CASE WHEN cumu > 0.50 THEN coverage END) AS p50
+           FROM c GROUP BY 1
+         )
+         SELECT sample, p05, p10, p20, p50,
+           floor(CAST(p50 AS DOUBLE)/p20*1000000 + 0.5)/1000000 AS f80,
+           floor(CAST(p50 AS DOUBLE)/p10*1000000 + 0.5)/1000000 AS f90,
+           floor(CAST(p50 AS DOUBLE)/p05*1000000 + 0.5)/1000000 AS f95
+         FROM p"""
   )
 }

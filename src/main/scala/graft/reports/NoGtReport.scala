@@ -65,4 +65,17 @@ object NoGtReport {
 
   def write(variants: DataFrame, path: String): Unit =
     graft.sources.MultiTable.write(tables(variants), path)
+
+  /** VariantEval ingestion (run_no_gt_report.py:214-256): parse the GATK
+    * report the external tool wrote and register each extracted table as a
+    * temp view `eval_<TableName>`, so the no-GT report joins callset
+    * statistics with VariantEval's comp/overlap tables in plain SQL. */
+  def ingestVariantEval(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Map[String, DataFrame] = {
+    val tables = graft.sources.GatkReport.read(spark, path)
+    tables.foreach { case (name, df) =>
+      df.createOrReplaceTempView(s"eval_$name")
+    }
+    tables
+  }
 }
