@@ -15,12 +15,19 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** `shuffle = true` pins a shuffled hash join (the scenario salting
+    * exists for: the small side is past broadcast size, so the join must
+    * shuffle — and without the salt every row of a hot key lands on one
+    * reducer). Left false, Spark may still broadcast a tiny small side,
+    * which is the better plan when it fits. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-                 parts: Int, joinType: String = "inner"): DataFrame = {
+                 parts: Int, joinType: String = "inner",
+                 shuffle: Boolean = false): DataFrame = {
     val salted = big.withColumn("_salt",
       (rand(42) * parts).cast("int"))
-    val exploded = small.withColumn("_salt",
+    val exploded0 = small.withColumn("_salt",
       explode(sequence(lit(0), lit(parts - 1))))
+    val exploded = if (shuffle) exploded0.hint("shuffle_hash") else exploded0
     salted.join(exploded, Seq(key, "_salt"), joinType).drop("_salt")
   }
 }

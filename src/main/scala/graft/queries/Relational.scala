@@ -258,6 +258,22 @@ object Relational {
         .select("c_custkey", "c_acctbal")
     },
 
+    // ----- J13: salted skew join (SURVEY skew lever, hot-contig scenario).
+    // l_returnflag has 3 values over the whole fact table — the textbook
+    // melted-reducer key. The salt fans each hot key over `parts`
+    // reducers; the aggregate on top makes the output salt-invariant, so
+    // the oracle is the plain join. shuffle=true pins the shuffled hash
+    // join (broadcast would bypass the very shuffle the salt exists for).
+    "j13_skew_join" -> { (s, d) =>
+      val li = Tables.lineitem(s, d).select("l_returnflag", "l_quantity")
+      val dim = Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(min("l_partkey").as("flag_min_part"))
+      graft.operators.SkewJoin
+        .saltedJoin(li, dim, "l_returnflag", parts = 8, shuffle = true)
+        .groupBy("l_returnflag", "flag_min_part")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
+    },
+
     // ----- O2: genomic sort (chrom,pos analog) — set-checked, exercises range sort
     "o2_sorted_keys" -> { (s, d) =>
       Tables.lineitem(s, d).orderBy("l_orderkey", "l_linenumber")
@@ -585,6 +601,14 @@ object Relational {
          round(sum(value),4) AS sum_value FROM events GROUP BY 1,2""",
     "f19_json_extract" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events",
+    "j13_skew_join" ->
+      """WITH dim AS (
+           SELECT l_returnflag, min(l_partkey) AS flag_min_part
+           FROM lineitem GROUP BY 1)
+         SELECT l.l_returnflag, d.flag_min_part, count(*) AS n,
+                round(sum(l.l_quantity), 4) AS sum_qty
+         FROM lineitem l JOIN dim d ON l.l_returnflag = d.l_returnflag
+         GROUP BY 1, 2""",
     "qc1_fold_penalty" ->
       """WITH h AS (
            SELECT l_returnflag AS sample, CAST(l_quantity AS INTEGER) AS coverage,

@@ -56,6 +56,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("j13 salted skew join shuffles on (key, salt), not broadcast") {
+    val p = SparkEntry.queries("j13_skew_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("_salt"), "salt column participates in the join keys")
+    assert(p.contains("ShuffledHashJoin"),
+      s"salted join must shuffle (broadcast would bypass the salt): $p")
+    assert(!p.contains("BroadcastHashJoin"), "no broadcast on the salted path")
+  }
+
   test("interval overlap joins compile to hash joins on (chrom, bin)") {
     val p = SparkEntry.queries("j5_interval_overlap")(spark, sfDir)
       .queryExecution.executedPlan.toString
