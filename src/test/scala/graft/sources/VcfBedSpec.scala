@@ -247,6 +247,27 @@ class VcfBedSpec extends SparkSpec {
       v1r.orderBy("chrom", "pos").collect().map(_.toSeq).toSeq)
   }
 
+  test("vcf DataSourceV2: sample_index option and directory loads match the expression path") {
+    val d = Files.createTempDirectory("graftvcfv2dir")
+    val lines = Seq(
+      "##fileformat=VCFv4.2",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2",
+      "chr1\t100\t.\tA\tT\t50\tPASS\tDP=9\tGT:DP\t0/1:11\t1/1:22",
+      "chr1\t200\t.\tG\tC\t60\tPASS\tDP=8\tGT:DP\t0/0:33\t0/1:44")
+    Files.writeString(d.resolve("a.vcf"), lines.mkString("\n"))
+    Files.writeString(d.resolve("b.vcf"), lines.mkString("\n")
+      .replace("chr1", "chr2"))
+    // second sample via option
+    val s2 = spark.read.format("vcf").option("sample_index", "1")
+      .load(d.resolve("a.vcf").toString)
+    assert(s2.orderBy("pos").collect().map(_.getAs[Int]("dp")).toSeq == Seq(22, 44))
+    // directory load picks up both files
+    val all = spark.read.format("vcf").load(d.toString)
+    assert(all.count() == 4)
+    assert(all.select("chrom").distinct().collect().map(_.getString(0)).toSet ==
+      Set("chr1", "chr2"))
+  }
+
   test("vcf DataSourceV2: BGZF files split; plain gzip falls back to one whole-file task") {
     val d = Files.createTempDirectory("graftvcfv2gz")
     val header = vcfLines.take(3)
