@@ -1,0 +1,41 @@
+import org.apache.spark.sql.functions._
+
+/** VCF scan-path probe: the DataSourceV2 pushdown ([[graft.sources.VcfV2]])
+  * vs the expression path ([[graft.sources.Vcf.read]]) on a region query
+  * over a large single-sample VCF — the reference's `bcftools view -r`
+  * scenario (restrict BEFORE parse). Both paths produce identical rows
+  * (spec-gated); this probe quantifies the scan-time difference: the V2
+  * reader evaluates the region predicate on a 2-field partial parse and
+  * skips full parsing of non-matching lines, while the expression path
+  * must split every line before its filter runs.
+  * Usage: runMain VcfProbe /tmp/big.vcf [chrom] [lo] [hi]
+  */
+object VcfProbe {
+  def main(args: Array[String]): Unit = {
+    val path = args.headOption.getOrElse("/tmp/big.vcf")
+    val chrom = if (args.length > 1) args(1) else "chr7"
+    val lo = if (args.length > 2) args(2).toLong else 100000L
+    val hi = if (args.length > 3) args(3).toLong else 200000L
+    val spark = graft.Spark.session("vcf-probe")
+
+    def region(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("chrom") === chrom && col("pos") > lo && col("pos") <= hi)
+        .agg(count(lit(1)).as("n"), sum("dp").as("sum_dp"), avg("qual").as("avg_qual"))
+
+    def time(label: String, df: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val r = df.collect().head
+      println(f"[vcfprobe] $label%-12s ${(System.nanoTime() - t0) / 1e9}%6.1f s  " +
+        s"n=${r.getLong(0)} sum_dp=${r.get(1)}")
+    }
+
+    // warm both input paths
+    region(graft.sources.Vcf.read(spark, path)).collect()
+    region(spark.read.format("vcf").load(path)).collect()
+    for (rep <- 1 to 2) {
+      time(s"expr#$rep", region(graft.sources.Vcf.read(spark, path)))
+      time(s"v2#$rep", region(spark.read.format("vcf").load(path)))
+    }
+    spark.stop()
+  }
+}
