@@ -97,13 +97,13 @@ object Bgzf {
   /** One split's lines under the single-owner rule above. Exposed for
     * direct boundary testing; query code goes through [[readLines]]. */
   private[sources] def splitLines(conf: Configuration, path: String,
-                                  start: Long, end: Long): Iterator[String] = {
+                                  start: Long, end: Long): Iterator[String] with AutoCloseable = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val fileLen = fs.getFileStatus(p).getLen
     val in = fs.open(p)
 
-    new Iterator[String] {
+    new Iterator[String] with AutoCloseable {
       private var nextBlockStart = if (start == 0L) 0L else findBlockStart(in, start, fileLen)
       private var curBlockStart = -1L
       private var buf: Array[Byte] = Array.emptyByteArray
@@ -204,6 +204,11 @@ object Bgzf {
         pending = null
         r
       }
+
+      /** Early-termination hook (e.g. a LIMIT query's PartitionReader):
+        * releases the FS stream before exhaustion. */
+      override def close(): Unit =
+        if (!closed) { closed = true; in.close() }
     }
   }
 

@@ -228,7 +228,13 @@ class VcfPartitionReader(lines: Iterator[String], sampleIndex: Int,
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = ()
+
+  /** Releases the underlying FS stream on early termination (LIMIT
+    * queries stop the reader before the iterator exhausts). */
+  override def close(): Unit = lines match {
+    case c: AutoCloseable => c.close()
+    case _ => ()
+  }
 }
 
 /** Scan-side evaluation of the pushable (chrom, pos) filter shapes. */
@@ -386,13 +392,26 @@ object VcfLineParser {
 
   /** Whole-file gzip line iterator (plain gzip only; BGZF takes the
     * splittable path). */
-  def gzipLines(conf: Configuration, path: String): Iterator[String] = {
+  def gzipLines(conf: Configuration, path: String): Iterator[String] with AutoCloseable = {
     val p = new Path(path)
     val in = new java.util.zip.GZIPInputStream(p.getFileSystem(conf).open(p))
     val br = new java.io.BufferedReader(
       new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
-    Iterator.continually(br.readLine()).takeWhile { l =>
-      if (l == null) br.close(); l != null
+    new Iterator[String] with AutoCloseable {
+      private var pending: String = _
+      private var closed = false
+      override def hasNext: Boolean = {
+        if (pending == null && !closed) {
+          pending = br.readLine()
+          if (pending == null) close()
+        }
+        pending != null
+      }
+      override def next(): String = {
+        if (!hasNext) throw new NoSuchElementException
+        val r = pending; pending = null; r
+      }
+      override def close(): Unit = if (!closed) { closed = true; br.close() }
     }
   }
 
@@ -401,7 +420,7 @@ object VcfLineParser {
     * `start == 0`) — the standard Hadoop LineRecordReader convention, so
     * ranges tile a file exactly once. */
   def textSplitLines(conf: Configuration, path: String,
-                     start: Long, end: Long): Iterator[String] = {
+                     start: Long, end: Long): Iterator[String] with AutoCloseable = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val in = fs.open(p)
@@ -411,16 +430,16 @@ object VcfLineParser {
     var pos = start
     if (start != 0) pos += lr.readLine(text) // discard the straddler's tail
 
-    new Iterator[String] {
+    new Iterator[String] with AutoCloseable {
       private var pending: String = _
       private var closed = false
 
       override def hasNext: Boolean = {
         if (pending == null && !closed) {
-          if (pos > end) { closed = true; in.close() }
+          if (pos > end) close()
           else {
             val n = lr.readLine(text)
-            if (n == 0) { closed = true; in.close() }
+            if (n == 0) close()
             else { pending = text.toString; pos += n }
           }
         }
@@ -431,6 +450,8 @@ object VcfLineParser {
         if (!hasNext) throw new NoSuchElementException
         val r = pending; pending = null; r
       }
+
+      override def close(): Unit = if (!closed) { closed = true; in.close() }
     }
   }
 }

@@ -247,6 +247,15 @@ class VcfBedSpec extends SparkSpec {
       v1r.orderBy("chrom", "pos").collect().map(_.toSeq).toSeq)
   }
 
+  test("vcf DataSourceV2: LIMIT stops readers early (stream closed) and count() scans an empty projection") {
+    // limit: the PartitionReader is closed before exhaustion — the
+    // AutoCloseable line iterators must release their FS streams
+    val two = spark.read.format("vcf").load(vcfDir).limit(2).collect()
+    assert(two.length == 2)
+    // empty required schema (count-only) still iterates rows
+    assert(spark.read.format("vcf").load(vcfDir).count() == 3L)
+  }
+
   test("vcf DataSourceV2: sample_index option and directory loads match the expression path") {
     val d = Files.createTempDirectory("graftvcfv2dir")
     val lines = Seq(
