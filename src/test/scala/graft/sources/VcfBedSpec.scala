@@ -247,6 +247,40 @@ class VcfBedSpec extends SparkSpec {
       v1r.orderBy("chrom", "pos").collect().map(_.toSeq).toSeq)
   }
 
+  test("vcf DataSourceV2: randomized line-shape equivalence with the expression path") {
+    // the V2 parser hand-replays Vcf.fromLines' expression semantics; this
+    // property hunts divergence on the shapes that bite: ragged FORMAT
+    // columns, missing trailing fields, '.' markers, '=' inside INFO
+    // values, flag-only INFO entries, phased/haploid/no-call genotypes
+    val rnd = new scala.util.Random(1234)
+    def maybe(s: => String): String = if (rnd.nextBoolean()) s else "."
+    val infos = Seq("DP=30;AF=0.5", "X=a=b;FLAG;DP=7", "FLAG", ".", "K=;DP=1", "AF=0.1,0.2")
+    val fmts = Seq(
+      ("GT:AD:DP:GQ:PL", () => s"${Seq("0/1","1|1","0","./.", "1")(rnd.nextInt(5))}:${rnd.nextInt(30)},${rnd.nextInt(30)}:${rnd.nextInt(90)}:${rnd.nextInt(99)}:50,0,${rnd.nextInt(90)}"),
+      ("GT:DP", () => s"${Seq("0/0","1/2","."," 1/1".trim)(rnd.nextInt(4))}:${rnd.nextInt(50)}"),
+      ("GT:AD:DP", () => Seq("0/1", "1/1:3,4", "0/1:5,6:9")(rnd.nextInt(3))), // ragged
+      ("DP:GQ", () => s"${rnd.nextInt(60)}:${rnd.nextInt(99)}"))              // no GT
+    val lines = Seq(
+      "##fileformat=VCFv4.2",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1") ++
+      (1 to 400).map { i =>
+        val (fmt, gen) = fmts(rnd.nextInt(fmts.length))
+        Seq(s"chr${1 + i % 4}", s"${i * 13}", maybe(s"rs$i"), Seq("A","CT","G")(rnd.nextInt(3)),
+          Seq("T", "C,G", "<DEL>", ".")(rnd.nextInt(4)), maybe(s"${rnd.nextInt(99)}.5"),
+          maybe("PASS"), infos(rnd.nextInt(infos.length)), fmt, gen()).mkString("\t")
+      }
+    val d = Files.createTempDirectory("graftvcffuzz")
+    Files.writeString(d.resolve("f.vcf"), lines.mkString("\n"))
+    val p = d.resolve("f.vcf").toString
+    val a = Vcf.read(spark, p).orderBy("chrom", "pos").collect().map(_.toSeq)
+    val b = spark.read.format("vcf").option("split_bytes", "4096").load(p)
+      .orderBy("chrom", "pos").collect().map(_.toSeq)
+    assert(a.length == 400 && b.length == 400)
+    a.zip(b).zipWithIndex.foreach { case ((x, y), i) =>
+      assert(x == y, s"row $i diverged:\n  expr: $x\n  v2:   $y")
+    }
+  }
+
   test("vcf DataSourceV2: LIMIT stops readers early (stream closed) and count() scans an empty projection") {
     // limit: the PartitionReader is closed before exhaustion — the
     // AutoCloseable line iterators must release their FS streams
