@@ -51,8 +51,11 @@ import scala.jdk.CollectionConverters._
 class VcfDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "vcf"
 
+  private def allSamples(opts: java.util.Map[String, String]): Boolean =
+    Option(opts.get("samples")).exists(_.equalsIgnoreCase("all"))
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    VcfV2.schema
+    if (allSamples(options)) VcfV2.allSamplesSchema else VcfV2.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
@@ -61,13 +64,12 @@ class VcfDataSource extends TableProvider with DataSourceRegister {
     val sampleIndex = Option(properties.get("sample_index")).map(_.toInt).getOrElse(0)
     val splitBytes = Option(properties.get("split_bytes")).map(_.toLong)
       .getOrElse(16L * 1024 * 1024)
-    new VcfTable(path, sampleIndex, splitBytes)
+    new VcfTable(path, sampleIndex, splitBytes, allSamples(properties))
   }
 }
 
 object VcfV2 {
-  /** Same columns, order, and types as [[Vcf.read]]'s output frame. */
-  val schema: StructType = StructType(Seq(
+  private val core = Seq(
     StructField("chrom", StringType),
     StructField("pos", LongType),
     StructField("id", StringType),
@@ -75,31 +77,44 @@ object VcfV2 {
     StructField("alleles", ArrayType(StringType)),
     StructField("qual", DoubleType),
     StructField("filter", StringType),
-    StructField("info", MapType(StringType, StringType)),
+    StructField("info", MapType(StringType, StringType)))
+
+  /** Same columns, order, and types as [[Vcf.read]]'s output frame. */
+  val schema: StructType = StructType(core ++ Seq(
     StructField("sample", MapType(StringType, StringType, valueContainsNull = false)),
     StructField("gt", ArrayType(IntegerType)),
     StructField("ad", ArrayType(IntegerType)),
     StructField("pl", ArrayType(IntegerType)),
     StructField("dp", IntegerType),
     StructField("gq", IntegerType)))
+
+  /** `option("samples","all")`: [[Vcf.readAllSamples]]'s wide panel shape
+    * — one FORMAT map per sample column, single scan for any panel width;
+    * compose with [[Vcf.explodeSamples]] for the long form. */
+  val allSamplesSchema: StructType = StructType(core :+
+    StructField("samples",
+      ArrayType(MapType(StringType, StringType, valueContainsNull = false))))
 }
 
-class VcfTable(path: String, sampleIndex: Int, splitBytes: Long)
+class VcfTable(path: String, sampleIndex: Int, splitBytes: Long,
+               allSamples: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"vcf $path"
-  override def schema(): StructType = VcfV2.schema
+  override def schema(): StructType =
+    if (allSamples) VcfV2.allSamplesSchema else VcfV2.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new VcfScanBuilder(path, sampleIndex, splitBytes)
+    new VcfScanBuilder(path, sampleIndex, splitBytes, schema())
 }
 
-class VcfScanBuilder(path: String, sampleIndex: Int, splitBytes: Long)
+class VcfScanBuilder(path: String, sampleIndex: Int, splitBytes: Long,
+                     full: StructType)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
-  private var required: StructType = VcfV2.schema
+  private var required: StructType = full
 
   /** Accept (chrom, pos) predicates the partial parse can evaluate; every
     * filter is ALSO kept post-scan (returned unchanged), so pushdown can
@@ -207,20 +222,19 @@ class VcfPartitionReader(lines: Iterator[String], sampleIndex: Int,
     extends PartitionReader[InternalRow] {
   private var row: InternalRow = _
 
+  // which leading fields the pushed predicates need: 2 = (chrom,pos),
+  // 7 = through FILTER — parse no further than the filters require
+  private val needFields = VcfFilterEval.fieldsNeeded(pushed)
+
   override def next(): Boolean = {
     row = null
     while (row == null && lines.hasNext) {
       val line = lines.next()
       if (!line.startsWith("#")) {
-        val tab1 = line.indexOf('\t')
-        val chrom = if (tab1 < 0) line else line.substring(0, tab1)
-        val tab2 = if (tab1 < 0) -1 else line.indexOf('\t', tab1 + 1)
-        val posStr =
-          if (tab1 < 0) null
-          else if (tab2 < 0) line.substring(tab1 + 1)
-          else line.substring(tab1 + 1, tab2)
-        val pos = VcfLineParser.toLongOrNull(posStr)
-        if (pushed.forall(VcfFilterEval.eval(_, chrom, pos)))
+        val head = VcfLineParser.headFields(line, needFields)
+        val chrom = if (head.length > 0) head(0) else null
+        val pos = VcfLineParser.toLongOrNull(if (head.length > 1) head(1) else null)
+        if (pushed.forall(VcfFilterEval.eval(_, chrom, pos, head)))
           row = VcfLineParser.parse(line, chrom, pos, sampleIndex, fields)
       }
     }
@@ -237,41 +251,84 @@ class VcfPartitionReader(lines: Iterator[String], sampleIndex: Int,
   }
 }
 
-/** Scan-side evaluation of the pushable (chrom, pos) filter shapes. */
+/** Scan-side evaluation of the pushable filter shapes: region predicates
+  * on (chrom, pos) — `bcftools view -r` — plus `filter` equality/inclusion
+  * (`-f PASS`) and `qual` comparisons (`-i 'QUAL>x'`), all evaluable on a
+  * bounded prefix parse of the line. */
 object VcfFilterEval {
-  private val cols = Set("chrom", "pos")
+  private val strCols = Set("chrom", "filter")
+  private val numCmp = Set("pos", "qual")
 
   def supported(f: Filter): Boolean = f match {
-    case EqualTo(a, _) => cols(a)
-    case In(a, _) => cols(a)
-    case IsNotNull(a) => cols(a)
-    case GreaterThan("pos", _) => true
-    case GreaterThanOrEqual("pos", _) => true
-    case LessThan("pos", _) => true
-    case LessThanOrEqual("pos", _) => true
+    case EqualTo(a, _) => strCols(a) || numCmp(a)
+    case In(a, _) => strCols(a) || numCmp(a)
+    case IsNotNull(a) => strCols(a) || numCmp(a)
+    case GreaterThan(a, _) => numCmp(a)
+    case GreaterThanOrEqual(a, _) => numCmp(a)
+    case LessThan(a, _) => numCmp(a)
+    case LessThanOrEqual(a, _) => numCmp(a)
     case And(l, r) => supported(l) && supported(r)
     case Or(l, r) => supported(l) && supported(r)
     case _ => false
   }
 
+  /** How many leading tab fields the scan must split for these filters:
+    * 2 covers (chrom,pos); qual is field 6, filter field 7. */
+  def fieldsNeeded(fs: Array[Filter]): Int = {
+    def refs(f: Filter): Set[String] = f match {
+      case And(l, r) => refs(l) ++ refs(r)
+      case Or(l, r) => refs(l) ++ refs(r)
+      case other => other.references.toSet
+    }
+    val all = fs.iterator.flatMap(refs).toSet
+    if (all("filter")) 7 else if (all("qual")) 6 else 2
+  }
+
   private def num(v: Any): Long = v.asInstanceOf[Number].longValue()
+  private def dbl(v: Any): Double = v.asInstanceOf[Number].doubleValue()
+
+  private def qualOf(head: Array[String]): java.lang.Double =
+    if (head.length < 6 || head(5) == "." || head(5) == null) null
+    else try java.lang.Double.valueOf(head(5).trim)
+    catch { case _: NumberFormatException => null }
+  private def filterOf(head: Array[String]): String =
+    if (head.length < 7) null else head(6)
 
   /** SQL three-valued logic collapsed to "keep?": null comparisons are
     * not-keep, matching the engine-side filter the row would hit anyway. */
-  def eval(f: Filter, chrom: String, pos: java.lang.Long): Boolean = f match {
+  def eval(f: Filter, chrom: String, pos: java.lang.Long,
+           head: Array[String]): Boolean = f match {
     case EqualTo("chrom", v) => chrom != null && chrom == v
     case EqualTo("pos", v) => pos != null && pos.longValue() == num(v)
+    case EqualTo("filter", v) => filterOf(head) == v && v != null
+    case EqualTo("qual", v) =>
+      val q = qualOf(head); q != null && q.doubleValue() == dbl(v)
     case In("chrom", vs) => chrom != null && vs.contains(chrom)
     case In("pos", vs) =>
       pos != null && vs.exists(v => num(v) == pos.longValue())
+    case In("filter", vs) =>
+      val fl = filterOf(head); fl != null && vs.contains(fl)
+    case In("qual", vs) =>
+      val q = qualOf(head)
+      q != null && vs.exists(v => dbl(v) == q.doubleValue())
     case IsNotNull("chrom") => chrom != null
     case IsNotNull("pos") => pos != null
+    case IsNotNull("filter") => filterOf(head) != null
+    case IsNotNull("qual") => qualOf(head) != null
     case GreaterThan("pos", v) => pos != null && pos.longValue() > num(v)
     case GreaterThanOrEqual("pos", v) => pos != null && pos.longValue() >= num(v)
     case LessThan("pos", v) => pos != null && pos.longValue() < num(v)
     case LessThanOrEqual("pos", v) => pos != null && pos.longValue() <= num(v)
-    case And(l, r) => eval(l, chrom, pos) && eval(r, chrom, pos)
-    case Or(l, r) => eval(l, chrom, pos) || eval(r, chrom, pos)
+    case GreaterThan("qual", v) =>
+      val q = qualOf(head); q != null && q.doubleValue() > dbl(v)
+    case GreaterThanOrEqual("qual", v) =>
+      val q = qualOf(head); q != null && q.doubleValue() >= dbl(v)
+    case LessThan("qual", v) =>
+      val q = qualOf(head); q != null && q.doubleValue() < dbl(v)
+    case LessThanOrEqual("qual", v) =>
+      val q = qualOf(head); q != null && q.doubleValue() <= dbl(v)
+    case And(l, r) => eval(l, chrom, pos, head) && eval(r, chrom, pos, head)
+    case Or(l, r) => eval(l, chrom, pos, head) || eval(r, chrom, pos, head)
     case _ => true
   }
 }
@@ -281,6 +338,25 @@ object VcfFilterEval {
   * element_at → null, "."/"" handling, FORMAT raggedness slice) so the
   * two paths are row-identical — gated by VcfBedSpec on every fixture. */
 object VcfLineParser {
+
+  /** First `n` tab-separated fields without splitting the whole line —
+    * the bounded prefix parse the pushed filters evaluate on. */
+  def headFields(line: String, n: Int): Array[String] = {
+    val out = new Array[String](n)
+    var i = 0
+    var from = 0
+    while (i < n) {
+      val tab = line.indexOf('\t', from)
+      if (tab < 0) {
+        out(i) = line.substring(from)
+        return java.util.Arrays.copyOf(out, i + 1)
+      }
+      out(i) = line.substring(from, tab)
+      from = tab + 1
+      i += 1
+    }
+    out
+  }
 
   def toLongOrNull(s: String): java.lang.Long =
     if (s == null) null
@@ -381,6 +457,23 @@ object VcfLineParser {
       case "pl" => intArrayData(sampleField("PL"))
       case "dp" => toIntOrNull(sampleField("DP"))
       case "gq" => toIntOrNull(sampleField("GQ"))
+      case "samples" =>
+        // wide panel shape (readAllSamples parity): one FORMAT map per
+        // sample column 10.., each sliced to the common key/value length
+        val keys = at(f, 9)
+        if (keys == null || f.length < 10) null
+        else {
+          val ks = keys.split(":", -1)
+          val maps = (9 until f.length).map { i =>
+            val vs = f(i).split(":", -1)
+            val m = math.min(ks.length, vs.length)
+            val kk = ks.take(m)
+            new ArrayBasedMapData(
+              new GenericArrayData(kk.map(utf8).toArray[Any]),
+              new GenericArrayData(vs.take(m).map(utf8).toArray[Any]))
+          }
+          new GenericArrayData(maps.toArray[Any])
+        }
       case other => throw new IllegalArgumentException(s"unknown vcf column $other")
     }
     InternalRow.fromSeq(values.toSeq)

@@ -247,6 +247,46 @@ class VcfBedSpec extends SparkSpec {
       v1r.orderBy("chrom", "pos").collect().map(_.toSeq).toSeq)
   }
 
+  test("vcf DataSourceV2: samples=all matches readAllSamples and composes with explodeSamples") {
+    val d = Files.createTempDirectory("graftvcfv2panel")
+    val lines = Seq(
+      "##fileformat=VCFv4.2",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2\tS3",
+      "chr1\t100\t.\tA\tT\t50\tPASS\tDP=9\tGT:AD:DP\t0/1:1,2:11\t1/1\t./.:3,4:33",
+      "chr1\t200\t.\tG\tC\t60\tPASS\tDP=8\tGT:DP\t0/0:1\t0/1:2\t1/1:3")
+    Files.writeString(d.resolve("p.vcf"), lines.mkString("\n"))
+    val p = d.resolve("p.vcf").toString
+    val wide1 = Vcf.readAllSamples(spark, p)
+    val wide2 = spark.read.format("vcf").option("samples", "all").load(p)
+    assert(wide2.schema.map(f => (f.name, f.dataType)) ==
+      wide1.schema.map(f => (f.name, f.dataType)))
+    val a = wide1.orderBy("pos").collect().map(_.toSeq)
+    val b = wide2.orderBy("pos").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+    // the long form works identically downstream of either scan
+    val long1 = Vcf.explodeSamples(wide1).orderBy("pos", "sample_idx")
+      .select("pos", "sample_idx", "gt", "dp").collect().map(_.toSeq)
+    val long2 = Vcf.explodeSamples(wide2).orderBy("pos", "sample_idx")
+      .select("pos", "sample_idx", "gt", "dp").collect().map(_.toSeq)
+    assert(long1.toSeq == long2.toSeq && long1.length == 6)
+  }
+
+  test("vcf DataSourceV2: FILTER/QUAL predicates push to the scan (bcftools -f/-i parity)") {
+    val q = spark.read.format("vcf").load(vcfDir)
+      .filter(col("filter") === "PASS" && col("qual") > 20.0)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("filter") &&
+      plan.contains("qual"), s"FILTER/QUAL reach the scan: $plan")
+    val expect = Vcf.read(spark, vcfDir)
+      .filter(col("filter") === "PASS" && col("qual") > 20.0)
+      .collect().map(_.toSeq)
+    assert(q.collect().map(_.toSeq).toSeq == expect.toSeq)
+    assert(expect.length == 1) // only the chr1:100 row is PASS with qual 50.5
+    // '.' qual never satisfies a pushed comparison, same as the engine filter
+    assert(spark.read.format("vcf").load(vcfDir).filter(col("qual") <= 1e9).count() ==
+      Vcf.read(spark, vcfDir).filter(col("qual") <= 1e9).count())
+  }
+
   test("vcf DataSourceV2: randomized line-shape equivalence with the expression path") {
     // the V2 parser hand-replays Vcf.fromLines' expression semantics; this
     // property hunts divergence on the shapes that bite: ragged FORMAT
