@@ -319,6 +319,24 @@ class VcfBedSpec extends SparkSpec {
     a.zip(b).zipWithIndex.foreach { case ((x, y), i) =>
       assert(x == y, s"row $i diverged:\n  expr: $x\n  v2:   $y")
     }
+
+    // same hunt for the wide panel shape: random per-sample raggedness
+    val panel = Seq(
+      "##fileformat=VCFv4.2",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2\tS3") ++
+      (1 to 200).map { i =>
+        val (fmt, gen) = fmts(rnd.nextInt(2)) // GT-bearing formats
+        Seq(s"chr${1 + i % 3}", s"${i * 7}", ".", "A", "T", "50", "PASS",
+          "DP=5", fmt, gen(), gen(), gen()).mkString("\t")
+      }
+    Files.writeString(d.resolve("panel.vcf"), panel.mkString("\n"))
+    val pp = d.resolve("panel.vcf").toString
+    val wa = Vcf.readAllSamples(spark, pp).orderBy("chrom", "pos")
+      .collect().map(_.toSeq)
+    val wb = spark.read.format("vcf").option("samples", "all")
+      .option("split_bytes", "2048").load(pp).orderBy("chrom", "pos")
+      .collect().map(_.toSeq)
+    assert(wa.length == 200 && wa.toSeq == wb.toSeq)
   }
 
   test("vcf DataSourceV2: LIMIT stops readers early (stream closed) and count() scans an empty projection") {
