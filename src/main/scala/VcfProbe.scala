@@ -29,12 +29,21 @@ object VcfProbe {
         s"n=${r.getLong(0)} sum_dp=${r.get(1)}")
     }
 
+    // selective FILTER/QUAL predicate (bcftools -f PASS -i 'QUAL>x')
+    def passQual(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("filter") === "PASS" && col("qual") > 88.0)
+        .agg(count(lit(1)).as("n"), sum("dp").as("sum_dp"))
+
     // warm both input paths
     region(graft.sources.Vcf.read(spark, path)).collect()
     region(spark.read.format("vcf").load(path)).collect()
     for (rep <- 1 to 2) {
       time(s"expr#$rep", region(graft.sources.Vcf.read(spark, path)))
       time(s"v2#$rep", region(spark.read.format("vcf").load(path)))
+    }
+    for (rep <- 1 to 2) {
+      time(s"expr-fq#$rep", passQual(graft.sources.Vcf.read(spark, path)))
+      time(s"v2-fq#$rep", passQual(spark.read.format("vcf").load(path)))
     }
     spark.stop()
   }

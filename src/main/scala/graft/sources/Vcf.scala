@@ -71,6 +71,21 @@ object Vcf {
                splitBytes: Long = 16L * 1024 * 1024): DataFrame =
     fromLines(Bgzf.readLines(spark, path, splitBytes).toDF("value"), sampleIndex)
 
+  /** Streaming VCF ingestion: new files landing under `glob` parse
+    * incrementally through the SAME expression pipeline as [[read]]
+    * (fromLines is source-agnostic — `readStream.text` swaps in for
+    * `read.text`). The production shape for a VCF drop-zone: per-contig
+    * bgzip parts arriving continuously, each micro-batch parsing only the
+    * new files; compose with the [[graft.streaming.Streams]] automata
+    * (e.g. streamingBlockCompress) downstream. gz parts decompress
+    * whole-file per task, which matches the arrival granularity. */
+  def readStream(spark: SparkSession, glob: String, sampleIndex: Int = 0,
+                 maxFilesPerTrigger: Int = 1000): DataFrame =
+    fromLines(
+      spark.readStream.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+        .text(glob),
+      sampleIndex)
+
   /** Multi-sample read: ONE text scan regardless of panel width. `samples`
     * holds one FORMAT map per sample column (VCF columns 10+); pair with
     * [[sampleNames]] for the name -> index mapping and [[explodeSamples]]

@@ -231,4 +231,30 @@ class StreamsSpec extends SparkSpec {
       assert(latest("hot") >= 2L, "hot's counter reflects both batches (minus MG decrements)")
     } finally query.stop()
   }
+
+  test("Vcf.readStream ingests files incrementally through the batch parse pipeline") {
+    val d = java.nio.file.Files.createTempDirectory("graftvcfstream")
+    def vcf(chrom: String, n: Int): String =
+      (Seq("##fileformat=VCFv4.2",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1") ++
+        (1 to n).map(i =>
+          s"$chrom\t${i * 10}\t.\tA\tT\t50\tPASS\tDP=$i\tGT:DP\t0/1:$i"))
+        .mkString("\n")
+    java.nio.file.Files.writeString(d.resolve("part1.vcf"), vcf("chr1", 5))
+    val stream = graft.sources.Vcf.readStream(spark, d.toString + "/*.vcf")
+      .select("chrom", "pos", "dp")
+    val query = stream.writeStream.format("memory").queryName("vcfstream")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM vcfstream").head.getLong(0) == 5L)
+      // a newly-landed file parses in the next micro-batch only
+      java.nio.file.Files.writeString(d.resolve("part2.vcf"), vcf("chr2", 3))
+      query.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT chrom, count(*) AS n, sum(dp) AS dp FROM vcfstream GROUP BY chrom")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(rows("chr1") == ((5L, 15L)) && rows("chr2") == ((3L, 6L)))
+    } finally query.stop()
+  }
 }
