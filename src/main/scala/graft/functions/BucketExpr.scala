@@ -28,9 +28,17 @@ import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
   * Long-typed inputs are cast to double by the caller; bounds derived from
   * longs are exact in double space up to 2^53, far beyond any key domain
   * here (documented contract, matching the previous UDF's long maths).
+  *
+  * `bounds` is an immutable ArraySeq, not a raw Array: case-class
+  * equals/hashCode on an Array are reference-based, which would make two
+  * semantically identical BucketBin expressions never compare equal and
+  * defeat semanticEquals-driven reuse (CSE, exchange reuse) — ArraySeq
+  * compares by element.
   */
-case class BucketBin(child: Expression, bounds: Array[Double])
+case class BucketBin(child: Expression,
+                     bounds: scala.collection.immutable.ArraySeq[Double])
     extends UnaryExpression {
+  private lazy val boundsArr: Array[Double] = bounds.toArray
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_bucket"
 
@@ -42,10 +50,10 @@ case class BucketBin(child: Expression, bounds: Array[Double])
     }
 
   override protected def nullSafeEval(input: Any): Any =
-    BucketBinUtil.find(bounds, input.asInstanceOf[Double])
+    BucketBinUtil.find(boundsArr, input.asInstanceOf[Double])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val arr = ctx.addReferenceObj("bounds", bounds, "double[]")
+    val arr = ctx.addReferenceObj("bounds", boundsArr, "double[]")
     defineCodeGen(ctx, ev, c => s"graft.functions.BucketBinUtil.find($arr, $c)")
   }
 

@@ -93,7 +93,8 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         val arr = exprs(1).eval()
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
           .toDoubleArray()
-        BucketBin(exprs.head, arr)
+        BucketBin(exprs.head,
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
       }))
     e.injectFunction((
       new FunctionIdentifier("graft_simhash"),

@@ -76,7 +76,7 @@ object GatkReport {
   /** Fleet-scale ingestion: MANY reports → one long frame per table name,
     * tagged with the source file. Parallelism is per file (wholetext read);
     * each report's internal parse stays sequential, which is exactly the
-    * data's shape. Output columns: (file, table, column, row_index, value)
+    * data's shape. Output columns: (file, table, row_index, column, value)
     * — a uniform long format that pivots back per table, so heterogeneous
     * report schemas across tool versions coexist in one frame.
     */

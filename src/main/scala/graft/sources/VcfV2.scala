@@ -284,8 +284,18 @@ object VcfFilterEval {
     if (all("filter")) 7 else if (all("qual")) 6 else 2
   }
 
-  private def num(v: Any): Long = v.asInstanceOf[Number].longValue()
-  private def dbl(v: Any): Double = v.asInstanceOf[Number].doubleValue()
+  // Null-safe extraction: Spark can push an In/EqualTo whose value array
+  // contains null (e.g. `col("pos").isin(100L, null)`); a null comparand
+  // never matches under SQL three-valued logic, so it must read as
+  // "non-match", not NPE in the executor.
+  private def num(v: Any): java.lang.Long = v match {
+    case n: Number => n.longValue()
+    case _ => null
+  }
+  private def dbl(v: Any): java.lang.Double = v match {
+    case n: Number => n.doubleValue()
+    case _ => null
+  }
 
   private def qualOf(head: Array[String]): java.lang.Double =
     if (head.length < 6 || head(5) == "." || head(5) == null) null
@@ -299,34 +309,48 @@ object VcfFilterEval {
   def eval(f: Filter, chrom: String, pos: java.lang.Long,
            head: Array[String]): Boolean = f match {
     case EqualTo("chrom", v) => chrom != null && chrom == v
-    case EqualTo("pos", v) => pos != null && pos.longValue() == num(v)
+    case EqualTo("pos", v) =>
+      val n = num(v); pos != null && n != null && pos.longValue() == n.longValue()
     case EqualTo("filter", v) => filterOf(head) == v && v != null
     case EqualTo("qual", v) =>
-      val q = qualOf(head); q != null && q.doubleValue() == dbl(v)
+      val q = qualOf(head); val d = dbl(v)
+      q != null && d != null && q.doubleValue() == d.doubleValue()
     case In("chrom", vs) => chrom != null && vs.contains(chrom)
     case In("pos", vs) =>
-      pos != null && vs.exists(v => num(v) == pos.longValue())
+      pos != null && vs.exists { v =>
+        val n = num(v); n != null && n.longValue() == pos.longValue()
+      }
     case In("filter", vs) =>
       val fl = filterOf(head); fl != null && vs.contains(fl)
     case In("qual", vs) =>
       val q = qualOf(head)
-      q != null && vs.exists(v => dbl(v) == q.doubleValue())
+      q != null && vs.exists { v =>
+        val d = dbl(v); d != null && d.doubleValue() == q.doubleValue()
+      }
     case IsNotNull("chrom") => chrom != null
     case IsNotNull("pos") => pos != null
     case IsNotNull("filter") => filterOf(head) != null
     case IsNotNull("qual") => qualOf(head) != null
-    case GreaterThan("pos", v) => pos != null && pos.longValue() > num(v)
-    case GreaterThanOrEqual("pos", v) => pos != null && pos.longValue() >= num(v)
-    case LessThan("pos", v) => pos != null && pos.longValue() < num(v)
-    case LessThanOrEqual("pos", v) => pos != null && pos.longValue() <= num(v)
+    case GreaterThan("pos", v) =>
+      val n = num(v); pos != null && n != null && pos.longValue() > n.longValue()
+    case GreaterThanOrEqual("pos", v) =>
+      val n = num(v); pos != null && n != null && pos.longValue() >= n.longValue()
+    case LessThan("pos", v) =>
+      val n = num(v); pos != null && n != null && pos.longValue() < n.longValue()
+    case LessThanOrEqual("pos", v) =>
+      val n = num(v); pos != null && n != null && pos.longValue() <= n.longValue()
     case GreaterThan("qual", v) =>
-      val q = qualOf(head); q != null && q.doubleValue() > dbl(v)
+      val q = qualOf(head); val d = dbl(v)
+      q != null && d != null && q.doubleValue() > d.doubleValue()
     case GreaterThanOrEqual("qual", v) =>
-      val q = qualOf(head); q != null && q.doubleValue() >= dbl(v)
+      val q = qualOf(head); val d = dbl(v)
+      q != null && d != null && q.doubleValue() >= d.doubleValue()
     case LessThan("qual", v) =>
-      val q = qualOf(head); q != null && q.doubleValue() < dbl(v)
+      val q = qualOf(head); val d = dbl(v)
+      q != null && d != null && q.doubleValue() < d.doubleValue()
     case LessThanOrEqual("qual", v) =>
-      val q = qualOf(head); q != null && q.doubleValue() <= dbl(v)
+      val q = qualOf(head); val d = dbl(v)
+      q != null && d != null && q.doubleValue() <= d.doubleValue()
     case And(l, r) => eval(l, chrom, pos, head) && eval(r, chrom, pos, head)
     case Or(l, r) => eval(l, chrom, pos, head) || eval(r, chrom, pos, head)
     case _ => true
@@ -377,6 +401,25 @@ object VcfLineParser {
   private def at(f: Array[String], i: Int): String =
     if (i >= 1 && i <= f.length) f(i - 1) else null
 
+  /** Mirrors the expression path's DUPLICATE_MAP_KEY behavior: under the
+    * default spark.sql.mapKeyDedupPolicy=EXCEPTION, map_from_arrays (FORMAT
+    * sample map, Vcf.scala:136) and str_to_map (INFO, Vcf.scala:157) throw
+    * on a repeated key — a silent last-wins here would make the two parse
+    * paths diverge on exactly the malformed files where it matters. */
+  private def duplicateKey(k: String, ctx: String): Nothing =
+    throw new IllegalStateException(
+      s"Duplicate map key $k was found in $ctx; the vcf v2 parse matches " +
+        "map_from_arrays/str_to_map under spark.sql.mapKeyDedupPolicy=EXCEPTION")
+
+  private def requireDistinct(keys: Array[String], ctx: String): Unit = {
+    val seen = new java.util.HashSet[String](keys.length * 2)
+    var i = 0
+    while (i < keys.length) {
+      if (!seen.add(keys(i))) duplicateKey(keys(i), ctx)
+      i += 1
+    }
+  }
+
   def parse(line: String, chrom: String, pos: java.lang.Long,
             sampleIndex: Int, fields: Array[String]): InternalRow = {
     val f = line.split("\t", -1)
@@ -425,7 +468,9 @@ object VcfLineParser {
         if (info == null) null
         else {
           // str_to_map semantics: ";"-split keeps empties, "="-split limit
-          // 2 (value = rest after first '='), entry without '=' → null value
+          // 2 (value = rest after first '='), entry without '=' → null value;
+          // duplicate keys throw like str_to_map under the default
+          // spark.sql.mapKeyDedupPolicy=EXCEPTION (path parity, spec-gated)
           val parts = info.split(";", -1)
           val order = scala.collection.mutable.LinkedHashSet.empty[String]
           val m = scala.collection.mutable.Map.empty[String, String]
@@ -433,7 +478,8 @@ object VcfLineParser {
             val e = part.indexOf('=')
             val (k, v) =
               if (e < 0) (part, null) else (part.substring(0, e), part.substring(e + 1))
-            order += k; m(k) = v
+            if (!order.add(k)) duplicateKey(k, "INFO")
+            m(k) = v
           }
           strMapData(m.toMap, order.toSeq)
         }
@@ -441,10 +487,12 @@ object VcfLineParser {
         val s = sample
         if (s == null) null
         else {
-          // FORMAT order, first occurrence wins like map_from_arrays
+          // FORMAT order; duplicate FORMAT keys throw like map_from_arrays
           val keys = at(f, 9).split(":", -1)
           val m = math.min(keys.length, at(f, 10 + sampleIndex).split(":", -1).length)
-          strMapData(s, keys.take(m).distinct.toSeq)
+          val kk = keys.take(m)
+          requireDistinct(kk, "FORMAT")
+          strMapData(s, scala.collection.immutable.ArraySeq.unsafeWrapArray(kk))
         }
       case "gt" =>
         val gt = sampleField("GT")
@@ -468,6 +516,7 @@ object VcfLineParser {
             val vs = f(i).split(":", -1)
             val m = math.min(ks.length, vs.length)
             val kk = ks.take(m)
+            requireDistinct(kk, "FORMAT")
             new ArrayBasedMapData(
               new GenericArrayData(kk.map(utf8).toArray[Any]),
               new GenericArrayData(vs.take(m).map(utf8).toArray[Any]))

@@ -392,6 +392,50 @@ class VcfBedSpec extends SparkSpec {
     assert(v2g.count() == 300L)
   }
 
+  test("vcf DataSourceV2: null comparand in a pushed In/EqualTo is a non-match, not an NPE") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan, In}
+    val head = Array("chr1", "100", ".", "A", "T", "50")
+    // Spark translates col("pos").isin(100L, null) into a sources.In whose
+    // values array contains null — SQL three-valued logic says a null
+    // comparand never matches, so the scan must drop, not NPE.
+    assert(VcfFilterEval.eval(In("pos", Array[Any](100L, null)), "chr1", 100L, head))
+    assert(!VcfFilterEval.eval(In("pos", Array[Any](null)), "chr1", 100L, head))
+    assert(!VcfFilterEval.eval(In("qual", Array[Any](null, 49.0)), "chr1", 100L, head))
+    assert(!VcfFilterEval.eval(EqualTo("pos", null), "chr1", 100L, head))
+    assert(!VcfFilterEval.eval(GreaterThan("qual", null), "chr1", 100L, head))
+    // end-to-end through the pushdown machinery
+    val v2 = spark.read.format("vcf").load(vcfDir)
+    assert(v2.filter(col("pos").isin(lit(100L), lit(null))).count() == 1L)
+  }
+
+  test("duplicate INFO/FORMAT keys throw on both parse paths (mapKeyDedupPolicy parity)") {
+    val d = Files.createTempDirectory("graftvcf_dup")
+    def write(name: String, line: String): String = {
+      val lines = Seq("##fileformat=VCFv4.2",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1", line)
+      Files.writeString(d.resolve(name), lines.mkString("\n"))
+      d.resolve(name).toString
+    }
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val dupInfo = write("i.vcf", "chr1\t100\t.\tA\tT\t50\tPASS\tDP=1;DP=2\tGT\t0/1")
+    val dupFmt = write("f.vcf", "chr1\t100\t.\tA\tT\t50\tPASS\tDP=1\tGT:DP:DP\t0/1:3:4")
+    for (path <- Seq(dupInfo, dupFmt)) {
+      // expression path: str_to_map / map_from_arrays under the default
+      // spark.sql.mapKeyDedupPolicy=EXCEPTION
+      val eExpr = intercept[Throwable] {
+        Vcf.read(spark, path).select("info", "sample").collect()
+      }
+      assert(messages(eExpr).toLowerCase.contains("duplicate map key"), messages(eExpr))
+      // v2 path must not silently last-wins where the expression path throws
+      val eV2 = intercept[Throwable] {
+        spark.read.format("vcf").load(path).select("info", "sample").collect()
+      }
+      assert(messages(eV2).toLowerCase.contains("duplicate map key"), messages(eV2))
+    }
+  }
+
   test("BED read/write round-trip with half-open intervals") {
     val d = Files.createTempDirectory("graftbed")
     Files.writeString(d.resolve("t.bed"), "chr1\t0\t100\nchr1\t150\t300\nchr2\t10\t20\n")
