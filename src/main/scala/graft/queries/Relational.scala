@@ -415,8 +415,57 @@ object Relational {
                  col("l_quantity").cast("int").as("coverage"))
         .agg(count(lit(1)).as("cnt"))
       graft.reports.QcReport.foldPenalty(hist)
+    },
+    // ----- QC2/QC3: substitution-error-rate report tables
+    // (substitution_error_rate_report.ipynb; reports/SubErrorRate.scala).
+    // The motif store is synthesized deterministically from part keys — a
+    // full 4x4x4x3 trinucleotide-substitution domain with per-threshold
+    // rates/counts — so the revcomp strand self-join and the log2
+    // asymmetry math are oracle-gated end to end.
+    "qc2_sub_error_rate" -> { (s, d) =>
+      graft.reports.SubErrorRate.matchedStrands(subErrorMotifs(s, d))
+        .select(col("ref_motif"), col("alt_motif"), col("mut_type"),
+          r6(col("error_rate_bq0")).as("er_bq0"),
+          r6(col("error_rate_bq10")).as("er_bq10"),
+          col("snp_count_bq0").as("n_bq0"),
+          col("snp_count_bq10").as("n_bq10"))
+    },
+    "qc3_cskp_asymmetry" -> { (s, d) =>
+      graft.reports.SubErrorRate.asymmetry(
+          graft.reports.SubErrorRate.matchedStrands(subErrorMotifs(s, d)))
+        .select(col("mut_type"), col("n_contexts"),
+          r6(col("mean_log2_ratio")).as("mean_log2"),
+          r6(col("min_log2_ratio")).as("min_log2"),
+          r6(col("max_log2_ratio")).as("max_log2"))
     }
   )
+
+  /** Deterministic motif store for the qc2/qc3 substitution-error report:
+    * p_partkey mod 192 enumerates the full (pre, mid, post, alt-offset)
+    * trinucleotide-substitution domain bijectively; rates/counts are fixed
+    * arithmetic in k so DuckDB reproduces them exactly. bq10 (cycle-skip)
+    * is non-null on even k only, exercising the null-skipping strand
+    * combine. */
+  private def subErrorMotifs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .selectExpr("CAST(p_partkey % 192 AS INT) AS k").distinct()
+      .selectExpr("k",
+        "substr('ACGT', CAST(floor(k/48) AS INT) % 4 + 1, 1) AS pre",
+        "substr('ACGT', CAST(floor(k/12) AS INT) % 4 + 1, 1) AS mid",
+        "substr('ACGT', CAST(floor(k/3) AS INT) % 4 + 1, 1) AS post",
+        "substr('ACGT', (CAST(floor(k/12) AS INT) % 4 + 1 + k % 3) % 4 + 1, 1) AS alt")
+      .selectExpr(
+        "concat(pre, mid, post) AS ref_motif",
+        "concat(pre, alt, post) AS alt_motif",
+        "mid AS ref",
+        "((k*31+7) % 97 + 1) / 1000.0 AS error_rate_bq0",
+        "((k*17+3) % 89 + 1) / 1000.0 AS error_rate_bq3",
+        "((k*13+5) % 83 + 1) / 1000.0 AS error_rate_bq5",
+        "CASE WHEN k % 2 = 0 THEN ((k*11+9) % 79 + 1) / 1000.0 END AS error_rate_bq10",
+        "CAST((k*7) % 50 AS BIGINT) AS snp_count_bq0",
+        "CAST((k*7+3) % 50 AS BIGINT) AS snp_count_bq3",
+        "CAST((k*7+5) % 50 AS BIGINT) AS snp_count_bq5",
+        "CAST((k*7+10) % 50 AS BIGINT) AS snp_count_bq10")
 
   val oracles: Map[String, String] = Map(
     "a1_groupby_sum" ->
@@ -631,6 +680,64 @@ object Relational {
            floor(CAST(p50 AS DOUBLE)/p20*1000000 + 0.5)/1000000 AS f80,
            floor(CAST(p50 AS DOUBLE)/p10*1000000 + 0.5)/1000000 AS f90,
            floor(CAST(p50 AS DOUBLE)/p05*1000000 + 0.5)/1000000 AS f95
-         FROM p"""
+         FROM p""",
+    "qc2_sub_error_rate" ->
+      (subErrorMotifCte +
+      """SELECT ref_motif, alt_motif, mut_type,
+           floor((CASE WHEN er0_f IS NOT NULL AND er0_r IS NOT NULL
+                       THEN (er0_f + er0_r) / 2.0
+                       ELSE coalesce(er0_f, er0_r) END)*1000000 + 0.5)/1000000 AS er_bq0,
+           floor((CASE WHEN er10_f IS NOT NULL AND er10_r IS NOT NULL
+                       THEN (er10_f + er10_r) / 2.0
+                       ELSE coalesce(er10_f, er10_r) END)*1000000 + 0.5)/1000000 AS er_bq10,
+           CASE WHEN n0_f IS NULL AND n0_r IS NULL THEN NULL
+                ELSE coalesce(n0_f, 0) + coalesce(n0_r, 0) END AS n_bq0,
+           CASE WHEN n10_f IS NULL AND n10_r IS NULL THEN NULL
+                ELSE coalesce(n10_f, 0) + coalesce(n10_r, 0) END AS n_bq10
+         FROM j"""),
+    "qc3_cskp_asymmetry" ->
+      (subErrorMotifCte +
+      """SELECT mut_type, count(*) AS n_contexts,
+           floor(avg(ln(er10_f/er10_r)/ln(2))*1000000 + 0.5)/1000000 AS mean_log2,
+           floor(min(ln(er10_f/er10_r)/ln(2))*1000000 + 0.5)/1000000 AS min_log2,
+           floor(max(ln(er10_f/er10_r)/ln(2))*1000000 + 0.5)/1000000 AS max_log2
+         FROM j
+         WHERE er10_f IS NOT NULL AND er10_r IS NOT NULL
+           AND er10_r > 0 AND er10_f > 0
+         GROUP BY mut_type""")
   )
+
+  /** Shared oracle CTE replaying [[subErrorMotifs]] + SubErrorRate's
+    * strand-matching join in DuckDB: the synthetic motif store, the C/T
+    * forward strata, the revcomp-re-keyed A/G reverse strata
+    * (translate(reverse(x)) = Genomics.revcomp), and the left join. */
+  private def subErrorMotifCte: String =
+    """WITH base AS (SELECT DISTINCT CAST(p_partkey % 192 AS INT) AS k FROM part),
+       raw AS (SELECT k,
+         substr('ACGT', CAST(floor(k/48) AS INT) % 4 + 1, 1) AS pre,
+         substr('ACGT', CAST(floor(k/12) AS INT) % 4 + 1, 1) AS mid,
+         substr('ACGT', CAST(floor(k/3) AS INT) % 4 + 1, 1) AS post,
+         substr('ACGT', (CAST(floor(k/12) AS INT) % 4 + 1 + k % 3) % 4 + 1, 1) AS alt
+         FROM base),
+       mot AS (SELECT
+         pre || mid || post AS ref_motif,
+         pre || alt || post AS alt_motif,
+         mid AS ref,
+         ((k*31+7) % 97 + 1) / 1000.0 AS er0,
+         CASE WHEN k % 2 = 0 THEN ((k*11+9) % 79 + 1) / 1000.0 END AS er10,
+         CAST((k*7) % 50 AS BIGINT) AS n0,
+         CAST((k*7+10) % 50 AS BIGINT) AS n10
+         FROM raw),
+       fwd AS (SELECT ref_motif, alt_motif,
+         substr(ref_motif, 2, 1) || '->' || substr(alt_motif, 2, 1) AS mut_type,
+         er0 AS er0_f, er10 AS er10_f, n0 AS n0_f, n10 AS n10_f
+         FROM mot WHERE ref IN ('C','T')),
+       rev AS (SELECT
+         translate(reverse(ref_motif), 'ACGT', 'TGCA') AS ref_motif,
+         translate(reverse(alt_motif), 'ACGT', 'TGCA') AS alt_motif,
+         er0 AS er0_r, er10 AS er10_r, n0 AS n0_r, n10 AS n10_r
+         FROM mot WHERE ref IN ('A','G')),
+       j AS (SELECT f.*, r.er0_r, r.er10_r, r.n0_r, r.n10_r
+         FROM fwd f LEFT JOIN rev r USING (ref_motif, alt_motif))
+    """
 }
