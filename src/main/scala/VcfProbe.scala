@@ -45,6 +45,18 @@ object VcfProbe {
       time(s"expr-fq#$rep", passQual(graft.sources.Vcf.read(spark, path)))
       time(s"v2-fq#$rep", passQual(spark.read.format("vcf").load(path)))
     }
+
+    // sidecar region index: split pruning should make the region query's
+    // cost proportional to the region, not the file (tabix -r analog)
+    val tIdx = System.nanoTime()
+    graft.sources.VcfIndex.build(spark, path)
+    println(f"[vcfprobe] index-build ${(System.nanoTime() - tIdx) / 1e9}%6.1f s")
+    println(s"[vcfprobe] v2-idx partitions=" +
+      spark.read.format("vcf").load(path)
+        .filter(col("chrom") === chrom && col("pos") > lo && col("pos") <= hi)
+        .rdd.getNumPartitions +
+      s" vs unfiltered=" + spark.read.format("vcf").load(path).rdd.getNumPartitions)
+    for (rep <- 1 to 2) time(s"v2-idx#$rep", region(spark.read.format("vcf").load(path)))
     spark.stop()
   }
 }

@@ -149,31 +149,46 @@ class VcfScan(path: String, sampleIndex: Int, splitBytes: Long,
     val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
     val base = new Path(path)
     val fs = base.getFileSystem(conf)
+    // recursive walk: nested layouts (dir/chrom=1/part.vcf) are read, not
+    // silently skipped; hidden names and .gidx sidecars excluded at every
+    // level
+    def visible(n: String): Boolean =
+      !n.startsWith("_") && !n.startsWith(".") && !n.endsWith(VcfIndex.Suffix)
+    def walk(s: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (!visible(s.getPath.getName)) Seq.empty
+      else if (s.isDirectory) fs.listStatus(s.getPath).toSeq.flatMap(walk)
+      else Seq(s)
     val files = fs.globStatus(base) match {
-      case null => Array.empty[org.apache.hadoop.fs.FileStatus]
-      case st => st.flatMap { s =>
-        if (s.isDirectory) fs.listStatus(s.getPath).filter(_.isFile) else Array(s)
-      }.filter { s =>
-        val n = s.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      }
+      case null => Seq.empty[org.apache.hadoop.fs.FileStatus]
+      case st => st.toSeq.flatMap(walk)
     }
+    // region-index split pruning: with (chrom,pos) predicates pushed and a
+    // fresh sidecar present, drop splits whose stats cannot match — the
+    // tabix-style "read only the region" access path
+    val usePrune = VcfIndex.prunable(pushed)
     files.flatMap { s =>
       val p = s.getPath.toString
       val len = s.getLen
       val gz = p.endsWith(".gz") || p.endsWith(".bgz")
       val bgzf = gz && (try Bgzf.isBgzf(conf, p) catch { case _: Throwable => false })
-      if (gz && !bgzf)
-        // plain gzip is not splittable: one whole-file partition through the
-        // codec (same caveat as Vcf.read — feed many files at scale)
-        Seq(VcfPartition(p, 0, len, VcfPartition.Gzip))
-      else {
-        val kind = if (bgzf) VcfPartition.Bgzf else VcfPartition.Text
-        val n = math.max(1L, (len + splitBytes - 1) / splitBytes).toInt
-        (0 until n).map { i =>
-          VcfPartition(p, i.toLong * splitBytes,
-            math.min((i + 1).toLong * splitBytes, len), kind)
+      val splits =
+        if (gz && !bgzf)
+          // plain gzip is not splittable: one whole-file partition through the
+          // codec (same caveat as Vcf.read — feed many files at scale)
+          Seq(VcfPartition(p, 0, len, VcfPartition.Gzip))
+        else {
+          val kind = if (bgzf) VcfPartition.Bgzf else VcfPartition.Text
+          val n = math.max(1L, (len + splitBytes - 1) / splitBytes).toInt
+          (0 until n).map { i =>
+            VcfPartition(p, i.toLong * splitBytes,
+              math.min((i + 1).toLong * splitBytes, len), kind)
+          }
         }
+      val index = if (usePrune) VcfIndex.read(conf, p, len) else None
+      index match {
+        case Some(stats) =>
+          splits.filter(sp => VcfIndex.mayMatch(stats, sp.start, sp.end, pushed))
+        case None => splits
       }
     }.toArray[InputPartition]
   }
