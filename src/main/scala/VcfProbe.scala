@@ -46,6 +46,17 @@ object VcfProbe {
       time(s"v2-fq#$rep", passQual(spark.read.format("vcf").load(path)))
     }
 
+    // selective FORMAT-field predicate (the reference's FORMAT/GQ[0]>x
+    // pre-filter): v2 evaluates gq right after the FORMAT split and skips
+    // INFO parse + row assembly on non-matching lines
+    def gqSel(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("gq") > 90)
+        .agg(count(lit(1)).as("n"), sum("dp").as("sum_dp"))
+    for (rep <- 1 to 2) {
+      time(s"expr-gq#$rep", gqSel(graft.sources.Vcf.read(spark, path)))
+      time(s"v2-gq#$rep", gqSel(spark.read.format("vcf").load(path)))
+    }
+
     // sidecar region index: split pruning should make the region query's
     // cost proportional to the region, not the file (tabix -r analog)
     val tIdx = System.nanoTime()

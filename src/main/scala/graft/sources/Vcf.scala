@@ -136,15 +136,20 @@ object Vcf {
     map_from_arrays(slice(fmtKeys, lit(1), m), slice(fmtVals, lit(1), m))
   }
 
-  /** Typed extraction of the standard FORMAT fields from a `sample` map. */
+  /** Typed extraction of the standard FORMAT fields from a `sample` map.
+    * try_cast, not cast: `.` is the VCF missing-value marker inside
+    * FORMAT values (same convention QUAL handles explicitly), and under
+    * ANSI mode a plain cast would throw on it — a missing/malformed
+    * sample value reads as null, identical to the v2 parser's
+    * toIntOrNull. */
   private def withSampleFields(df: DataFrame): DataFrame =
     df.withColumn("gt",
         transform(split(regexp_replace(element_at(col("sample"), "GT"), "\\|", "/"), "/"),
-          g => when(g === "." || g === "", null).otherwise(g).cast("int")))
+          g => when(g === "." || g === "", null).otherwise(g).try_cast("int")))
       .withColumn("ad", intArray(element_at(col("sample"), "AD")))
       .withColumn("pl", intArray(element_at(col("sample"), "PL")))
-      .withColumn("dp", element_at(col("sample"), "DP").cast("int"))
-      .withColumn("gq", element_at(col("sample"), "GQ").cast("int"))
+      .withColumn("dp", element_at(col("sample"), "DP").try_cast("int"))
+      .withColumn("gq", element_at(col("sample"), "GQ").try_cast("int"))
 
   private def coreCols(fld: Int => Column): Seq[Column] = Seq(
     fld(1).as("chrom"),
@@ -157,7 +162,7 @@ object Vcf {
     str_to_map(fld(8), lit(";"), lit("=")).as("info"))
 
   private def intArray(c: Column): Column =
-    when(c.isNull, null).otherwise(transform(split(c, ","), x => x.cast("int")))
+    when(c.isNull, null).otherwise(transform(split(c, ","), x => x.try_cast("int")))
 
   /** Typed INFO accessor: `infoField(df, "END")` as long, etc. */
   def infoLong(name: String): Column = element_at(col("info"), name).cast("long")

@@ -230,16 +230,24 @@ case class VcfReaderFactory(confEntries: Seq[(String, String)],
   }
 }
 
-/** Iterates lines, applies the pushed (chrom, pos) predicates on a
-  * two-field partial parse, then parses only the required columns. */
+/** Iterates lines, applies the pushed predicates in two stages — prefix
+  * predicates (chrom/pos/qual/filter) on a bounded partial parse, then
+  * sample-field predicates (gq/dp) right after the FORMAT split — and only
+  * then parses the required columns (INFO map and row assembly are skipped
+  * for every non-matching line). */
 class VcfPartitionReader(lines: Iterator[String], sampleIndex: Int,
                          pushed: Array[Filter], fields: Array[String])
     extends PartitionReader[InternalRow] {
   private var row: InternalRow = _
 
-  // which leading fields the pushed predicates need: 2 = (chrom,pos),
+  // stage split: a predicate referencing any FORMAT-derived column is
+  // evaluated after the FORMAT parse; everything else on the line prefix
+  private val (sampleFilters, prefixFilters) =
+    pushed.partition(VcfFilterEval.referencesSample)
+
+  // which leading fields the prefix predicates need: 2 = (chrom,pos),
   // 7 = through FILTER — parse no further than the filters require
-  private val needFields = VcfFilterEval.fieldsNeeded(pushed)
+  private val needFields = VcfFilterEval.fieldsNeeded(prefixFilters)
 
   override def next(): Boolean = {
     row = null
@@ -249,8 +257,19 @@ class VcfPartitionReader(lines: Iterator[String], sampleIndex: Int,
         val head = VcfLineParser.headFields(line, needFields)
         val chrom = if (head.length > 0) head(0) else null
         val pos = VcfLineParser.toLongOrNull(if (head.length > 1) head(1) else null)
-        if (pushed.forall(VcfFilterEval.eval(_, chrom, pos, head)))
-          row = VcfLineParser.parse(line, chrom, pos, sampleIndex, fields)
+        if (prefixFilters.forall(VcfFilterEval.eval(_, chrom, pos, head))) {
+          if (sampleFilters.isEmpty)
+            row = VcfLineParser.parse(line, chrom, pos, sampleIndex, fields)
+          else {
+            // FORMAT stage: full tab split (needed by the parse anyway),
+            // sample predicates on the typed GQ/DP extraction — INFO and
+            // row assembly only happen for matching lines
+            val f = line.split("\t", -1)
+            val ctx = new VcfFilterEval.SampleCtx(f, sampleIndex)
+            if (sampleFilters.forall(VcfFilterEval.eval(_, chrom, pos, f, ctx)))
+              row = VcfLineParser.parseFields(f, chrom, pos, sampleIndex, fields)
+          }
+        }
       }
     }
     row != null
@@ -269,22 +288,72 @@ class VcfPartitionReader(lines: Iterator[String], sampleIndex: Int,
 /** Scan-side evaluation of the pushable filter shapes: region predicates
   * on (chrom, pos) — `bcftools view -r` — plus `filter` equality/inclusion
   * (`-f PASS`) and `qual` comparisons (`-i 'QUAL>x'`), all evaluable on a
-  * bounded prefix parse of the line. */
+  * bounded prefix parse of the line; and the sample-field predicates
+  * (`gq`/`dp` — the reference's `FORMAT/GQ[0]>20` pre-filter,
+  * correct_genotypes_by_imputation.py:141-148) evaluated right after the
+  * FORMAT split, before INFO parse / row assembly. */
 object VcfFilterEval {
   private val strCols = Set("chrom", "filter")
   private val numCmp = Set("pos", "qual")
+  // typed int columns derived from the FORMAT sample map (schema names →
+  // FORMAT keys); evaluable only after the full tab split
+  private val sampleCols = Map("gq" -> "GQ", "dp" -> "DP")
 
   def supported(f: Filter): Boolean = f match {
-    case EqualTo(a, _) => strCols(a) || numCmp(a)
-    case In(a, _) => strCols(a) || numCmp(a)
-    case IsNotNull(a) => strCols(a) || numCmp(a)
-    case GreaterThan(a, _) => numCmp(a)
-    case GreaterThanOrEqual(a, _) => numCmp(a)
-    case LessThan(a, _) => numCmp(a)
-    case LessThanOrEqual(a, _) => numCmp(a)
+    case EqualTo(a, _) => strCols(a) || numCmp(a) || sampleCols.contains(a)
+    case In(a, _) => strCols(a) || numCmp(a) || sampleCols.contains(a)
+    case IsNotNull(a) => strCols(a) || numCmp(a) || sampleCols.contains(a)
+    case GreaterThan(a, _) => numCmp(a) || sampleCols.contains(a)
+    case GreaterThanOrEqual(a, _) => numCmp(a) || sampleCols.contains(a)
+    case LessThan(a, _) => numCmp(a) || sampleCols.contains(a)
+    case LessThanOrEqual(a, _) => numCmp(a) || sampleCols.contains(a)
     case And(l, r) => supported(l) && supported(r)
     case Or(l, r) => supported(l) && supported(r)
     case _ => false
+  }
+
+  /** Does this filter reference any FORMAT-derived column? Such filters
+    * are staged after the FORMAT split (they may also reference prefix
+    * columns — the full split covers those too). */
+  def referencesSample(f: Filter): Boolean =
+    f.references.exists(sampleCols.contains)
+
+  /** Lazily-split FORMAT key/value context for one line: the keys are
+    * dup-checked exactly like the full parse (so a malformed line throws
+    * here, not silently mismatching the expression path), and GQ/DP
+    * extract with the same toIntOrNull semantics as the `gq`/`dp`
+    * columns. */
+  final class SampleCtx(f: Array[String], sampleIndex: Int) {
+    private var computed = false
+    private var keys: Array[String] = _
+    private var vals: Array[String] = _
+    private def ensure(): Unit = if (!computed) {
+      computed = true
+      val k = if (f.length >= 9) f(8) else null
+      val v = if (f.length >= 10 + sampleIndex) f(9 + sampleIndex) else null
+      if (k != null && v != null) {
+        val ks = k.split(":", -1)
+        val vs = v.split(":", -1)
+        val m = math.min(ks.length, vs.length)
+        val kk = ks.take(m)
+        VcfLineParser.requireDistinct(kk, "FORMAT")
+        keys = kk
+        vals = vs
+      }
+    }
+    /** Typed int FORMAT field by schema column name; null when the key is
+      * absent, the sample column is missing, or the value unparseable. */
+    def int(col: String): java.lang.Integer = {
+      ensure()
+      if (keys == null) return null
+      val key = sampleCols(col)
+      var i = 0
+      while (i < keys.length) {
+        if (keys(i) == key) return VcfLineParser.toIntOrNull(vals(i))
+        i += 1
+      }
+      null
+    }
   }
 
   /** How many leading tab fields the scan must split for these filters:
@@ -320,9 +389,12 @@ object VcfFilterEval {
     if (head.length < 7) null else head(6)
 
   /** SQL three-valued logic collapsed to "keep?": null comparisons are
-    * not-keep, matching the engine-side filter the row would hit anyway. */
+    * not-keep, matching the engine-side filter the row would hit anyway.
+    * `ctx` supplies FORMAT-derived fields; sample-column predicates with
+    * no ctx (prefix stage) read as non-match, but staging guarantees they
+    * are only evaluated with one. */
   def eval(f: Filter, chrom: String, pos: java.lang.Long,
-           head: Array[String]): Boolean = f match {
+           head: Array[String], ctx: SampleCtx = null): Boolean = f match {
     case EqualTo("chrom", v) => chrom != null && chrom == v
     case EqualTo("pos", v) =>
       val n = num(v); pos != null && n != null && pos.longValue() == n.longValue()
@@ -366,8 +438,30 @@ object VcfFilterEval {
     case LessThanOrEqual("qual", v) =>
       val q = qualOf(head); val d = dbl(v)
       q != null && d != null && q.doubleValue() <= d.doubleValue()
-    case And(l, r) => eval(l, chrom, pos, head) && eval(r, chrom, pos, head)
-    case Or(l, r) => eval(l, chrom, pos, head) || eval(r, chrom, pos, head)
+    case EqualTo(c, v) if sampleCols.contains(c) =>
+      val g = if (ctx == null) null else ctx.int(c); val n = num(v)
+      g != null && n != null && g.longValue() == n.longValue()
+    case In(c, vs) if sampleCols.contains(c) =>
+      val g = if (ctx == null) null else ctx.int(c)
+      g != null && vs.exists { v =>
+        val n = num(v); n != null && n.longValue() == g.longValue()
+      }
+    case IsNotNull(c) if sampleCols.contains(c) =>
+      ctx != null && ctx.int(c) != null
+    case GreaterThan(c, v) if sampleCols.contains(c) =>
+      val g = if (ctx == null) null else ctx.int(c); val n = num(v)
+      g != null && n != null && g.longValue() > n.longValue()
+    case GreaterThanOrEqual(c, v) if sampleCols.contains(c) =>
+      val g = if (ctx == null) null else ctx.int(c); val n = num(v)
+      g != null && n != null && g.longValue() >= n.longValue()
+    case LessThan(c, v) if sampleCols.contains(c) =>
+      val g = if (ctx == null) null else ctx.int(c); val n = num(v)
+      g != null && n != null && g.longValue() < n.longValue()
+    case LessThanOrEqual(c, v) if sampleCols.contains(c) =>
+      val g = if (ctx == null) null else ctx.int(c); val n = num(v)
+      g != null && n != null && g.longValue() <= n.longValue()
+    case And(l, r) => eval(l, chrom, pos, head, ctx) && eval(r, chrom, pos, head, ctx)
+    case Or(l, r) => eval(l, chrom, pos, head, ctx) || eval(r, chrom, pos, head, ctx)
     case _ => true
   }
 }
@@ -401,7 +495,7 @@ object VcfLineParser {
     if (s == null) null
     else try java.lang.Long.valueOf(s.trim) catch { case _: NumberFormatException => null }
 
-  private def toIntOrNull(s: String): java.lang.Integer =
+  private[sources] def toIntOrNull(s: String): java.lang.Integer =
     if (s == null) null
     else try java.lang.Integer.valueOf(s.trim) catch { case _: NumberFormatException => null }
 
@@ -426,7 +520,7 @@ object VcfLineParser {
       s"Duplicate map key $k was found in $ctx; the vcf v2 parse matches " +
         "map_from_arrays/str_to_map under spark.sql.mapKeyDedupPolicy=EXCEPTION")
 
-  private def requireDistinct(keys: Array[String], ctx: String): Unit = {
+  private[sources] def requireDistinct(keys: Array[String], ctx: String): Unit = {
     val seen = new java.util.HashSet[String](keys.length * 2)
     var i = 0
     while (i < keys.length) {
@@ -436,8 +530,13 @@ object VcfLineParser {
   }
 
   def parse(line: String, chrom: String, pos: java.lang.Long,
-            sampleIndex: Int, fields: Array[String]): InternalRow = {
-    val f = line.split("\t", -1)
+            sampleIndex: Int, fields: Array[String]): InternalRow =
+    parseFields(line.split("\t", -1), chrom, pos, sampleIndex, fields)
+
+  /** Parse from a pre-split field array (the FORMAT-predicate stage has
+    * already paid for the tab split on lines it lets through). */
+  def parseFields(f: Array[String], chrom: String, pos: java.lang.Long,
+                  sampleIndex: Int, fields: Array[String]): InternalRow = {
 
     // FORMAT sample map, built lazily once for the gt/ad/pl/dp/gq family
     var sampleComputed = false

@@ -287,6 +287,41 @@ class VcfBedSpec extends SparkSpec {
       Vcf.read(spark, vcfDir).filter(col("qual") <= 1e9).count())
   }
 
+  test("vcf DataSourceV2: FORMAT-field predicates (gq/dp) push to the scan") {
+    val d = Files.createTempDirectory("graftvcfgq")
+    val lines = Seq(
+      "##fileformat=VCFv4.2",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1",
+      "chr1\t100\t.\tA\tT\t50\tPASS\tDP=30\tGT:GQ:DP\t0/1:99:30",
+      "chr1\t200\t.\tG\tC\t40\tPASS\tDP=10\tGT:GQ:DP\t0/1:15:10",
+      "chr1\t300\t.\tT\tA\t30\tPASS\tDP=5\tGT:DP\t0/1:5",          // no GQ key
+      "chr1\t400\t.\tC\tG\t20\tPASS\tDP=7\tGT:GQ\t0/1:.",          // unparseable GQ
+      "chr1\t500\t.\tA\tG\t10\tPASS\tDP=2\tGT:GQ:DP\t0/1:55:2")
+    Files.writeString(d.resolve("g.vcf"), lines.mkString("\n"))
+    val p = d.resolve("g.vcf").toString
+
+    // the reference's FORMAT/GQ[0]>20 pre-filter
+    // (correct_genotypes_by_imputation.py:141-148)
+    val q = spark.read.format("vcf").load(p).filter(col("gq") > 20)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("gq"),
+      s"gq must reach the scan: $plan")
+    def expect(c: org.apache.spark.sql.Column) =
+      Vcf.read(spark, p).filter(c).collect().map(_.toSeq).toSeq
+    assert(q.collect().map(_.toSeq).toSeq == expect(col("gq") > 20))
+    assert(q.count() == 2) // null/absent GQ never matches, like the engine filter
+
+    // combined prefix + sample predicates stage correctly
+    val both = spark.read.format("vcf").load(p)
+      .filter(col("pos") <= 400 && col("dp") >= 10)
+    assert(both.collect().map(_.toSeq).toSeq ==
+      expect(col("pos") <= 400 && col("dp") >= 10))
+    assert(both.count() == 2)
+    // IsNotNull + In shapes
+    assert(spark.read.format("vcf").load(p).filter(col("gq").isNotNull).count() == 3)
+    assert(spark.read.format("vcf").load(p).filter(col("dp").isin(30, 2)).count() == 2)
+  }
+
   test("vcf DataSourceV2: randomized line-shape equivalence with the expression path") {
     // the V2 parser hand-replays Vcf.fromLines' expression semantics; this
     // property hunts divergence on the shapes that bite: ragged FORMAT
