@@ -252,10 +252,24 @@ object Bgzf {
     * like bgzip's own output. */
   def write(lines: Iterator[String], out: OutputStream,
             blockBytes: Int = 60000): Unit = {
-    val cap = math.max(16, math.min(blockBytes, MaxBlock - 1024))
-    var buf = new java.io.ByteArrayOutputStream(cap * 2)
-    def drain(all: Boolean): Unit = {
-      var data = buf.toByteArray
+    val sink = new LineSink(out, blockBytes)
+    lines.foreach(sink.writeLine)
+    sink.close()
+  }
+
+  /** Incremental form of [[write]] for row-at-a-time producers (the
+    * DataSourceV2 writer): feed lines as they arrive; `close()` drains the
+    * tail and appends the EOF marker. The underlying stream is NOT closed
+    * — the caller owns it. Output is byte-identical to [[write]] over the
+    * same lines. */
+  final class LineSink(out: OutputStream, blockBytes: Int = 60000)
+      extends AutoCloseable {
+    private val cap = math.max(16, math.min(blockBytes, MaxBlock - 1024))
+    private val buf = new java.io.ByteArrayOutputStream(cap * 2)
+    private var closed = false
+
+    private def drain(all: Boolean): Unit = {
+      val data = buf.toByteArray
       buf.reset()
       var off = 0
       while (data.length - off >= cap || (all && data.length - off > 0)) {
@@ -265,12 +279,17 @@ object Bgzf {
       }
       if (off < data.length) buf.write(data, off, data.length - off)
     }
-    lines.foreach { l =>
+
+    def writeLine(l: String): Unit = {
       buf.write(l.getBytes("UTF-8")); buf.write('\n')
       if (buf.size() >= cap) drain(false)
     }
-    drain(true)
-    out.write(EofMarker)
+
+    override def close(): Unit = if (!closed) {
+      closed = true
+      drain(true)
+      out.write(EofMarker)
+    }
   }
 
   private def writeBlock(data: Array[Byte], off: Int, len: Int,

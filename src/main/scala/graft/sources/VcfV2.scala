@@ -51,6 +51,10 @@ import scala.jdk.CollectionConverters._
 class VcfDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "vcf"
 
+  // writes hand the incoming frame's schema to getTable (the writer
+  // formats whatever projection of the read schema it is given)
+  override def supportsExternalMetadata(): Boolean = true
+
   private def allSamples(opts: java.util.Map[String, String]): Boolean =
     Option(opts.get("samples")).exists(_.equalsIgnoreCase("all"))
 
@@ -64,7 +68,10 @@ class VcfDataSource extends TableProvider with DataSourceRegister {
     val sampleIndex = Option(properties.get("sample_index")).map(_.toInt).getOrElse(0)
     val splitBytes = Option(properties.get("split_bytes")).map(_.toLong)
       .getOrElse(16L * 1024 * 1024)
-    new VcfTable(path, sampleIndex, splitBytes, allSamples(properties))
+    // the write path supplies the incoming frame's schema (any projection
+    // of the read shapes); reads pass inferSchema's result back unchanged
+    new VcfTable(path, sampleIndex, splitBytes, allSamples(properties),
+      Option(schema).filter(_.fields.nonEmpty))
   }
 }
 
@@ -97,15 +104,37 @@ object VcfV2 {
 }
 
 class VcfTable(path: String, sampleIndex: Int, splitBytes: Long,
-               allSamples: Boolean = false)
-    extends Table with SupportsRead {
+               allSamples: Boolean = false,
+               external: Option[StructType] = None)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"vcf $path"
-  override def schema(): StructType =
-    if (allSamples) VcfV2.allSamplesSchema else VcfV2.schema
+  override def schema(): StructType = external.getOrElse(
+    if (allSamples) VcfV2.allSamplesSchema else VcfV2.schema)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VcfScanBuilder(path, sampleIndex, splitBytes, schema())
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    // any projection of the read shapes writes cleanly; unknown columns or
+    // wrong types fail here with guidance, not as executor ClassCastErrors
+    val known = (VcfV2.schema ++ VcfV2.allSamplesSchema.filter(_.name == "samples"))
+      .map(f => f.name -> f.dataType).toMap
+    info.schema().fields.foreach { f =>
+      known.get(f.name) match {
+        case None => throw new IllegalArgumentException(
+          s"vcf write: unknown column '${f.name}' (writable columns: " +
+            known.keys.toSeq.sorted.mkString(", ") + ")")
+        case Some(dt) if dt != f.dataType => throw new IllegalArgumentException(
+          s"vcf write: column '${f.name}' must be $dt, got ${f.dataType}")
+        case _ => ()
+      }
+    }
+    new VcfWriteBuilder(path, info)
+  }
 }
 
 class VcfScanBuilder(path: String, sampleIndex: Int, splitBytes: Long,

@@ -1,0 +1,272 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+
+/** DataSourceV2 write path: `df.write.format("vcf").mode("overwrite")
+  * .save(dir)` — the sink symmetry for [[VcfDataSource]] (the reference
+  * writes VCFs everywhere, e.g. ugvc/pipelines/compress_gvcf.py:123,214,
+  * vcfbed/calibrate_bridging_snvs.py:107-130).
+  *
+  * Shape: one file per input partition under `dir` (`part-NNNNN-M.vcf`,
+  * `.vcf.gz` when `compression=bgzf`), each starting with the VCF header —
+  * exactly the multi-file layout the read side consumes as a directory
+  * load, so write→read round-trips without a merge step and a 1000-task
+  * write never funnels through one writer (the legacy [[Vcf.write]]
+  * `coalesce(1)` stays for the single-file convenience case).
+  *
+  * Record formatting inverts [[VcfLineParser.parse]] field-for-field:
+  * alleles(0) → REF, the rest → ALT, `.` for null id/qual/filter, INFO
+  * map entries as `k=v` (bare `k` for null values), and the `sample` map
+  * (or the wide `samples` array) as FORMAT + per-sample columns. Columns
+  * the schema lacks degrade to `.` so any projection of the read schema
+  * writes cleanly.
+  *
+  * Commit protocol: tasks write to `dir/_staging-<queryId>/`; the driver
+  * commit (optionally) truncates visible files, renames staged files in,
+  * and removes the staging dir; abort deletes the staging dir. Speculative
+  * duplicate attempts are resolved at rename time (last rename wins on a
+  * distinct attempt-suffixed name; only committed messages are moved).
+  */
+class VcfWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new VcfBatchWrite(path, info.schema(), info.options().asCaseSensitiveMap(),
+        doTruncate, info.queryId())
+  }
+}
+
+case class VcfCommitMessage(stagedPath: String, finalName: String)
+    extends WriterCommitMessage
+
+class VcfBatchWrite(path: String, schema: StructType,
+                    options: java.util.Map[String, String],
+                    truncate: Boolean, queryId: String)
+    extends BatchWrite {
+
+  private def opt(k: String): Option[String] = Option(options.get(k))
+  private val bgzf = opt("compression").exists(_.equalsIgnoreCase("bgzf"))
+  private val blockBytes = opt("bgzf_block_bytes").map(_.toInt).getOrElse(60000)
+  private val sampleNames = opt("sample_names").map(_.split(",").toSeq)
+
+  private def stagingDir = new Path(path, s"_staging-$queryId")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    val fs = new Path(path).getFileSystem(conf)
+    fs.mkdirs(stagingDir)
+    val entries = {
+      val it = conf.iterator()
+      val b = Seq.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.result()
+    }
+    VcfWriterFactory(entries, stagingDir.toString, schema, bgzf, blockBytes,
+      sampleNames)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    if (truncate) {
+      val existing = Option(fs.listStatus(dir)).getOrElse(Array.empty)
+      existing.foreach { s =>
+        val n = s.getPath.getName
+        if (!n.startsWith("_staging-")) fs.delete(s.getPath, true)
+      }
+    }
+    messages.foreach {
+      case VcfCommitMessage(staged, finalName) =>
+        fs.rename(new Path(staged), new Path(dir, finalName))
+      case _ => ()
+    }
+    fs.delete(stagingDir, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    val fs = new Path(path).getFileSystem(conf)
+    fs.delete(stagingDir, true)
+  }
+}
+
+case class VcfWriterFactory(confEntries: Seq[(String, String)],
+                            stagingDir: String, schema: StructType,
+                            bgzf: Boolean, blockBytes: Int,
+                            sampleNames: Option[Seq[String]])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val conf = new Configuration(false)
+    confEntries.foreach { case (k, v) => conf.set(k, v) }
+    val ext = if (bgzf) ".vcf.gz" else ".vcf"
+    val name = f"part-$partitionId%05d-$taskId$ext"
+    new VcfDataWriter(conf, stagingDir, name, schema, bgzf, blockBytes,
+      sampleNames)
+  }
+}
+
+class VcfDataWriter(conf: Configuration, stagingDir: String, fileName: String,
+                    schema: StructType, bgzf: Boolean, blockBytes: Int,
+                    sampleNames: Option[Seq[String]])
+    extends DataWriter[InternalRow] {
+
+  private val fmt = new VcfRowFormatter(schema)
+  private val staged = new Path(stagingDir, fileName)
+  private var out: org.apache.hadoop.fs.FSDataOutputStream = _
+  private var sink: Bgzf.LineSink = _
+
+  private def emit(line: String): Unit =
+    if (sink != null) sink.writeLine(line)
+    else { out.write(line.getBytes("UTF-8")); out.write('\n') }
+
+  /** Header is written lazily on the first row (the wide `samples` shape
+    * fixes the sample-column count only then); an empty partition still
+    * commits a header-only file. */
+  private def ensureOpen(nSamples: Int): Unit = if (out == null) {
+    out = staged.getFileSystem(conf).create(staged, true)
+    if (bgzf) sink = new Bgzf.LineSink(out, blockBytes)
+    emit("##fileformat=VCFv4.2")
+    val base = "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
+    if (nSamples == 0) emit(base)
+    else {
+      val names = sampleNames.getOrElse((1 to nSamples).map(i => s"S$i"))
+      emit(base + "\tFORMAT\t" + names.take(nSamples).padTo(nSamples, "S?")
+        .mkString("\t"))
+    }
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val (line, nSamples) = fmt.format(row)
+    ensureOpen(nSamples)
+    emit(line)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    ensureOpen(0)
+    if (sink != null) sink.close()
+    out.close()
+    VcfCommitMessage(staged.toString, fileName)
+  }
+
+  override def abort(): Unit = {
+    try { if (sink != null) sink.close(); if (out != null) out.close() }
+    catch { case _: Throwable => () }
+    try staged.getFileSystem(conf).delete(staged, false)
+    catch { case _: Throwable => () }
+  }
+
+  override def close(): Unit = ()
+}
+
+/** InternalRow → VCF line, the inverse of [[VcfLineParser.parse]]. Null
+  * and absent columns degrade to `.`; the `sample` map column (single) or
+  * `samples` array column (wide panel) becomes FORMAT + sample columns,
+  * with the FORMAT key order taken from each line's own map. */
+class VcfRowFormatter(schema: StructType) extends Serializable {
+  private def ix(name: String): Int = schema.fieldNames.indexOf(name)
+  private val iChrom = ix("chrom")
+  private val iPos = ix("pos")
+  private val iId = ix("id")
+  private val iRef = ix("ref")
+  private val iAlleles = ix("alleles")
+  private val iQual = ix("qual")
+  private val iFilter = ix("filter")
+  private val iInfo = ix("info")
+  private val iSample = ix("sample")
+  private val iSamples = ix("samples")
+
+  private def str(row: InternalRow, i: Int): String =
+    if (i < 0 || row.isNullAt(i)) "." else row.getUTF8String(i).toString
+
+  /** Returns (formatted line, sample-column count). */
+  def format(row: InternalRow): (String, Int) = {
+    val sb = new java.lang.StringBuilder(96)
+    sb.append(str(row, iChrom)).append('\t')
+    if (iPos < 0 || row.isNullAt(iPos)) sb.append('.')
+    else sb.append(row.getLong(iPos))
+    sb.append('\t').append(str(row, iId)).append('\t')
+    // REF/ALT from alleles (read-schema shape), falling back to a bare ref
+    if (iAlleles >= 0 && !row.isNullAt(iAlleles)) {
+      val a = row.getArray(iAlleles)
+      if (a.numElements() == 0) sb.append(".\t.")
+      else {
+        sb.append(if (a.isNullAt(0)) "." else a.getUTF8String(0).toString)
+        sb.append('\t')
+        if (a.numElements() == 1) sb.append('.')
+        else {
+          var i = 1
+          while (i < a.numElements()) {
+            if (i > 1) sb.append(',')
+            sb.append(if (a.isNullAt(i)) "." else a.getUTF8String(i).toString)
+            i += 1
+          }
+        }
+      }
+    } else sb.append(str(row, iRef)).append("\t.")
+    sb.append('\t')
+    if (iQual < 0 || row.isNullAt(iQual)) sb.append('.')
+    else sb.append(row.getDouble(iQual))
+    sb.append('\t').append(str(row, iFilter)).append('\t')
+    if (iInfo < 0 || row.isNullAt(iInfo)) sb.append('.')
+    else {
+      val m = row.getMap(iInfo)
+      if (m.numElements() == 0) sb.append('.')
+      else {
+        val ks = m.keyArray(); val vs = m.valueArray()
+        var i = 0
+        while (i < m.numElements()) {
+          if (i > 0) sb.append(';')
+          sb.append(ks.getUTF8String(i).toString)
+          if (!vs.isNullAt(i))
+            sb.append('=').append(vs.getUTF8String(i).toString)
+          i += 1
+        }
+      }
+    }
+    var nSamples = 0
+    if (iSamples >= 0 && !row.isNullAt(iSamples)) {
+      val arr = row.getArray(iSamples)
+      nSamples = arr.numElements()
+      if (nSamples > 0) {
+        // FORMAT keys from the first sample's map; later samples emit
+        // values in that key order ('.' when a key is absent)
+        val first = arr.getMap(0)
+        val keys = (0 until first.numElements())
+          .map(first.keyArray().getUTF8String(_).toString)
+        sb.append('\t').append(keys.mkString(":"))
+        var s = 0
+        while (s < nSamples) {
+          sb.append('\t')
+          if (arr.isNullAt(s)) sb.append('.')
+          else {
+            val m = arr.getMap(s)
+            val lookup = (0 until m.numElements()).map { i =>
+              m.keyArray().getUTF8String(i).toString ->
+                (if (m.valueArray().isNullAt(i)) "."
+                 else m.valueArray().getUTF8String(i).toString)
+            }.toMap
+            sb.append(keys.map(k => lookup.getOrElse(k, ".")).mkString(":"))
+          }
+          s += 1
+        }
+      }
+    } else if (iSample >= 0 && !row.isNullAt(iSample)) {
+      nSamples = 1
+      val m = row.getMap(iSample)
+      val ks = m.keyArray(); val vs = m.valueArray()
+      val keys = (0 until m.numElements()).map(ks.getUTF8String(_).toString)
+      val vals = (0 until m.numElements()).map(i =>
+        if (vs.isNullAt(i)) "." else vs.getUTF8String(i).toString)
+      sb.append('\t').append(keys.mkString(":"))
+      sb.append('\t').append(vals.mkString(":"))
+    }
+    (sb.toString, nSamples)
+  }
+}

@@ -1,0 +1,120 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** `df.write.format("vcf")` round trips: write → read must be
+  * frame-identical for plain text and bgzf output, single-sample and wide
+  * panel shapes. */
+class VcfWriteV2Spec extends SparkSpec {
+
+  private val lines = Seq(
+    "##fileformat=VCFv4.2",
+    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1",
+    "chr1\t100\trs1\tA\tT\t50.5\tPASS\tDP=30;AF=0.5\tGT:AD:DP:GQ:PL\t0/1:10,20:30:99:50,0,80",
+    "chr1\t200\t.\tG\tC,T\t.\t.\tDP=10\tGT:DP\t1|2:10",
+    "chr2\t5\t.\tT\tA\t10\tLowQual\tEND=8\tGT:DP\t./.:7")
+
+  private def srcPath(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix)
+    Files.writeString(d.resolve("t.vcf"), lines.mkString("\n"))
+    d.resolve("t.vcf").toString
+  }
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.orderBy("chrom", "pos").collect().toSeq
+      .map(_.toSeq.map { case m: Map[_, _] => m.toSeq.sortBy(_._1.toString); case x => x })
+
+  test("write → read round trip is frame-identical (plain text)") {
+    val src = spark.read.format("vcf").load(srcPath("graftvcfw1"))
+    val out = Files.createTempDirectory("graftvcfw1o").resolve("out").toString
+    src.write.format("vcf").mode("overwrite").save(out)
+    val back = spark.read.format("vcf").load(out)
+    assert(back.schema == src.schema)
+    assert(sortedRows(back) == sortedRows(src))
+  }
+
+  test("write → read round trip through bgzf compression") {
+    val src = spark.read.format("vcf").load(srcPath("graftvcfw2"))
+    val out = Files.createTempDirectory("graftvcfw2o").resolve("out").toString
+    src.write.format("vcf").mode("overwrite")
+      .option("compression", "bgzf").option("bgzf_block_bytes", "512").save(out)
+    // output files are genuine chained BGZF members (bgzip-compatible)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .map(_.getPath.toString).filter(_.endsWith(".vcf.gz"))
+    assert(parts.nonEmpty)
+    parts.foreach(p => assert(Bgzf.isBgzf(conf, p), s"$p must be BGZF"))
+    val back = spark.read.format("vcf").load(out)
+    assert(sortedRows(back) == sortedRows(spark.read.format("vcf").load(srcPath("graftvcfw2b"))))
+  }
+
+  test("wide panel (samples=all) round trips sample columns") {
+    val d = Files.createTempDirectory("graftvcfw3")
+    val wide = Seq(
+      "##fileformat=VCFv4.2",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tA\tB\tC",
+      "chr1\t100\t.\tA\tT\t50\tPASS\tDP=9\tGT:DP\t0/1:3\t1/1:7\t0/0:2",
+      "chr1\t200\t.\tG\tC\t40\tPASS\tDP=4\tGT:DP\t0/0:1\t0/1:5\t1/1:6")
+    Files.writeString(d.resolve("w.vcf"), wide.mkString("\n"))
+    val src = spark.read.format("vcf").option("samples", "all")
+      .load(d.resolve("w.vcf").toString)
+    val out = d.resolve("out").toString
+    src.write.format("vcf").mode("overwrite")
+      .option("sample_names", "A,B,C").save(out)
+    val back = spark.read.format("vcf").option("samples", "all").load(out)
+    assert(sortedRows(back) == sortedRows(src))
+    // header carries the provided sample names
+    val hdr = fsReadFirstLines(out)
+    assert(hdr.exists(_.endsWith("FORMAT\tA\tB\tC")))
+  }
+
+  test("overwrite truncates previous output; append-shape partitioned write scales out") {
+    val src = spark.read.format("vcf").load(srcPath("graftvcfw4"))
+    val out = Files.createTempDirectory("graftvcfw4o").resolve("out").toString
+    src.write.format("vcf").mode("overwrite").save(out)
+    src.repartition(3).write.format("vcf").mode("overwrite").save(out)
+    val back = spark.read.format("vcf").load(out)
+    assert(back.count() == 3, "overwrite must not accumulate old part files")
+    // multiple tasks → multiple part files, each header-bearing
+    val headers = fsReadFirstLines(out)
+    assert(headers.count(_ == "##fileformat=VCFv4.2") >= 1)
+  }
+
+  test("projection of the read schema writes cleanly with '.' degradation") {
+    import scala.jdk.CollectionConverters._
+    val rows = Seq(
+      org.apache.spark.sql.Row("chrX", 42L, Seq("A", "G"))).asJava
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("chrom", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("alleles",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))))
+    val df = spark.createDataFrame(rows, schema)
+    val out = Files.createTempDirectory("graftvcfw5").resolve("out").toString
+    df.write.format("vcf").mode("overwrite").save(out)
+    val back = spark.read.format("vcf").load(out)
+    val r = back.head
+    assert(r.getAs[String]("chrom") == "chrX" && r.getAs[Long]("pos") == 42L)
+    assert(r.getSeq[String](r.fieldIndex("alleles")) == Seq("A", "G"))
+    assert(r.isNullAt(r.fieldIndex("qual")))
+  }
+
+  private def fsReadFirstLines(dir: String): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    fs.listStatus(p).toSeq.filter(_.isFile).flatMap { s =>
+      val name = s.getPath.getName
+      if (name.startsWith("_")) Seq.empty
+      else if (name.endsWith(".gz")) Seq.empty
+      else {
+        val in = fs.open(s.getPath)
+        val src = scala.io.Source.fromInputStream(in, "UTF-8")
+        try src.getLines().take(3).toList finally src.close()
+      }
+    }
+  }
+}
