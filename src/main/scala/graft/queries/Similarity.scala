@@ -32,6 +32,13 @@ object Similarity {
 
   private val DIM = 64
 
+  /** Hard cap on centroids collected for a flat broadcast ([[assignToCells]]):
+    * 65,536 cells at DIM=64 doubles ≈ 35 MB on the driver — comfortably
+    * bounded, while any legitimate IVF sizing (sqrt(N) cells) stays far
+    * below it even at 4 billion vectors. Beyond the cap, callers must go
+    * through the two-level coarse-quantizer dispatch. */
+  private[queries] val MaxBroadcastCells = 65536
+
   /** Cell-count knobs, derived from collection size so the plan shape
     * survives scale-up (round-2 verdict: a constant NCENT makes per-cell
     * work grow linearly with N, i.e. pairwise work quadratically).
@@ -106,8 +113,19 @@ object Similarity {
     * the DuckDB oracles keep matching. Shared by d6/e2 and
     * [[writeAssignmentsByCell]]. */
   private[queries] def assignToCells(all: DataFrame, cents: DataFrame): DataFrame = {
+    // driver-OOM guard: the centroid collect is sqrt(N)-bounded for the
+    // engine's own IVF paths (~7k cells at the 100x replica), but a caller
+    // handing an arbitrary frame must get an error with guidance, not a
+    // dead driver. limit(cap+1) keeps the probe itself bounded.
+    val probe = cents.select("cid", "cv", "cnrm")
+      .limit(Similarity.MaxBroadcastCells + 1).collect()
+    require(probe.length <= Similarity.MaxBroadcastCells,
+      s"assignToCells: more than ${Similarity.MaxBroadcastCells} centroids — " +
+        "a flat broadcast of this many cells risks a driver OOM; use " +
+        "assignToCellsTwoLevel (coarse quantizer dispatch) or reduce the " +
+        "cell count (IVF sizes cells as sqrt(N))")
     val centArr: Array[(Long, Array[Double], Double)] =
-      cents.select("cid", "cv", "cnrm").collect()
+      probe
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
         .sortBy(_._1)
     val bCents = all.sparkSession.sparkContext.broadcast(centArr)
