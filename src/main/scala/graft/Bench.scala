@@ -128,7 +128,13 @@ object Bench {
 
     val errors = mutable.LinkedHashMap.empty[String, String]
     val loadAt = mutable.LinkedHashMap.empty[String, Double]
+    // SPARK_GRAFT_BENCH_CLEARCACHE=1: drop cached frames between queries so
+    // a query that persists internally cannot subsidize a later one —
+    // honest per-query isolation at the cost of cross-query cache reuse
+    // (off by default to keep numbers comparable with recorded baselines)
+    val clearCache = sys.env.get("SPARK_GRAFT_BENCH_CLEARCACHE").contains("1")
     def time(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      if (clearCache) spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
