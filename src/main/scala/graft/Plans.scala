@@ -12,7 +12,7 @@ object Plans {
         "o4_topk", "d3_lsh_pairs", "e1_knn_cosine", "w1_pr_curve_bucketed",
         "j11_isec_partition", "f14_pl_math", "w3_overlap_suppress",
         "w2_block_compress", "x6_decontaminate", "x7_mix_sample",
-        "j13_skew_join", "qc1_fold_penalty")
+        "j13_skew_join", "qc1_fold_penalty", "qc2_sub_error_rate")
     val spark = Spark.session("graft-plans")
     names.foreach { n =>
       println(s"\n## $n\n")
