@@ -102,6 +102,41 @@ class VcfWriteV2Spec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("qual")))
   }
 
+  test("randomized write → read round trip over fuzzed line shapes") {
+    // same shape generator family as the read-path fuzz: '.' markers,
+    // ragged FORMAT, flag-only INFO, '=' inside INFO values, symbolic ALT
+    val rnd = new scala.util.Random(4321)
+    def maybe(s: => String): String = if (rnd.nextBoolean()) s else "."
+    val infos = Seq("DP=30;AF=0.5", "X=a=b;FLAG;DP=7", "FLAG", ".", "K=;DP=1")
+    val fmts = Seq(
+      ("GT:AD:DP:GQ:PL", () => s"${Seq("0/1", "1|1", "./.")(rnd.nextInt(3))}:1,2:${rnd.nextInt(90)}:${rnd.nextInt(99)}:50,0,9"),
+      ("GT:DP", () => s"0/${rnd.nextInt(2)}:${rnd.nextInt(50)}"),
+      ("GT:AD:DP", () => Seq("0/1", "1/1:3,4", "0/1:5,6:9")(rnd.nextInt(3))))
+    val src = Seq(
+      "##fileformat=VCFv4.2",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1") ++
+      (1 to 300).map { i =>
+        val (fmt, gen) = fmts(rnd.nextInt(fmts.length))
+        Seq(s"chr${1 + i % 3}", s"${i * 11}", maybe(s"rs$i"),
+          Seq("A", "CT")(rnd.nextInt(2)),
+          Seq("T", "C,G", "<DEL>", ".")(rnd.nextInt(4)), maybe(s"${rnd.nextInt(99)}.5"),
+          maybe("PASS"), infos(rnd.nextInt(infos.length)), fmt, gen()).mkString("\t")
+      }
+    val d = Files.createTempDirectory("graftvcfwfuzz")
+    Files.writeString(d.resolve("f.vcf"), src.mkString("\n"))
+    val first = spark.read.format("vcf").load(d.resolve("f.vcf").toString)
+    val out = d.resolve("out").toString
+    first.write.format("vcf").mode("overwrite")
+      .option("compression", "bgzf").save(out)
+    val second = spark.read.format("vcf").load(out)
+    val a = sortedRows(first)
+    val b = sortedRows(second)
+    assert(a.length == 300 && b.length == 300)
+    a.zip(b).zipWithIndex.foreach { case ((x, y), i) =>
+      assert(x == y, s"row $i diverged after write:\n  before: $x\n  after:  $y")
+    }
+  }
+
   private def fsReadFirstLines(dir: String): Seq[String] = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(dir)
