@@ -49,7 +49,9 @@ object VcfIndex {
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val len = fs.getFileStatus(p).getLen
+    val status = fs.getFileStatus(p)
+    val len = status.getLen
+    val mtime = status.getModificationTime
     val gz = path.endsWith(".gz") || path.endsWith(".bgz")
     val bgzf = gz && (try Bgzf.isBgzf(conf, path) catch { case _: Throwable => false })
     val kind =
@@ -100,12 +102,13 @@ object VcfIndex {
         SplitStat(s0, e0, acc.toMap)
       }
       .collect().toSeq.sortBy(_.start)
-    write(fs, path, len, stats)
+    write(fs, path, len, mtime, stats)
     stats
   }
 
-  private def write(fs: org.apache.hadoop.fs.FileSystem, path: String,
-                    fileLen: Long, stats: Seq[SplitStat]): Unit = {
+  private[sources] def write(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                             fileLen: Long, fileMtime: Long,
+                             stats: Seq[SplitStat]): Unit = {
     def esc(s: String): String = {
       val sb = new StringBuilder
       s.foreach {
@@ -124,13 +127,18 @@ object VcfIndex {
     }.mkString("[", ",", "]")
     val out = fs.create(new Path(indexPath(path)), true)
     try out.write(
-      s"""{"file_len":$fileLen,"splits":$body}""".getBytes("UTF-8"))
+      s"""{"file_len":$fileLen,"file_mtime":$fileMtime,"splits":$body}"""
+        .getBytes("UTF-8"))
     finally out.close()
   }
 
-  /** Load the sidecar for `path` if present and not stale (recorded
-    * file_len must equal the current length). */
-  def read(conf: Configuration, path: String, fileLen: Long): Option[Seq[SplitStat]] =
+  /** Load the sidecar for `path` if present and not stale. Staleness is
+    * (length, mtime) — length alone misses an in-place rewrite that
+    * happens to preserve byte count, which would silently prune splits
+    * that now contain matching rows. A missing mtime stamp (pre-round-8
+    * index) is treated as stale: rebuild rather than trust. */
+  def read(conf: Configuration, path: String, fileLen: Long,
+           fileMtime: Long): Option[Seq[SplitStat]] =
     try {
       val ip = new Path(indexPath(path))
       val fs = ip.getFileSystem(conf)
@@ -141,6 +149,8 @@ object VcfIndex {
         finally in.close()
       val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
       if (root.get("file_len").asLong() != fileLen) return None // stale
+      val m = root.get("file_mtime")
+      if (m == null || m.asLong() != fileMtime) return None // stale or legacy
       val splits = root.get("splits")
       val b = Seq.newBuilder[SplitStat]
       splits.forEach { node =>

@@ -213,7 +213,7 @@ class VcfScan(path: String, sampleIndex: Int, splitBytes: Long,
               math.min((i + 1).toLong * splitBytes, len), kind)
           }
         }
-      val index = if (usePrune) VcfIndex.read(conf, p, len) else None
+      val index = if (usePrune) VcfIndex.read(conf, p, len, s.getModificationTime) else None
       index match {
         case Some(stats) =>
           splits.filter(sp => VcfIndex.mayMatch(stats, sp.start, sp.end, pushed))

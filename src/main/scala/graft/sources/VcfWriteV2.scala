@@ -68,7 +68,16 @@ class VcfBatchWrite(path: String, schema: StructType,
       b.result()
     }
     VcfWriterFactory(entries, stagingDir.toString, schema, bgzf, blockBytes,
-      sampleNames)
+      sampleNames, querySalt)
+  }
+
+  // task IDs restart at 0 per application, so `part-<pid>-<taskId>` alone
+  // can collide with a prior app's output under append-shape writes; salt
+  // final names with the query id so every write's files are unique
+  private def querySalt: String = {
+    val s = Option(queryId).getOrElse("").filter(_.isLetterOrDigit)
+    if (s.isEmpty) java.util.UUID.randomUUID.toString.filter(_.isLetterOrDigit).takeRight(8)
+    else s.takeRight(8)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -84,7 +93,15 @@ class VcfBatchWrite(path: String, schema: StructType,
     }
     messages.foreach {
       case VcfCommitMessage(staged, finalName) =>
-        fs.rename(new Path(staged), new Path(dir, finalName))
+        // rename returns false (rather than throwing) on HDFS/local when the
+        // destination exists or a parent vanished; swallowing it and then
+        // deleting the staging dir would silently drop the partition — fail
+        // the job instead (file names are queryId-salted, so a same-app
+        // collision indicates a real conflict, not append-mode reuse)
+        if (!fs.rename(new Path(staged), new Path(dir, finalName)))
+          throw new java.io.IOException(
+            s"vcf write commit: rename $staged -> $dir/$finalName failed " +
+              "(destination exists or filesystem refused the move)")
       case _ => ()
     }
     fs.delete(stagingDir, true)
@@ -100,13 +117,14 @@ class VcfBatchWrite(path: String, schema: StructType,
 case class VcfWriterFactory(confEntries: Seq[(String, String)],
                             stagingDir: String, schema: StructType,
                             bgzf: Boolean, blockBytes: Int,
-                            sampleNames: Option[Seq[String]])
+                            sampleNames: Option[Seq[String]],
+                            salt: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val conf = new Configuration(false)
     confEntries.foreach { case (k, v) => conf.set(k, v) }
     val ext = if (bgzf) ".vcf.gz" else ".vcf"
-    val name = f"part-$partitionId%05d-$taskId$ext"
+    val name = f"part-$partitionId%05d-$taskId-$salt$ext"
     new VcfDataWriter(conf, stagingDir, name, schema, bgzf, blockBytes,
       sampleNames)
   }
@@ -122,34 +140,73 @@ class VcfDataWriter(conf: Configuration, stagingDir: String, fileName: String,
   private var out: org.apache.hadoop.fs.FSDataOutputStream = _
   private var sink: Bgzf.LineSink = _
 
+  // The header's sample-column count comes from the SCHEMA, not from
+  // whichever row arrives first: a leading null-sample row must not freeze
+  // an 8-column header onto a file whose later lines carry FORMAT+samples
+  // (spec-invalid for bcftools/pysam). `sample` → 1 column; `samples` →
+  // sample_names width when given; neither → 0. A `samples` schema WITHOUT
+  // sample_names has no static width: rows are buffered (bounded) until
+  // one actually carries samples.
+  private var declared: Int =
+    if (schema.fieldNames.contains("samples")) sampleNames.map(_.length).getOrElse(-1)
+    else if (schema.fieldNames.contains("sample")) 1
+    else 0
+  private val MaxBuffered = 65536
+  private var buffered: scala.collection.mutable.ArrayBuffer[(String, Int)] =
+    if (declared < 0) scala.collection.mutable.ArrayBuffer.empty else null
+
   private def emit(line: String): Unit =
     if (sink != null) sink.writeLine(line)
     else { out.write(line.getBytes("UTF-8")); out.write('\n') }
 
-  /** Header is written lazily on the first row (the wide `samples` shape
-    * fixes the sample-column count only then); an empty partition still
-    * commits a header-only file. */
-  private def ensureOpen(nSamples: Int): Unit = if (out == null) {
+  /** Header is written lazily on the first emitted row; an empty partition
+    * still commits a header-only file. */
+  private def ensureOpen(): Unit = if (out == null) {
     out = staged.getFileSystem(conf).create(staged, true)
     if (bgzf) sink = new Bgzf.LineSink(out, blockBytes)
     emit("##fileformat=VCFv4.2")
     val base = "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
-    if (nSamples == 0) emit(base)
+    if (declared <= 0) emit(base)
     else {
-      val names = sampleNames.getOrElse((1 to nSamples).map(i => s"S$i"))
-      emit(base + "\tFORMAT\t" + names.take(nSamples).padTo(nSamples, "S?")
+      val names = sampleNames.getOrElse((1 to declared).map(i => s"S$i"))
+      emit(base + "\tFORMAT\t" + names.take(declared).padTo(declared, "S?")
         .mkString("\t"))
     }
   }
 
+  /** Pads a formatted line to the declared sample width: a row with no
+    * sample data in a file declaring N samples still emits FORMAT '.' and
+    * one '.' per declared column, keeping every data line rectangular.
+    * (The graft reader reads a padded sample back as map('.' -> '.'), not
+    * null — VCF has no rectangular encoding for "column absent".) */
+  private def pad(line: String, n: Int): String =
+    if (declared <= 0 || n >= declared) line
+    else if (n == 0) line + "\t." + ("\t." * declared)
+    else line + ("\t." * (declared - n))
+
+  private def emitRow(line: String, n: Int): Unit = { ensureOpen(); emit(pad(line, n)) }
+
+  private def flushBuffered(): Unit = {
+    val pend = buffered; buffered = null
+    pend.foreach { case (l, n) => emitRow(l, n) }
+  }
+
   override def write(row: InternalRow): Unit = {
     val (line, nSamples) = fmt.format(row)
-    ensureOpen(nSamples)
-    emit(line)
+    if (declared >= 0) emitRow(line, nSamples)
+    else if (nSamples > 0) { declared = nSamples; flushBuffered(); emitRow(line, nSamples) }
+    else {
+      buffered += ((line, nSamples))
+      // bounded: past the cap give up inferring a width (every row so far
+      // had no sample data), declare 0 and stream — a later sample-bearing
+      // row still emits its columns (positionally readable, though ragged)
+      if (buffered.length >= MaxBuffered) { declared = 0; flushBuffered() }
+    }
   }
 
   override def commit(): WriterCommitMessage = {
-    ensureOpen(0)
+    if (declared < 0) { declared = 0; flushBuffered() }
+    ensureOpen()
     if (sink != null) sink.close()
     out.close()
     VcfCommitMessage(staged.toString, fileName)
@@ -167,8 +224,9 @@ class VcfDataWriter(conf: Configuration, stagingDir: String, fileName: String,
 
 /** InternalRow → VCF line, the inverse of [[VcfLineParser.parse]]. Null
   * and absent columns degrade to `.`; the `sample` map column (single) or
-  * `samples` array column (wide panel) becomes FORMAT + sample columns,
-  * with the FORMAT key order taken from each line's own map. */
+  * `samples` array column (wide panel) becomes FORMAT + sample columns.
+  * FORMAT keys are the first-seen-order union across the line's non-null
+  * sample maps (single-map lines use that map's own order). */
 class VcfRowFormatter(schema: StructType) extends Serializable {
   private def ix(name: String): Int = schema.fieldNames.indexOf(name)
   private val iChrom = ix("chrom")
@@ -235,26 +293,46 @@ class VcfRowFormatter(schema: StructType) extends Serializable {
       val arr = row.getArray(iSamples)
       nSamples = arr.numElements()
       if (nSamples > 0) {
-        // FORMAT keys from the first sample's map; later samples emit
-        // values in that key order ('.' when a key is absent)
-        val first = arr.getMap(0)
-        val keys = (0 until first.numElements())
-          .map(first.keyArray().getUTF8String(_).toString)
-        sb.append('\t').append(keys.mkString(":"))
+        // FORMAT keys: first-seen order unioned across every NON-null
+        // sample (a null first element used to NPE; keys present only in
+        // later samples used to be silently dropped); samples missing a
+        // key emit '.' in its slot
+        val keys = scala.collection.mutable.LinkedHashSet.empty[String]
         var s = 0
         while (s < nSamples) {
-          sb.append('\t')
-          if (arr.isNullAt(s)) sb.append('.')
-          else {
+          if (!arr.isNullAt(s)) {
             val m = arr.getMap(s)
-            val lookup = (0 until m.numElements()).map { i =>
-              m.keyArray().getUTF8String(i).toString ->
-                (if (m.valueArray().isNullAt(i)) "."
-                 else m.valueArray().getUTF8String(i).toString)
-            }.toMap
-            sb.append(keys.map(k => lookup.getOrElse(k, ".")).mkString(":"))
+            var i = 0
+            while (i < m.numElements()) {
+              keys += m.keyArray().getUTF8String(i).toString; i += 1
+            }
           }
           s += 1
+        }
+        if (keys.isEmpty) {
+          // every sample element null: FORMAT '.' and '.' per column keeps
+          // the line rectangular for external parsers
+          sb.append("\t.")
+          var t = 0
+          while (t < nSamples) { sb.append("\t."); t += 1 }
+        } else {
+          val keySeq = keys.toSeq
+          sb.append('\t').append(keySeq.mkString(":"))
+          var t = 0
+          while (t < nSamples) {
+            sb.append('\t')
+            if (arr.isNullAt(t)) sb.append(keySeq.map(_ => ".").mkString(":"))
+            else {
+              val m = arr.getMap(t)
+              val lookup = (0 until m.numElements()).map { i =>
+                m.keyArray().getUTF8String(i).toString ->
+                  (if (m.valueArray().isNullAt(i)) "."
+                   else m.valueArray().getUTF8String(i).toString)
+              }.toMap
+              sb.append(keySeq.map(k => lookup.getOrElse(k, ".")).mkString(":"))
+            }
+            t += 1
+          }
         }
       }
     } else if (iSample >= 0 && !row.isNullAt(iSample)) {

@@ -36,7 +36,10 @@ class VcfIndexSpec extends SparkSpec {
     assert(built.size > 1, "granularity below file size must yield multiple entries")
     val conf = spark.sessionState.newHadoopConf()
     val len = java.nio.file.Files.size(p)
-    val Some(stats) = VcfIndex.read(conf, p.toString, len)
+    val mtime = new org.apache.hadoop.fs.Path(p.toString)
+      .getFileSystem(conf).getFileStatus(new org.apache.hadoop.fs.Path(p.toString))
+      .getModificationTime
+    val Some(stats) = VcfIndex.read(conf, p.toString, len, mtime)
     assert(stats == built)
     // stats are consistent: entries tile [0, len), per-chrom min <= max
     assert(stats.head.start == 0 && stats.last.end == len)
@@ -46,7 +49,10 @@ class VcfIndexSpec extends SparkSpec {
     val chr1Max = stats.flatMap(_.chroms.get("chr1")).map(_._2).max
     assert(chr1Max == 200L)
     // stale: a different file length means the index is ignored
-    assert(VcfIndex.read(conf, p.toString, len + 1).isEmpty)
+    assert(VcfIndex.read(conf, p.toString, len + 1, mtime).isEmpty)
+    // stale: a same-length rewrite (different mtime) is ignored too — a
+    // length-only stamp would trust an index over regenerated content
+    assert(VcfIndex.read(conf, p.toString, len, mtime + 1).isEmpty)
   }
 
   test("pushed region predicate prunes splits; results stay row-identical") {

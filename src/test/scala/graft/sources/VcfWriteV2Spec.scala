@@ -137,7 +137,59 @@ class VcfWriteV2Spec extends SparkSpec {
     }
   }
 
-  private def fsReadFirstLines(dir: String): Seq[String] = {
+  test("header sample count comes from the schema, not the first row") {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    // first row has a NULL sample: the header must still declare one
+    // sample column (schema has `sample`), and the null row must pad to a
+    // rectangular FORMAT '.' + '.' line, not an 8-column line
+    val schema = StructType(Seq(
+      StructField("chrom", StringType), StructField("pos", LongType),
+      StructField("sample", MapType(StringType, StringType, valueContainsNull = false))))
+    val rows = Seq(
+      org.apache.spark.sql.Row("chr1", 5L, null),
+      org.apache.spark.sql.Row("chr1", 9L, Map("GT" -> "0/1", "DP" -> "7"))).asJava
+    val out = Files.createTempDirectory("graftvcfhdr").resolve("out").toString
+    spark.createDataFrame(rows, schema).coalesce(1)
+      .write.format("vcf").mode("overwrite").save(out)
+    val lines = fsReadFirstLines(out, take = 10)
+    val hdr = lines.find(_.startsWith("#CHROM")).get
+    assert(hdr.split("\t").length == 10, s"header must declare FORMAT+1 sample: $hdr")
+    val data = lines.filterNot(_.startsWith("#"))
+    assert(data.forall(_.split("\t", -1).length == 10),
+      s"every data line must be rectangular: $data")
+  }
+
+  test("wide panel: null first sample and late-only FORMAT keys survive") {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("chrom", StringType), StructField("pos", LongType),
+      StructField("samples", ArrayType(
+        MapType(StringType, StringType, valueContainsNull = false)))))
+    val rows = Seq(
+      // null FIRST element (used to NPE); GQ appears only in sample 2
+      // (used to be silently dropped)
+      org.apache.spark.sql.Row("chr1", 5L,
+        Seq(null, Map("GT" -> "0/1", "GQ" -> "99"))),
+      // all elements null: FORMAT '.' + '.' columns, no NPE
+      org.apache.spark.sql.Row("chr1", 9L, Seq(null, null))).asJava
+    val out = Files.createTempDirectory("graftvcfwide").resolve("out").toString
+    spark.createDataFrame(rows, schema).coalesce(1)
+      .write.format("vcf").mode("overwrite").option("sample_names", "A,B").save(out)
+    val lines = fsReadFirstLines(out, take = 10)
+    assert(lines.exists(_.endsWith("FORMAT\tA\tB")))
+    val l5 = lines.find(_.startsWith("chr1\t5")).get.split("\t", -1)
+    assert(l5(8) == "GT:GQ" && l5(9) == ".:." && l5(10) == "0/1:99", l5.mkString("|"))
+    val l9 = lines.find(_.startsWith("chr1\t9")).get.split("\t", -1)
+    assert(l9.length == 11 && l9(8) == "." && l9(9) == "." && l9(10) == ".",
+      l9.mkString("|"))
+    // and the file still reads back through the wide parser
+    val back = spark.read.format("vcf").option("samples", "all").load(out)
+    assert(back.count() == 2)
+  }
+
+  private def fsReadFirstLines(dir: String, take: Int = 3): Seq[String] = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(conf)
@@ -148,7 +200,7 @@ class VcfWriteV2Spec extends SparkSpec {
       else {
         val in = fs.open(s.getPath)
         val src = scala.io.Source.fromInputStream(in, "UTF-8")
-        try src.getLines().take(3).toList finally src.close()
+        try src.getLines().take(take).toList finally src.close()
       }
     }
   }
