@@ -212,6 +212,127 @@ object Bgzf {
     }
   }
 
+  /** Sequential (blockStart, inflated bytes) iterator over a whole BGZF
+    * file — the builder-side walk for tabix indexing (one streaming pass,
+    * no ownership rule needed). */
+  private[sources] def blocks(conf: Configuration, path: String)
+      : Iterator[(Long, Array[Byte])] with AutoCloseable = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val fileLen = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    new Iterator[(Long, Array[Byte])] with AutoCloseable {
+      private var nextBlockStart = 0L
+      private var pending: (Long, Array[Byte]) = _
+      private var closed = false
+
+      private def pull(): Unit = {
+        while (pending == null && nextBlockStart < fileLen) {
+          val hdr = new Array[Byte](18)
+          in.readFully(nextBlockStart, hdr, 0, math.min(18L, fileLen - nextBlockStart).toInt)
+          val sz = memberSize(hdr, 0)
+          require(sz > 0, s"not a BGZF block at offset $nextBlockStart of $path")
+          val raw = new Array[Byte](sz)
+          in.readFully(nextBlockStart, raw, 0, sz)
+          val xlen = (raw(10) & 0xff) | ((raw(11) & 0xff) << 8)
+          val isize = (raw(sz - 4) & 0xff) | ((raw(sz - 3) & 0xff) << 8) |
+            ((raw(sz - 2) & 0xff) << 16) | ((raw(sz - 1) & 0xff) << 24)
+          val blockStart = nextBlockStart
+          nextBlockStart += sz
+          if (isize > 0) {
+            val out = new Array[Byte](isize)
+            val inf = new Inflater(true)
+            inf.setInput(raw, 12 + xlen, sz - 12 - xlen - 8)
+            var n = 0
+            while (n < isize && !inf.finished()) n += inf.inflate(out, n, isize - n)
+            inf.end()
+            require(n == isize, s"short inflate at offset $blockStart of $path")
+            pending = (blockStart, out)
+          }
+        }
+        if (pending == null) close()
+      }
+
+      override def hasNext: Boolean = {
+        if (pending == null && !closed) pull()
+        pending != null
+      }
+      override def next(): (Long, Array[Byte]) = {
+        if (!hasNext) throw new NoSuchElementException
+        val r = pending; pending = null; r
+      }
+      override def close(): Unit = if (!closed) { closed = true; in.close() }
+    }
+  }
+
+  /** Whole-file lines with their BGZF virtual offsets [vBeg, vEnd): vBeg
+    * addresses the line's first byte, vEnd the byte after its newline —
+    * the chunk coordinates a tabix index records. */
+  private[sources] def splitLinesWithOffsets(conf: Configuration, path: String)
+      : Iterator[(String, Long, Long)] with AutoCloseable = {
+    val blk = blocks(conf, path)
+    new Iterator[(String, Long, Long)] with AutoCloseable {
+      private var cur: (Long, Array[Byte]) = _
+      private var pos = 0
+      private var pending: (String, Long, Long) = _
+      private var lineStart = -1L
+      private var endV = 0L
+      private val acc = new java.io.ByteArrayOutputStream(128)
+      private var closed = false
+
+      private def ensureBlock(): Boolean = {
+        while ((cur == null || pos >= cur._2.length) && blk.hasNext) {
+          cur = blk.next(); pos = 0
+        }
+        cur != null && pos < cur._2.length
+      }
+
+      private def advance(): (String, Long, Long) = {
+        if (!ensureBlock())
+          return if (lineStart >= 0 && acc.size() > 0) {
+            val r = (acc.toString("UTF-8"), lineStart, endV) // no trailing \n
+            acc.reset(); lineStart = -1L
+            r
+          } else null
+        if (lineStart < 0) lineStart = (cur._1 << 16) | pos
+        var result: (String, Long, Long) = null
+        while (result == null) {
+          val data = cur._2
+          var i = pos
+          while (i < data.length && data(i) != '\n') i += 1
+          acc.write(data, pos, i - pos)
+          if (i < data.length) {
+            pos = i + 1
+            endV = (cur._1 << 16) | pos
+            result = (acc.toString("UTF-8"), lineStart, endV)
+            acc.reset(); lineStart = -1L
+          } else {
+            pos = data.length
+            endV = (cur._1 << 16) | pos
+            if (!ensureBlock()) {
+              result = (acc.toString("UTF-8"), lineStart, endV)
+              acc.reset(); lineStart = -1L
+            }
+          }
+        }
+        result
+      }
+
+      override def hasNext: Boolean = {
+        if (pending == null && !closed) {
+          pending = advance()
+          if (pending == null) close()
+        }
+        pending != null
+      }
+      override def next(): (String, Long, Long) = {
+        if (!hasNext) throw new NoSuchElementException
+        val r = pending; pending = null; r
+      }
+      override def close(): Unit = if (!closed) { closed = true; blk.close() }
+    }
+  }
+
   /** All lines of a BGZF text file as a Dataset with one task per
     * `splitBytes` of compressed data (each task scans to its first block
     * and owns the newlines in its blocks). Order across splits follows
@@ -267,6 +388,14 @@ object Bgzf {
     private val cap = math.max(16, math.min(blockBytes, MaxBlock - 1024))
     private val buf = new java.io.ByteArrayOutputStream(cap * 2)
     private var closed = false
+    private var compressedPos = 0L
+
+    /** BGZF virtual offset (coffset<<16 | uoffset) of the NEXT byte this
+      * sink will accept — captured before `writeLine` it addresses that
+      * line's first byte, the coordinate tabix indexes record. Valid
+      * because the pending buffer is exactly the prefix of the next block
+      * (drain flushes whole blocks only), so uoffset = pending size. */
+    def virtualOffset: Long = (compressedPos << 16) | buf.size()
 
     private def drain(all: Boolean): Unit = {
       val data = buf.toByteArray
@@ -274,7 +403,7 @@ object Bgzf {
       var off = 0
       while (data.length - off >= cap || (all && data.length - off > 0)) {
         val n = math.min(cap, data.length - off)
-        writeBlock(data, off, n, out)
+        compressedPos += writeBlock(data, off, n, out)
         off += n
       }
       if (off < data.length) buf.write(data, off, data.length - off)
@@ -292,8 +421,23 @@ object Bgzf {
     }
   }
 
+  /** Whole byte array as chained BGZF members + EOF marker — the framing
+    * the tabix sidecar (.tbi) itself uses. */
+  def writeBytes(data: Array[Byte], out: OutputStream,
+                 blockBytes: Int = 60000): Unit = {
+    val cap = math.max(16, math.min(blockBytes, MaxBlock - 1024))
+    var off = 0
+    while (off < data.length) {
+      val n = math.min(cap, data.length - off)
+      writeBlock(data, off, n, out)
+      off += n
+    }
+    out.write(EofMarker)
+  }
+
+  /** Writes one member; returns its total compressed size in bytes. */
   private def writeBlock(data: Array[Byte], off: Int, len: Int,
-                         out: OutputStream): Unit = {
+                         out: OutputStream): Long = {
     val defl = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
     defl.setInput(data, off, len)
     defl.finish()
@@ -318,6 +462,7 @@ object Bgzf {
       ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
     out.write(le32(crc.getValue))
     out.write(le32(len.toLong))
+    total.toLong
   }
 
   /** The canonical 28-byte BGZF EOF marker (an empty member). */

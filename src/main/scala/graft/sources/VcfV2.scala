@@ -217,6 +217,11 @@ class VcfScan(path: String, sampleIndex: Int, splitBytes: Long,
       index match {
         case Some(stats) =>
           splits.filter(sp => VcfIndex.mayMatch(stats, sp.start, sp.end, pushed))
+        case None if usePrune && bgzf =>
+          // no (fresh) .gidx: a foreign bgzf file usually ships a tabix
+          // .tbi instead — same prune, driven by the interop sidecar
+          Tabix.pruneSplits(conf, p, s.getModificationTime, pushed, splits)
+            .getOrElse(splits)
         case None => splits
       }
     }.toArray[InputPartition]

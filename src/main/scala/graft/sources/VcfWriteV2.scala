@@ -42,7 +42,13 @@ class VcfWriteBuilder(path: String, info: LogicalWriteInfo)
   }
 }
 
-case class VcfCommitMessage(stagedPath: String, finalName: String)
+/** `sidecars` are extra staged files renamed alongside the part file
+  * (the .tbi built in the task); `chromStats` are per-chrom (min,max) pos
+  * gathered DURING the write, from which the driver commit emits a .gidx
+  * with no second pass over the data. */
+case class VcfCommitMessage(stagedPath: String, finalName: String,
+                            sidecars: Seq[(String, String)] = Nil,
+                            chromStats: Map[String, (Long, Long)] = Map.empty)
     extends WriterCommitMessage
 
 class VcfBatchWrite(path: String, schema: StructType,
@@ -54,6 +60,16 @@ class VcfBatchWrite(path: String, schema: StructType,
   private val bgzf = opt("compression").exists(_.equalsIgnoreCase("bgzf"))
   private val blockBytes = opt("bgzf_block_bytes").map(_.toInt).getOrElse(60000)
   private val sampleNames = opt("sample_names").map(_.split(",").toSeq)
+  // option("index","gidx"), "tbi", or "gidx,tbi" — build sidecar indexes
+  // at write time, mirroring the reference's tabix_index-after-every-write
+  private val indexKinds: Set[String] =
+    opt("index").map(_.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+  require(indexKinds.subsetOf(Set("gidx", "tbi")),
+    s"vcf write: unknown index kind(s) ${indexKinds -- Set("gidx", "tbi")} " +
+      "(supported: gidx, tbi)")
+  require(!indexKinds.contains("tbi") || bgzf,
+    "vcf write: index=tbi requires compression=bgzf (tabix indexes BGZF files)")
 
   private def stagingDir = new Path(path, s"_staging-$queryId")
 
@@ -68,7 +84,7 @@ class VcfBatchWrite(path: String, schema: StructType,
       b.result()
     }
     VcfWriterFactory(entries, stagingDir.toString, schema, bgzf, blockBytes,
-      sampleNames, querySalt)
+      sampleNames, querySalt, indexKinds)
   }
 
   // task IDs restart at 0 per application, so `part-<pid>-<taskId>` alone
@@ -91,17 +107,31 @@ class VcfBatchWrite(path: String, schema: StructType,
         if (!n.startsWith("_staging-")) fs.delete(s.getPath, true)
       }
     }
+    def move(staged: String, finalName: String): Path = {
+      // rename returns false (rather than throwing) on HDFS/local when the
+      // destination exists or a parent vanished; swallowing it and then
+      // deleting the staging dir would silently drop the partition — fail
+      // the job instead (file names are queryId-salted, so a same-app
+      // collision indicates a real conflict, not append-mode reuse)
+      val dst = new Path(dir, finalName)
+      if (!fs.rename(new Path(staged), dst))
+        throw new java.io.IOException(
+          s"vcf write commit: rename $staged -> $dst failed " +
+            "(destination exists or filesystem refused the move)")
+      dst
+    }
     messages.foreach {
-      case VcfCommitMessage(staged, finalName) =>
-        // rename returns false (rather than throwing) on HDFS/local when the
-        // destination exists or a parent vanished; swallowing it and then
-        // deleting the staging dir would silently drop the partition — fail
-        // the job instead (file names are queryId-salted, so a same-app
-        // collision indicates a real conflict, not append-mode reuse)
-        if (!fs.rename(new Path(staged), new Path(dir, finalName)))
-          throw new java.io.IOException(
-            s"vcf write commit: rename $staged -> $dir/$finalName failed " +
-              "(destination exists or filesystem refused the move)")
+      case VcfCommitMessage(staged, finalName, sidecars, chromStats) =>
+        val dst = move(staged, finalName)
+        sidecars.foreach { case (s, n) => move(s, n) }
+        if (indexKinds.contains("gidx")) {
+          // whole-file .gidx from the stats the task gathered while
+          // writing — no second pass; stamped with the FINAL file's
+          // (len, mtime) so it is born fresh
+          val st = fs.getFileStatus(dst)
+          VcfIndex.write(fs, dst.toString, st.getLen, st.getModificationTime,
+            Seq(VcfIndex.SplitStat(0L, st.getLen, chromStats)))
+        }
       case _ => ()
     }
     fs.delete(stagingDir, true)
@@ -118,7 +148,8 @@ case class VcfWriterFactory(confEntries: Seq[(String, String)],
                             stagingDir: String, schema: StructType,
                             bgzf: Boolean, blockBytes: Int,
                             sampleNames: Option[Seq[String]],
-                            salt: String)
+                            salt: String,
+                            indexKinds: Set[String] = Set.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val conf = new Configuration(false)
@@ -126,13 +157,14 @@ case class VcfWriterFactory(confEntries: Seq[(String, String)],
     val ext = if (bgzf) ".vcf.gz" else ".vcf"
     val name = f"part-$partitionId%05d-$taskId-$salt$ext"
     new VcfDataWriter(conf, stagingDir, name, schema, bgzf, blockBytes,
-      sampleNames)
+      sampleNames, indexKinds)
   }
 }
 
 class VcfDataWriter(conf: Configuration, stagingDir: String, fileName: String,
                     schema: StructType, bgzf: Boolean, blockBytes: Int,
-                    sampleNames: Option[Seq[String]])
+                    sampleNames: Option[Seq[String]],
+                    indexKinds: Set[String] = Set.empty)
     extends DataWriter[InternalRow] {
 
   private val fmt = new VcfRowFormatter(schema)
@@ -152,8 +184,16 @@ class VcfDataWriter(conf: Configuration, stagingDir: String, fileName: String,
     else if (schema.fieldNames.contains("sample")) 1
     else 0
   private val MaxBuffered = 65536
-  private var buffered: scala.collection.mutable.ArrayBuffer[(String, Int)] =
+  private var buffered: scala.collection.mutable.ArrayBuffer[(String, Int, (String, java.lang.Long, Long))] =
     if (declared < 0) scala.collection.mutable.ArrayBuffer.empty else null
+
+  // write-time index state: per-chrom (min,max) pos for the .gidx the
+  // driver commit emits, and the tabix builder fed line-by-line with the
+  // sink's virtual offsets (bgzf only — enforced at option parse)
+  private val wantGidx = indexKinds.contains("gidx")
+  private val tbiBuilder: Tabix.Builder =
+    if (indexKinds.contains("tbi")) new Tabix.Builder else null
+  private val chromStats = scala.collection.mutable.Map.empty[String, (Long, Long)]
 
   private def emit(line: String): Unit =
     if (sink != null) sink.writeLine(line)
@@ -184,19 +224,41 @@ class VcfDataWriter(conf: Configuration, stagingDir: String, fileName: String,
     else if (n == 0) line + "\t." + ("\t." * declared)
     else line + ("\t." * (declared - n))
 
-  private def emitRow(line: String, n: Int): Unit = { ensureOpen(); emit(pad(line, n)) }
+  private def emitRow(line: String, n: Int,
+                      ext: (String, java.lang.Long, Long)): Unit = {
+    ensureOpen()
+    if (ext != null && ext._1 != null) {
+      if (wantGidx) {
+        // a chrom whose rows all lack pos still gets an (empty-range)
+        // entry — feasible for chrom-only predicates, like VcfIndex.build
+        val (lo, hi) = chromStats.getOrElse(ext._1, (Long.MaxValue, Long.MinValue))
+        chromStats(ext._1) =
+          if (ext._2 == null) (lo, hi)
+          else (math.min(lo, ext._2.longValue()), math.max(hi, ext._2.longValue()))
+      }
+      if (tbiBuilder != null && sink != null && ext._2 != null) {
+        val vBeg = sink.virtualOffset
+        emit(pad(line, n))
+        tbiBuilder.add(Tabix.Feature(ext._1, ext._2.longValue() - 1, ext._3,
+          vBeg, sink.virtualOffset))
+        return
+      }
+    }
+    emit(pad(line, n))
+  }
 
   private def flushBuffered(): Unit = {
     val pend = buffered; buffered = null
-    pend.foreach { case (l, n) => emitRow(l, n) }
+    pend.foreach { case (l, n, e) => emitRow(l, n, e) }
   }
 
   override def write(row: InternalRow): Unit = {
     val (line, nSamples) = fmt.format(row)
-    if (declared >= 0) emitRow(line, nSamples)
-    else if (nSamples > 0) { declared = nSamples; flushBuffered(); emitRow(line, nSamples) }
+    val ext = if (wantGidx || tbiBuilder != null) fmt.extent(row) else null
+    if (declared >= 0) emitRow(line, nSamples, ext)
+    else if (nSamples > 0) { declared = nSamples; flushBuffered(); emitRow(line, nSamples, ext) }
     else {
-      buffered += ((line, nSamples))
+      buffered += ((line, nSamples, ext))
       // bounded: past the cap give up inferring a width (every row so far
       // had no sample data), declare 0 and stream — a later sample-bearing
       // row still emits its columns (positionally readable, though ragged)
@@ -209,7 +271,15 @@ class VcfDataWriter(conf: Configuration, stagingDir: String, fileName: String,
     ensureOpen()
     if (sink != null) sink.close()
     out.close()
-    VcfCommitMessage(staged.toString, fileName)
+    val sidecars =
+      if (tbiBuilder == null) Nil
+      else {
+        // index the task's OWN part file in the task — distributed, zero
+        // extra read pass; the driver only renames
+        Tabix.write(conf, staged.toString, tbiBuilder)
+        Seq((staged.toString + Tabix.Suffix, fileName + Tabix.Suffix))
+      }
+    VcfCommitMessage(staged.toString, fileName, sidecars, chromStats.toMap)
   }
 
   override def abort(): Unit = {
@@ -242,6 +312,38 @@ class VcfRowFormatter(schema: StructType) extends Serializable {
 
   private def str(row: InternalRow, i: Int): String =
     if (i < 0 || row.isNullAt(i)) "." else row.getUTF8String(i).toString
+
+  /** Indexing extent of a row: (chrom, 1-based pos or null, 0-based
+    * half-open end = pos-1+len(REF), widened to INFO END — the gVCF block
+    * convention). Null when the row has no chrom. */
+  def extent(row: InternalRow): (String, java.lang.Long, Long) = {
+    if (iChrom < 0 || row.isNullAt(iChrom)) return null
+    val chrom = row.getUTF8String(iChrom).toString
+    if (iPos < 0 || row.isNullAt(iPos)) return (chrom, null, 0L)
+    val pos = row.getLong(iPos)
+    val ref =
+      if (iAlleles >= 0 && !row.isNullAt(iAlleles)) {
+        val a = row.getArray(iAlleles)
+        if (a.numElements() > 0 && !a.isNullAt(0)) a.getUTF8String(0).toString
+        else null
+      } else if (iRef >= 0 && !row.isNullAt(iRef)) row.getUTF8String(iRef).toString
+      else null
+    var infoEnd: Option[Long] = None
+    if (iInfo >= 0 && !row.isNullAt(iInfo)) {
+      val m = row.getMap(iInfo)
+      val ks = m.keyArray(); val vs = m.valueArray()
+      var i = 0
+      while (i < m.numElements() && infoEnd.isEmpty) {
+        if (ks.getUTF8String(i).toString == "END" && !vs.isNullAt(i)) {
+          val v = VcfLineParser.toLongOrNull(vs.getUTF8String(i).toString)
+          if (v != null) infoEnd = Some(v.longValue())
+        }
+        i += 1
+      }
+    }
+    val (_, e) = Tabix.vcfExtent(pos, ref, infoEnd)
+    (chrom, java.lang.Long.valueOf(pos), e)
+  }
 
   /** Returns (formatted line, sample-column count). */
   def format(row: InternalRow): (String, Int) = {
