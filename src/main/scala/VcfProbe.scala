@@ -57,6 +57,23 @@ object VcfProbe {
       time(s"v2-gq#$rep", gqSel(spark.read.format("vcf").load(path)))
     }
 
+    // selective INFO predicate (the reference's INFO/AN>4 pre-filter,
+    // run_somatic_comparison_and_graphs.py:164): v2 evaluates the typed
+    // info_an column on an 8-field prefix parse and skips sample parse +
+    // row assembly on non-match; the expression path str_to_maps every line
+    def anSelExpr(df: org.apache.spark.sql.DataFrame) =
+      graft.sources.Vcf.withInfoFields(df, Map("AN" -> "long"))
+        .filter(col("an") > 195L)
+        .agg(count(lit(1)).as("n"), sum("dp").as("sum_dp"))
+    def anSelV2() =
+      spark.read.format("vcf").option("info_fields", "AN:long").load(path)
+        .filter(col("info_an") > 195L)
+        .agg(count(lit(1)).as("n"), sum("dp").as("sum_dp"))
+    for (rep <- 1 to 2) {
+      time(s"expr-an#$rep", anSelExpr(graft.sources.Vcf.read(spark, path)))
+      time(s"v2-an#$rep", anSelV2())
+    }
+
     // sidecar region index: split pruning should make the region query's
     // cost proportional to the region, not the file (tabix -r analog)
     val tIdx = System.nanoTime()

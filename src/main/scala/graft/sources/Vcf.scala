@@ -164,19 +164,24 @@ object Vcf {
   private def intArray(c: Column): Column =
     when(c.isNull, null).otherwise(transform(split(c, ","), x => x.try_cast("int")))
 
-  /** Typed INFO accessor: `infoField(df, "END")` as long, etc. */
-  def infoLong(name: String): Column = element_at(col("info"), name).cast("long")
-  def infoDouble(name: String): Column = element_at(col("info"), name).cast("double")
+  /** Typed INFO accessor: `infoField(df, "END")` as long, etc. try_cast,
+    * not cast: INFO values are user data and ANSI cast would fail the
+    * whole scan on one malformed or '.'-marked value (the reference's
+    * frame building tolerates them as missing). */
+  def infoLong(name: String): Column = element_at(col("info"), name).try_cast("long")
+  def infoDouble(name: String): Column = element_at(col("info"), name).try_cast("double")
   def infoFlag(name: String): Column = map_contains_key(col("info"), name)
 
   /** get_vcf_df's `custom_info_fields` (sv_stats_collect.py:34-36): project
     * INFO keys to typed, LOWER-CASED columns in one pass. Supported types:
-    * "long", "double", "string", "flag" (presence boolean). */
+    * "long", "double", "string", "flag" (presence boolean). Values use
+    * try_cast leniency — same rationale as [[infoLong]] — matching the
+    * DSv2 `info_fields` columns. */
   def withInfoFields(df: DataFrame, fields: Map[String, String]): DataFrame =
     fields.foldLeft(df) { case (acc, (name, tpe)) =>
       val c = tpe match {
         case "flag" => map_contains_key(col("info"), name)
-        case t      => element_at(col("info"), name).cast(t)
+        case t      => element_at(col("info"), name).try_cast(t)
       }
       acc.withColumn(name.toLowerCase, c)
     }

@@ -59,7 +59,8 @@ class VcfDataSource extends TableProvider with DataSourceRegister {
     Option(opts.get("samples")).exists(_.equalsIgnoreCase("all"))
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    if (allSamples(options)) VcfV2.allSamplesSchema else VcfV2.schema
+    VcfV2.schemaFor(allSamples(options),
+      VcfV2.parseInfoFields(Option(options.get("info_fields"))))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
@@ -71,7 +72,8 @@ class VcfDataSource extends TableProvider with DataSourceRegister {
     // the write path supplies the incoming frame's schema (any projection
     // of the read shapes); reads pass inferSchema's result back unchanged
     new VcfTable(path, sampleIndex, splitBytes, allSamples(properties),
-      Option(schema).filter(_.fields.nonEmpty))
+      Option(schema).filter(_.fields.nonEmpty),
+      VcfV2.parseInfoFields(Option(properties.get("info_fields"))))
   }
 }
 
@@ -101,30 +103,73 @@ object VcfV2 {
   val allSamplesSchema: StructType = StructType(core :+
     StructField("samples",
       ArrayType(MapType(StringType, StringType, valueContainsNull = false))))
+
+  /** `option("info_fields","AN:long,VARIANT_TYPE,DB:flag")`: INFO keys as
+    * first-class typed columns named `info_<key lowercased>` — the DSv2
+    * form of [[Vcf.withInfoFields]] (get_vcf_df's custom_info_fields,
+    * sv_stats_collect.py:34-36). Making them COLUMNS is what lets
+    * Catalyst push `INFO/AN>4`-style predicates (run_somatic_comparison_
+    * and_graphs.py:164, run_no_gt_report.py:348) into the scan, where
+    * they are evaluated on a bounded 8-field prefix parse BEFORE sample
+    * parse and row assembly. Types: long, double, string (default), flag
+    * (key presence). Values are lenient (try_cast semantics: '.' or
+    * malformed → null) — pushdown only ever prunes, Spark re-applies the
+    * predicate. */
+  def parseInfoFields(spec: Option[String]): Seq[(String, String, String)] =
+    spec.toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).map { e =>
+      val (key, tpe) = e.indexOf(':') match {
+        case -1 => (e, "string")
+        case i => (e.substring(0, i).trim, e.substring(i + 1).trim.toLowerCase)
+      }
+      require(Set("string", "long", "double", "flag")(tpe),
+        s"vcf info_fields: unsupported type '$tpe' for $key " +
+          "(supported: string, long, double, flag)")
+      ("info_" + key.toLowerCase, key, tpe)
+    }
+
+  private def infoStructField(tpe: String): DataType = tpe match {
+    case "long" => LongType
+    case "double" => DoubleType
+    case "flag" => BooleanType
+    case _ => StringType
+  }
+
+  /** Read schema for the option combination. */
+  def schemaFor(allSamples: Boolean,
+                infoFields: Seq[(String, String, String)]): StructType = {
+    val base = if (allSamples) allSamplesSchema else schema
+    StructType(base ++ infoFields.map { case (col, _, tpe) =>
+      StructField(col, infoStructField(tpe))
+    })
+  }
 }
 
 class VcfTable(path: String, sampleIndex: Int, splitBytes: Long,
                allSamples: Boolean = false,
-               external: Option[StructType] = None)
+               external: Option[StructType] = None,
+               infoFields: Seq[(String, String, String)] = Nil)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"vcf $path"
   override def schema(): StructType = external.getOrElse(
-    if (allSamples) VcfV2.allSamplesSchema else VcfV2.schema)
+    VcfV2.schemaFor(allSamples, infoFields))
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new VcfScanBuilder(path, sampleIndex, splitBytes, schema())
+    new VcfScanBuilder(path, sampleIndex, splitBytes, schema(), infoFields)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     // any projection of the read shapes writes cleanly; unknown columns or
-    // wrong types fail here with guidance, not as executor ClassCastErrors
+    // wrong types fail here with guidance, not as executor ClassCastErrors.
+    // info_* projections (the typed INFO read shape) are accepted and
+    // ignored — their content is the info map, which IS written
     val known = (VcfV2.schema ++ VcfV2.allSamplesSchema.filter(_.name == "samples"))
       .map(f => f.name -> f.dataType).toMap
     info.schema().fields.foreach { f =>
       known.get(f.name) match {
+        case None if f.name.startsWith("info_") => ()
         case None => throw new IllegalArgumentException(
           s"vcf write: unknown column '${f.name}' (writable columns: " +
             known.keys.toSeq.sorted.mkString(", ") + ")")
@@ -138,18 +183,20 @@ class VcfTable(path: String, sampleIndex: Int, splitBytes: Long,
 }
 
 class VcfScanBuilder(path: String, sampleIndex: Int, splitBytes: Long,
-                     full: StructType)
+                     full: StructType,
+                     infoFields: Seq[(String, String, String)] = Nil)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = full
+  private val infoCols = infoFields.map(_._1).toSet
 
   /** Accept (chrom, pos) predicates the partial parse can evaluate; every
     * filter is ALSO kept post-scan (returned unchanged), so pushdown can
     * only skip lines the engine would drop anyway. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(VcfFilterEval.supported)
+    pushed = filters.filter(VcfFilterEval.supported(_, infoCols))
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -158,11 +205,12 @@ class VcfScanBuilder(path: String, sampleIndex: Int, splitBytes: Long,
     required = requiredSchema
 
   override def build(): Scan = new VcfScan(path, sampleIndex, splitBytes,
-    pushed, required)
+    pushed, required, infoFields)
 }
 
 class VcfScan(path: String, sampleIndex: Int, splitBytes: Long,
-              pushed: Array[Filter], required: StructType)
+              pushed: Array[Filter], required: StructType,
+              infoFields: Seq[(String, String, String)] = Nil)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -236,7 +284,8 @@ class VcfScan(path: String, sampleIndex: Int, splitBytes: Long,
       while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
       b.result()
     }
-    VcfReaderFactory(entries, sampleIndex, pushed, required.fieldNames)
+    VcfReaderFactory(entries, sampleIndex, pushed, required.fieldNames,
+      infoFields)
   }
 }
 
@@ -249,7 +298,8 @@ object VcfPartition {
 
 case class VcfReaderFactory(confEntries: Seq[(String, String)],
                             sampleIndex: Int, pushed: Array[Filter],
-                            fields: Array[String])
+                            fields: Array[String],
+                            infoFields: Seq[(String, String, String)] = Nil)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[VcfPartition]
@@ -260,28 +310,39 @@ case class VcfReaderFactory(confEntries: Seq[(String, String)],
       case VcfPartition.Gzip => VcfLineParser.gzipLines(conf, p.path)
       case _ => VcfLineParser.textSplitLines(conf, p.path, p.start, p.end)
     }
-    new VcfPartitionReader(lines, sampleIndex, pushed, fields)
+    new VcfPartitionReader(lines, sampleIndex, pushed, fields, infoFields)
   }
 }
 
-/** Iterates lines, applies the pushed predicates in two stages — prefix
-  * predicates (chrom/pos/qual/filter) on a bounded partial parse, then
-  * sample-field predicates (gq/dp) right after the FORMAT split — and only
-  * then parses the required columns (INFO map and row assembly are skipped
-  * for every non-matching line). */
+/** Iterates lines, applies the pushed predicates in staged order — prefix
+  * predicates (chrom/pos/qual/filter, and typed INFO fields on field 8)
+  * on a bounded partial parse, then sample-field predicates (gq/dp) right
+  * after the FORMAT split — and only then parses the required columns
+  * (sample maps and row assembly are skipped for every non-matching
+  * line). */
 class VcfPartitionReader(lines: Iterator[String], sampleIndex: Int,
-                         pushed: Array[Filter], fields: Array[String])
+                         pushed: Array[Filter], fields: Array[String],
+                         infoFields: Seq[(String, String, String)] = Nil)
     extends PartitionReader[InternalRow] {
   private var row: InternalRow = _
 
+  private val infoByCol: Map[String, (String, String)] =
+    infoFields.map { case (c, k, t) => c -> (k, t) }.toMap
+
   // stage split: a predicate referencing any FORMAT-derived column is
-  // evaluated after the FORMAT parse; everything else on the line prefix
+  // evaluated after the FORMAT parse; everything else (chrom/pos/qual/
+  // filter/info_*) on the line prefix
   private val (sampleFilters, prefixFilters) =
     pushed.partition(VcfFilterEval.referencesSample)
 
   // which leading fields the prefix predicates need: 2 = (chrom,pos),
-  // 7 = through FILTER — parse no further than the filters require
-  private val needFields = VcfFilterEval.fieldsNeeded(prefixFilters)
+  // 7 = through FILTER, 8 = through INFO — no further than required
+  private val needFields = VcfFilterEval.fieldsNeeded(prefixFilters, infoByCol.keySet)
+  private val anyInfoFilter = pushed.exists(_.references.exists(infoByCol.contains))
+
+  private def ictxOf(f: Array[String]): VcfFilterEval.InfoCtx =
+    if (!anyInfoFilter) null
+    else new VcfFilterEval.InfoCtx(if (f.length > 7) f(7) else null, infoByCol)
 
   override def next(): Boolean = {
     row = null
@@ -291,17 +352,18 @@ class VcfPartitionReader(lines: Iterator[String], sampleIndex: Int,
         val head = VcfLineParser.headFields(line, needFields)
         val chrom = if (head.length > 0) head(0) else null
         val pos = VcfLineParser.toLongOrNull(if (head.length > 1) head(1) else null)
-        if (prefixFilters.forall(VcfFilterEval.eval(_, chrom, pos, head))) {
+        val ictx = ictxOf(head)
+        if (prefixFilters.forall(VcfFilterEval.eval(_, chrom, pos, head, null, ictx))) {
           if (sampleFilters.isEmpty)
-            row = VcfLineParser.parse(line, chrom, pos, sampleIndex, fields)
+            row = VcfLineParser.parse(line, chrom, pos, sampleIndex, fields, infoByCol)
           else {
             // FORMAT stage: full tab split (needed by the parse anyway),
-            // sample predicates on the typed GQ/DP extraction — INFO and
-            // row assembly only happen for matching lines
+            // sample predicates on the typed GQ/DP extraction — row
+            // assembly only happens for matching lines
             val f = line.split("\t", -1)
             val ctx = new VcfFilterEval.SampleCtx(f, sampleIndex)
-            if (sampleFilters.forall(VcfFilterEval.eval(_, chrom, pos, f, ctx)))
-              row = VcfLineParser.parseFields(f, chrom, pos, sampleIndex, fields)
+            if (sampleFilters.forall(VcfFilterEval.eval(_, chrom, pos, f, ctx, ictxOf(f))))
+              row = VcfLineParser.parseFields(f, chrom, pos, sampleIndex, fields, infoByCol)
           }
         }
       }
@@ -333,17 +395,21 @@ object VcfFilterEval {
   // FORMAT keys); evaluable only after the full tab split
   private val sampleCols = Map("gq" -> "GQ", "dp" -> "DP")
 
-  def supported(f: Filter): Boolean = f match {
-    case EqualTo(a, _) => strCols(a) || numCmp(a) || sampleCols.contains(a)
-    case In(a, _) => strCols(a) || numCmp(a) || sampleCols.contains(a)
-    case IsNotNull(a) => strCols(a) || numCmp(a) || sampleCols.contains(a)
-    case GreaterThan(a, _) => numCmp(a) || sampleCols.contains(a)
-    case GreaterThanOrEqual(a, _) => numCmp(a) || sampleCols.contains(a)
-    case LessThan(a, _) => numCmp(a) || sampleCols.contains(a)
-    case LessThanOrEqual(a, _) => numCmp(a) || sampleCols.contains(a)
-    case And(l, r) => supported(l) && supported(r)
-    case Or(l, r) => supported(l) && supported(r)
-    case _ => false
+  def supported(f: Filter, infoCols: Set[String] = Set.empty): Boolean = {
+    def col(a: String) = strCols(a) || numCmp(a) || sampleCols.contains(a) ||
+      infoCols(a)
+    f match {
+      case EqualTo(a, _) => col(a)
+      case In(a, _) => col(a)
+      case IsNotNull(a) => col(a)
+      case GreaterThan(a, _) => numCmp(a) || sampleCols.contains(a) || infoCols(a)
+      case GreaterThanOrEqual(a, _) => numCmp(a) || sampleCols.contains(a) || infoCols(a)
+      case LessThan(a, _) => numCmp(a) || sampleCols.contains(a) || infoCols(a)
+      case LessThanOrEqual(a, _) => numCmp(a) || sampleCols.contains(a) || infoCols(a)
+      case And(l, r) => supported(l, infoCols) && supported(r, infoCols)
+      case Or(l, r) => supported(l, infoCols) && supported(r, infoCols)
+      case _ => false
+    }
   }
 
   /** Does this filter reference any FORMAT-derived column? Such filters
@@ -390,16 +456,71 @@ object VcfFilterEval {
     }
   }
 
+  /** Lazily-parsed INFO key/value context for one line: duplicate keys
+    * throw exactly like the full parse (str_to_map under mapKeyDedupPolicy
+    * =EXCEPTION — path parity on the malformed files where it matters),
+    * and typed access follows try_cast semantics ('.'/malformed → null).
+    * `byCol` maps schema column name → (INFO key, declared type). */
+  final class InfoCtx(raw: String, byCol: Map[String, (String, String)]) {
+    private var computed = false
+    private var m: java.util.HashMap[String, String] = _
+    private def ensure(): Unit = if (!computed) {
+      computed = true
+      if (raw != null) {
+        val parts = raw.split(";", -1)
+        m = new java.util.HashMap[String, String](parts.length * 2)
+        parts.foreach { part =>
+          val e = part.indexOf('=')
+          val (k, v) =
+            if (e < 0) (part, null)
+            else (part.substring(0, e), part.substring(e + 1))
+          if (m.containsKey(k))
+            throw new IllegalStateException(
+              s"Duplicate map key $k was found in INFO; the vcf v2 parse " +
+                "matches str_to_map under spark.sql.mapKeyDedupPolicy=EXCEPTION")
+          m.put(k, v)
+        }
+      }
+    }
+    def handles(col: String): Boolean = byCol.contains(col)
+    def kind(col: String): String = byCol(col)._2
+
+    /** Present at all (null when the line has no INFO field — matching
+      * map_contains_key over a null map). */
+    def has(col: String): java.lang.Boolean = {
+      ensure()
+      if (m == null) null else java.lang.Boolean.valueOf(m.containsKey(byCol(col)._1))
+    }
+    /** Typed value for the column, null when absent/malformed/flag. */
+    def value(col: String): Any = {
+      ensure()
+      if (m == null) return null
+      val (key, tpe) = byCol(col)
+      val v = m.get(key)
+      if (v == null) null
+      else tpe match {
+        case "long" => VcfLineParser.toLongOrNull(v)
+        case "double" =>
+          if (v == null) null
+          else try java.lang.Double.valueOf(v.trim)
+          catch { case _: NumberFormatException => null }
+        case "flag" => null // flag columns compare via has()
+        case _ => v
+      }
+    }
+  }
+
   /** How many leading tab fields the scan must split for these filters:
-    * 2 covers (chrom,pos); qual is field 6, filter field 7. */
-  def fieldsNeeded(fs: Array[Filter]): Int = {
+    * 2 covers (chrom,pos); qual is field 6, filter field 7, INFO field 8. */
+  def fieldsNeeded(fs: Array[Filter], infoCols: Set[String] = Set.empty): Int = {
     def refs(f: Filter): Set[String] = f match {
       case And(l, r) => refs(l) ++ refs(r)
       case Or(l, r) => refs(l) ++ refs(r)
       case other => other.references.toSet
     }
     val all = fs.iterator.flatMap(refs).toSet
-    if (all("filter")) 7 else if (all("qual")) 6 else 2
+    if (all.exists(infoCols)) 8
+    else if (all("filter")) 7 else if (all("qual")) 6 else 2
   }
 
   // Null-safe extraction: Spark can push an In/EqualTo whose value array
@@ -422,13 +543,53 @@ object VcfFilterEval {
   private def filterOf(head: Array[String]): String =
     if (head.length < 7) null else head(6)
 
+  /** Three-way comparison of a typed INFO value against a predicate
+    * comparand; null = no decision (absent/malformed value — exact
+    * non-match under SQL three-valued logic, since the re-applied engine
+    * filter sees the same leniently-parsed null). */
+  private def infoCmp(ictx: InfoCtx, c: String, v: Any): java.lang.Integer = {
+    val g = ictx.value(c)
+    (g, v) match {
+      case (a: Number, b: Number) =>
+        java.lang.Integer.valueOf(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
+      case (a: String, b: String) => java.lang.Integer.valueOf(a.compareTo(b))
+      case _ => null
+    }
+  }
+
   /** SQL three-valued logic collapsed to "keep?": null comparisons are
     * not-keep, matching the engine-side filter the row would hit anyway.
     * `ctx` supplies FORMAT-derived fields; sample-column predicates with
     * no ctx (prefix stage) read as non-match, but staging guarantees they
-    * are only evaluated with one. */
+    * are only evaluated with one. `ictx` supplies typed INFO fields the
+    * same way. */
   def eval(f: Filter, chrom: String, pos: java.lang.Long,
-           head: Array[String], ctx: SampleCtx = null): Boolean = f match {
+           head: Array[String], ctx: SampleCtx = null,
+           ictx: InfoCtx = null): Boolean = f match {
+    case EqualTo(c, v) if ictx != null && ictx.handles(c) =>
+      v match {
+        case b: java.lang.Boolean =>
+          val h = ictx.has(c); h != null && h.booleanValue() == b.booleanValue()
+        case _ =>
+          val r = infoCmp(ictx, c, v); r != null && r.intValue() == 0
+      }
+    case In(c, vs) if ictx != null && ictx.handles(c) =>
+      vs.exists {
+        case b: java.lang.Boolean =>
+          val h = ictx.has(c); h != null && h.booleanValue() == b.booleanValue()
+        case v =>
+          val r = infoCmp(ictx, c, v); r != null && r.intValue() == 0
+      }
+    case IsNotNull(c) if ictx != null && ictx.handles(c) =>
+      if (ictx.kind(c) == "flag") ictx.has(c) != null else ictx.value(c) != null
+    case GreaterThan(c, v) if ictx != null && ictx.handles(c) =>
+      val r = infoCmp(ictx, c, v); r != null && r.intValue() > 0
+    case GreaterThanOrEqual(c, v) if ictx != null && ictx.handles(c) =>
+      val r = infoCmp(ictx, c, v); r != null && r.intValue() >= 0
+    case LessThan(c, v) if ictx != null && ictx.handles(c) =>
+      val r = infoCmp(ictx, c, v); r != null && r.intValue() < 0
+    case LessThanOrEqual(c, v) if ictx != null && ictx.handles(c) =>
+      val r = infoCmp(ictx, c, v); r != null && r.intValue() <= 0
     case EqualTo("chrom", v) => chrom != null && chrom == v
     case EqualTo("pos", v) =>
       val n = num(v); pos != null && n != null && pos.longValue() == n.longValue()
@@ -494,8 +655,10 @@ object VcfFilterEval {
     case LessThanOrEqual(c, v) if sampleCols.contains(c) =>
       val g = if (ctx == null) null else ctx.int(c); val n = num(v)
       g != null && n != null && g.longValue() <= n.longValue()
-    case And(l, r) => eval(l, chrom, pos, head, ctx) && eval(r, chrom, pos, head, ctx)
-    case Or(l, r) => eval(l, chrom, pos, head, ctx) || eval(r, chrom, pos, head, ctx)
+    case And(l, r) =>
+      eval(l, chrom, pos, head, ctx, ictx) && eval(r, chrom, pos, head, ctx, ictx)
+    case Or(l, r) =>
+      eval(l, chrom, pos, head, ctx, ictx) || eval(r, chrom, pos, head, ctx, ictx)
     case _ => true
   }
 }
@@ -564,13 +727,41 @@ object VcfLineParser {
   }
 
   def parse(line: String, chrom: String, pos: java.lang.Long,
-            sampleIndex: Int, fields: Array[String]): InternalRow =
-    parseFields(line.split("\t", -1), chrom, pos, sampleIndex, fields)
+            sampleIndex: Int, fields: Array[String],
+            infoFields: Map[String, (String, String)] = Map.empty): InternalRow =
+    parseFields(line.split("\t", -1), chrom, pos, sampleIndex, fields, infoFields)
 
   /** Parse from a pre-split field array (the FORMAT-predicate stage has
-    * already paid for the tab split on lines it lets through). */
+    * already paid for the tab split on lines it lets through).
+    * `infoFields` maps typed-INFO column names (`info_an`) to their
+    * (INFO key, type) for the `info_fields` option's columns. */
   def parseFields(f: Array[String], chrom: String, pos: java.lang.Long,
-                  sampleIndex: Int, fields: Array[String]): InternalRow = {
+                  sampleIndex: Int, fields: Array[String],
+                  infoFields: Map[String, (String, String)] = Map.empty): InternalRow = {
+
+    // typed INFO lookups share one lazily-parsed raw map; duplicate keys
+    // throw like str_to_map (parity with the `info` column + filter stage)
+    var infoMapComputed = false
+    var infoMapCache: java.util.HashMap[String, String] = null
+    def infoRawMap: java.util.HashMap[String, String] = {
+      if (!infoMapComputed) {
+        infoMapComputed = true
+        val info = at(f, 8)
+        if (info != null) {
+          val parts = info.split(";", -1)
+          infoMapCache = new java.util.HashMap[String, String](parts.length * 2)
+          parts.foreach { part =>
+            val e = part.indexOf('=')
+            val (k, v) =
+              if (e < 0) (part, null)
+              else (part.substring(0, e), part.substring(e + 1))
+            if (infoMapCache.containsKey(k)) duplicateKey(k, "INFO")
+            infoMapCache.put(k, v)
+          }
+        }
+      }
+      infoMapCache
+    }
 
     // FORMAT sample map, built lazily once for the gt/ad/pl/dp/gq family
     var sampleComputed = false
@@ -670,6 +861,22 @@ object VcfLineParser {
               new GenericArrayData(vs.take(m).map(utf8).toArray[Any]))
           }
           new GenericArrayData(maps.toArray[Any])
+        }
+      case name if infoFields.contains(name) =>
+        // typed INFO column: lenient try_cast semantics ('.'/malformed →
+        // null), flag = key presence (null when the line has no INFO)
+        val (key, tpe) = infoFields(name)
+        val m = infoRawMap
+        if (tpe == "flag") {
+          if (m == null) null else java.lang.Boolean.valueOf(m.containsKey(key))
+        } else {
+          val v = if (m == null) null else m.get(key)
+          if (v == null) null
+          else tpe match {
+            case "long" => toLongOrNull(v)
+            case "double" => toDoubleOrNull(v)
+            case _ => utf8(v)
+          }
         }
       case other => throw new IllegalArgumentException(s"unknown vcf column $other")
     }
