@@ -22,6 +22,10 @@ object Ordered {
     */
   def prCurve(df: DataFrame, score: Column, tp: Column, fp: Column,
               tieBreak: Column): DataFrame = {
+    // SANCTIONED GLOBAL WINDOW (exact form): input is a pre-aggregated
+    // sweep of <= ~10^4 rows by contract above — the single reducer is the
+    // point, not an oversight. The 100x-rated forms are prCurveScalable /
+    // prCurveBucketed below (PlanSpec-gated).
     val w = Window.orderBy(col("score").desc, col("tb").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.partitionBy()
@@ -100,6 +104,8 @@ object Ordered {
         fp.cast("long").as("fp"))
       .groupBy("bucket")
       .agg(sum("tp").as("btp"), sum("fp").as("bfp"))
+    // SANCTIONED GLOBAL WINDOW: runs over the <= nBuckets-row aggregate
+    // (default 1000), never the fact table — bounded at any input scale
     val w = Window.orderBy(col("bucket").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.partitionBy()

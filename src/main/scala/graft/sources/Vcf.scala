@@ -23,10 +23,52 @@ import org.apache.spark.sql.functions._
   */
 object Vcf {
 
+  /** The leading '#'-prefixed header block, read with a BOUNDED
+    * driver-side stream that stops at the first data line — O(header),
+    * not O(file): schema and sample inference on a 100 GB VCF must not
+    * scan 100 GB (a distributed `read.text(...).filter(startsWith("#"))`
+    * collect touches every line). Globs/directories resolve to their
+    * first visible file (headers agree across parts by construction of
+    * every writer in this domain); gzip/BGZF decode through the codec,
+    * of which only the header's blocks are ever inflated. */
+  def headerLines(spark: SparkSession, path: String): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    def visible(n: String): Boolean = !n.startsWith("_") && !n.startsWith(".")
+    def firstFile(s: org.apache.hadoop.fs.FileStatus): Option[org.apache.hadoop.fs.Path] =
+      if (!visible(s.getPath.getName)) None
+      else if (s.isDirectory)
+        fs.listStatus(s.getPath).sortBy(_.getPath.getName).iterator
+          .flatMap(firstFile).nextOption()
+      else Some(s.getPath)
+    val target = (fs.globStatus(p) match {
+      case null => Array.empty[org.apache.hadoop.fs.FileStatus]
+      case st => st
+    }).sortBy(_.getPath.getName).iterator.flatMap(firstFile).nextOption()
+      .getOrElse(throw new java.io.FileNotFoundException(path))
+    val raw = fs.open(target)
+    val in: java.io.InputStream =
+      if (target.getName.endsWith(".gz") || target.getName.endsWith(".bgz"))
+        new java.util.zip.GZIPInputStream(raw, 65536)
+      else raw
+    val br = new java.io.BufferedReader(
+      new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      val out = Seq.newBuilder[String]
+      var line = br.readLine()
+      while (line != null && line.startsWith("#")) {
+        out += line
+        line = br.readLine()
+      }
+      out.result()
+    } finally br.close()
+  }
+
   /** Sample names from the #CHROM header line (columns 10+). */
   def sampleNames(spark: SparkSession, path: String): Seq[String] = {
-    val header = spark.read.text(path)
-      .filter(col("value").startsWith("#CHROM")).head.getString(0)
+    val header = headerLines(spark, path).find(_.startsWith("#CHROM"))
+      .getOrElse(throw new IllegalArgumentException(s"no #CHROM header line in $path"))
     header.split("\t").drop(9).toSeq
   }
 
@@ -195,9 +237,9 @@ object Vcf {
     * string. Number≠1 fields stay strings (comma-joined), matching the
     * reference's tuple-valued cells that callers unpack themselves. */
   def infoSchema(spark: SparkSession, path: String): Map[String, String] =
-    spark.read.text(path)
-      .filter(col("value").startsWith("##INFO=")).collect()
-      .flatMap(r => r.getString(0) match {
+    headerLines(spark, path)
+      .filter(_.startsWith("##INFO="))
+      .flatMap(line => line match {
         case InfoHeader(id, number, tpe) =>
           val t = (tpe, number) match {
             case ("Flag", _)    => "flag"

@@ -484,4 +484,58 @@ class VcfBedSpec extends SparkSpec {
     assert(back.select("chrom", "start", "end").collect().map(_.toSeq).toSet ==
       df.select("chrom", "start", "end").collect().map(_.toSeq).toSet)
   }
+
+  test("header inference is O(header): stops at the first data line") {
+    val d = Files.createTempDirectory("grafthdrbound")
+    val hdr = Seq("##fileformat=VCFv4.2",
+      "##INFO=<ID=AN,Number=1,Type=Integer,Description=\"a\">",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tSampleX")
+    // bgzf file whose first block holds header + one data line, followed by
+    // a megabyte of garbage that is NOT valid gzip: a reader that touches
+    // anything past the header's block would throw. Bounded inference
+    // must succeed regardless.
+    val p = d.resolve("h.vcf.gz")
+    val os = Files.newOutputStream(p)
+    Bgzf.write((hdr :+ "chr1\t1\t.\tA\tT\t50\tPASS\tAN=2\tGT\t0/1").iterator, os,
+      blockBytes = 60000)
+    os.write(Array.fill[Byte](1 << 20)(0x5a)) // garbage tail
+    os.close()
+    assert(Vcf.headerLines(spark, p.toString) == hdr)
+    assert(Vcf.sampleNames(spark, p.toString) == Seq("SampleX"))
+    assert(Vcf.infoSchema(spark, p.toString) == Map("AN" -> "long"))
+    // plain-text + directory resolution still work
+    val sub = d.resolve("dir"); Files.createDirectories(sub)
+    Files.writeString(sub.resolve("a.vcf"),
+      (hdr :+ "chr1\t5\t.\tG\tC\t9\tPASS\tAN=4\tGT\t0/1").mkString("\n"))
+    assert(Vcf.headerLines(spark, sub.toString) == hdr)
+  }
+
+  test("Picard .interval_list reads natively: @-headers skipped, 1-based closed → half-open") {
+    val d = Files.createTempDirectory("graftilist")
+    // golden fixture in Picard's own layout (SAM-style header + 1-based
+    // closed intervals with strand and name)
+    Files.writeString(d.resolve("t.interval_list"), Seq(
+      "@HD\tVN:1.6\tSO:coordinate",
+      "@SQ\tSN:chr1\tLN:248956422",
+      "@SQ\tSN:chr2\tLN:242193529",
+      "chr1\t1\t100\t+\ttarget_a",
+      "chr1\t151\t300\t-\ttarget_b",
+      "chr2\t11\t20\t+\ttarget_c").mkString("\n"))
+    val il = Bed.readIntervalList(spark, d.resolve("t.interval_list").toString)
+    // the BED-converted equivalent (what `picard IntervalListToBed` emits):
+    // starts shift down one, ends stay — frames must agree exactly
+    Files.writeString(d.resolve("t.bed"),
+      "chr1\t0\t100\ttarget_a\nchr1\t150\t300\ttarget_b\nchr2\t10\t20\ttarget_c\n")
+    val bed = Bed.read(spark, d.resolve("t.bed").toString)
+    assert(il.select("chrom", "start", "end").orderBy("chrom", "start")
+      .collect().map(_.toSeq).toSeq ==
+      bed.select("chrom", "start", "end").orderBy("chrom", "start")
+        .collect().map(_.toSeq).toSeq)
+    // strand/name survive (the columns IntervalListToBed folds away)
+    assert(il.orderBy("chrom", "start").select("strand", "name")
+      .collect().map(_.toSeq).toSeq ==
+      Seq(Seq("+", "target_a"), Seq("-", "target_b"), Seq("+", "target_c")))
+    // half-open arithmetic: widths match the closed-interval row counts
+    assert(il.agg(sum(col("end") - col("start"))).head.getLong(0) == 260L)
+  }
 }
