@@ -46,10 +46,16 @@ object Tabix {
                             bins: Map[Int, Array[(Long, Long)]],
                             linear: Array[Long])
 
-  final case class Index(refs: IndexedSeq[RefIndex]) {
+  /** `minShift`/`depth` are the bin-scheme parameters: fixed (14, 5) for
+    * `.tbi`, arbitrary for `.csi` (which exists precisely to index contigs
+    * past 2^29). CSI carries no linear index — per-bin loffsets exist but
+    * the conservative minOff=0 (empty `linear`) stays sound. */
+  final case class Index(refs: IndexedSeq[RefIndex],
+                         minShift: Int = LinearShift, depth: Int = 5) {
     private val byName: Map[String, RefIndex] = refs.map(r => r.name -> r).toMap
     def ref(name: String): Option[RefIndex] = byName.get(name)
     def names: Seq[String] = refs.map(_.name)
+    def maxPos: Long = 1L << (minShift + depth * 3)
   }
 
   /** Parse a `.tbi` file; None when absent or unreadable (no pruning —
@@ -95,22 +101,82 @@ object Tabix {
       Some(Index(refs))
     } catch { case _: Throwable => None }
 
-  /** Bins overlapping 0-based half-open [beg, end) under the 5-level
-    * scheme — the standard reg2bins walk. */
-  private[sources] def reg2bins(beg0: Long, end0: Long): Seq[Int] = {
+  val CsiSuffix = ".csi"
+
+  /** Parse a `.csi` index (bcftools' default; same R-tree over BGZF
+    * virtual offsets with PARAMETERIZED (min_shift, depth) — the format
+    * that exists to index contigs past 2^29). Ref names come from the
+    * tabix-style aux block. Per-bin loffsets are skipped: an empty linear
+    * index makes the chunk lower-bound conservative (minOff = 0), which
+    * only ever keeps more splits. None when absent/unreadable. */
+  def readCsi(conf: Configuration, csiPath: String): Option[Index] =
+    try {
+      val p = new Path(csiPath)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) return None
+      val raw = {
+        val in = new java.util.zip.GZIPInputStream(fs.open(p), 65536)
+        try in.readAllBytes() finally in.close()
+      }
+      val b = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val magic = new Array[Byte](4); b.get(magic)
+      if (!java.util.Arrays.equals(magic, Array[Byte]('C', 'S', 'I', 1))) return None
+      val minShift = b.getInt
+      val depth = b.getInt
+      val lAux = b.getInt
+      val aux = new Array[Byte](lAux); b.get(aux)
+      if (lAux < 28) return None // no tabix aux = no ref names = no pruning
+      val ab = java.nio.ByteBuffer.wrap(aux).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      ab.getInt; ab.getInt; ab.getInt; ab.getInt // format, col_seq, col_beg, col_end
+      ab.getInt; ab.getInt // meta, skip
+      val lNm = ab.getInt
+      if (28 + lNm > lAux) return None
+      val nameBytes = new Array[Byte](lNm); ab.get(nameBytes)
+      val names = new String(nameBytes, "UTF-8").split("\u0000", -1).filter(_.nonEmpty)
+      val nRef = b.getInt
+      if (names.length != nRef) return None
+      val maxBin = ((1 << (3 * (depth + 1))) - 1) / 7 - 1
+      val refs = (0 until nRef).map { i =>
+        val nBin = b.getInt
+        val bins = Map.newBuilder[Int, Array[(Long, Long)]]
+        var j = 0
+        while (j < nBin) {
+          val bin = b.getInt
+          b.getLong // loffset — unused, see scaladoc
+          val nChunk = b.getInt
+          val chunks = new Array[(Long, Long)](nChunk)
+          var k = 0
+          while (k < nChunk) { chunks(k) = (b.getLong, b.getLong); k += 1 }
+          if (bin >= 0 && bin <= maxBin) bins += bin -> chunks // skip pseudo-bins
+          j += 1
+        }
+        RefIndex(names(i), bins.result(), Array.emptyLongArray)
+      }
+      Some(Index(refs, minShift, depth))
+    } catch { case _: Throwable => None }
+
+  /** Bins overlapping 0-based half-open [beg, end) — the standard
+    * reg2bins walk, generalized over (minShift, depth) so it serves both
+    * .tbi's fixed 5-level scheme and any .csi parameterization. */
+  private[sources] def reg2bins(beg0: Long, end0: Long,
+                                minShift: Int = LinearShift,
+                                depth: Int = 5): Seq[Int] = {
+    val cap = 1L << (minShift + depth * 3)
     val beg = math.max(0L, beg0)
-    val end = math.min(MaxPos, end0) - 1
+    val end = math.min(cap, end0) - 1
     if (end < beg) return Seq.empty
     val out = Seq.newBuilder[Int]
     out += 0
-    var shift = 26
+    var shift = minShift + (depth - 1) * 3
     var offset = 1
-    while (shift >= LinearShift) {
+    var level = 1
+    while (level <= depth) {
       var k = (offset + (beg >> shift)).toInt
       val hi = (offset + (end >> shift)).toInt
       while (k <= hi) { out += k; k += 1 }
-      offset = offset * 8 + 1 // 1, 9, 73, 585, 4681
+      offset = offset * 8 + 1 // 1, 9, 73, 585, 4681, ...
       shift -= 3
+      level += 1
     }
     out.result()
   }
@@ -139,9 +205,10 @@ object Tabix {
       case Some(r) =>
         val beg = math.max(0L, beg0)
         val minOff =
-          if (r.linear.isEmpty) 0L
-          else r.linear(math.min(beg >> LinearShift, (r.linear.length - 1).toLong).toInt)
-        reg2bins(beg, end0).flatMap(b => r.bins.getOrElse(b, Array.empty[(Long, Long)]))
+          if (r.linear.isEmpty) 0L // CSI: no linear index — conservative
+          else r.linear(math.min(beg >> idx.minShift, (r.linear.length - 1).toLong).toInt)
+        reg2bins(beg, end0, idx.minShift, idx.depth)
+          .flatMap(b => r.bins.getOrElse(b, Array.empty[(Long, Long)]))
           .filter(_._2 > minOff)
     }
 
@@ -195,23 +262,26 @@ object Tabix {
   def pruneSplits(conf: Configuration, path: String, dataMtime: Long,
                   pushed: Array[Filter],
                   splits: Seq[VcfPartition]): Option[Seq[VcfPartition]] = {
-    val tbi = new Path(path + Suffix)
-    val fs = tbi.getFileSystem(conf)
-    val fresh =
-      try fs.exists(tbi) && fs.getFileStatus(tbi).getModificationTime >= dataMtime
-      catch { case _: Throwable => false }
-    if (!fresh) return None
-    val idx = read(conf, path + Suffix) match {
+    val fs = new Path(path).getFileSystem(conf)
+    // .tbi first (what tabix/pysam write), then .csi (bcftools' default);
+    // either must be at least as new as the data file
+    def fresh(sidecar: String): Boolean =
+      try {
+        val sp = new Path(sidecar)
+        fs.exists(sp) && fs.getFileStatus(sp).getModificationTime >= dataMtime
+      } catch { case _: Throwable => false }
+    val idx = (if (fresh(path + Suffix)) read(conf, path + Suffix) else None)
+      .orElse(if (fresh(path + CsiSuffix)) readCsi(conf, path + CsiSuffix) else None) match {
       case Some(i) => i
       case None => return None
     }
     val (chroms, lo, hi) = regionOf(pushed)
     if (chroms.isEmpty && lo <= 1L && hi == Long.MaxValue) return None // unbounded
     if (hi < lo) return Some(Seq.empty) // contradictory conjunction
-    // 1-based [lo, hi] → 0-based half-open [lo-1, hi); cap at the bin
-    // scheme's addressable range (a .tbi cannot index beyond it either)
+    // 1-based [lo, hi] → 0-based half-open [lo-1, hi); cap at the index's
+    // addressable range (nothing beyond it can be indexed either)
     val beg0 = math.max(0L, lo - 1)
-    val end0 = if (hi == Long.MaxValue) MaxPos else math.min(MaxPos, hi)
+    val end0 = if (hi == Long.MaxValue) idx.maxPos else math.min(idx.maxPos, hi)
     val names = chroms.map(_.toSeq).getOrElse(idx.names)
     val ranges = names.flatMap(chunksFor(idx, _, beg0, end0)).map { case (u, v) =>
       (math.max(0L, (u >> 16) - 65536L), (v >> 16) + 1L)

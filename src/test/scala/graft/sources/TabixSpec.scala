@@ -156,6 +156,75 @@ class TabixSpec extends SparkSpec {
     assert(q.count() == 100L)
   }
 
+  // independent CSI encoder (spec-derived, not the production writer) so
+  // readCsi is checked against hand-built bytes, not its own inverse
+  private def encodeCsi(refs: Seq[(String, Map[Int, Seq[(Long, Long)]])],
+                        minShift: Int, depth: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bos)
+    def i32(v: Int): Unit = { o.write(v & 0xff); o.write((v >> 8) & 0xff)
+      o.write((v >> 16) & 0xff); o.write((v >> 24) & 0xff) }
+    def i64(v: Long): Unit = { i32((v & 0xffffffffL).toInt); i32((v >>> 32).toInt) }
+    o.write('C'); o.write('S'); o.write('I'); o.write(1)
+    i32(minShift); i32(depth)
+    val names = refs.map(_._1.getBytes("UTF-8"))
+    val lNm = names.map(_.length + 1).sum
+    i32(28 + lNm)
+    i32(2); i32(1); i32(2); i32(0); i32('#'); i32(0); i32(lNm)
+    names.foreach { nb => o.write(nb); o.write(0) }
+    i32(refs.length)
+    refs.foreach { case (_, bins) =>
+      i32(bins.size)
+      bins.foreach { case (bin, chunks) =>
+        i32(bin); i64(0L); i32(chunks.size)
+        chunks.foreach { case (u, v) => i64(u); i64(v) }
+      }
+    }
+    o.flush(); bos.toByteArray
+  }
+
+  test("CSI: depth-6 index addresses a locus past 2^29 (what .csi exists for)") {
+    val conf = spark.sessionState.newHadoopConf()
+    val d = Files.createTempDirectory("graftcsi")
+    val csiPath = d.resolve("big.vcf.gz.csi").toString
+    // a feature at pos ~3e9 — unaddressable by .tbi's 5-level scheme
+    val beg = 3000000000L
+    val bin = (37449L + (beg >> 14)).toInt // deepest level, depth=6/minShift=14
+    val bytes = encodeCsi(
+      Seq("chr1" -> Map(bin -> Seq((1024L << 16 | 7L, 1024L << 16 | 99L)))),
+      minShift = 14, depth = 6)
+    val os = Files.newOutputStream(d.resolve("big.vcf.gz.csi"))
+    Bgzf.writeBytes(bytes, os); os.close()
+    val Some(idx) = Tabix.readCsi(conf, csiPath)
+    assert(idx.minShift == 14 && idx.depth == 6 && idx.maxPos == (1L << 32))
+    val hit = Tabix.chunksFor(idx, "chr1", beg, beg + 1)
+    assert(hit == Seq((1024L << 16 | 7L, 1024L << 16 | 99L)))
+    assert(Tabix.chunksFor(idx, "chr1", 100, 200).isEmpty)
+    assert(Tabix.chunksFor(idx, "chrX", beg, beg + 1).isEmpty)
+  }
+
+  test("a lone .csi sidecar prunes splits end-to-end (bcftools-indexed input)") {
+    val p = writeBgzf(header ++ body("chr1", 3000, step = 7) ++ body("chr2", 3000, step = 7))
+    val conf = spark.sessionState.newHadoopConf()
+    // build the .tbi, transcode its bins/chunks into a .csi, drop the .tbi —
+    // leaving exactly what a bcftools-indexed foreign file ships
+    Tabix.buildForVcf(conf, p.toString)
+    val Some(tbi) = Tabix.read(conf, p.toString + Tabix.Suffix)
+    val refs = tbi.refs.map(r => r.name -> r.bins.map { case (b, cs) => b -> cs.toSeq })
+    val os = Files.newOutputStream(p.resolveSibling(p.getFileName.toString + ".csi"))
+    Bgzf.writeBytes(encodeCsi(refs, minShift = 14, depth = 5), os); os.close()
+    Files.delete(p.resolveSibling(p.getFileName.toString + ".tbi"))
+
+    def v2 = spark.read.format("vcf").option("split_bytes", "1024").load(p.toString)
+    val total = v2.rdd.getNumPartitions
+    val q = v2.filter(col("chrom") === "chr2" && col("pos") <= 700)
+    assert(q.rdd.getNumPartitions < total,
+      s"csi-pruned query must plan a strict subset (kept ${q.rdd.getNumPartitions} of $total)")
+    assert(q.count() == 100L)
+    assert(v2.filter(col("chrom") === "chr1").agg(sum("pos")).head.getLong(0) ==
+      (1 to 3000).map(_.toLong * 7).sum)
+  }
+
   test("df.write option(index=gidx) builds a fresh sidecar; write→read round trip prunes") {
     val src = writeBgzf(header ++ body("chr1", 2000) ++ body("chr2", 2000))
     val df = spark.read.format("vcf").load(src.toString)
