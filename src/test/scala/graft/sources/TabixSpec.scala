@@ -225,6 +225,33 @@ class TabixSpec extends SparkSpec {
       (1 to 3000).map(_.toLong * 7).sum)
   }
 
+  test("randomized soundness: .tbi pruning never loses a matching row") {
+    val rnd = new scala.util.Random(20260813)
+    val lines = header ++ Seq("chr1", "chr2", "chr3").flatMap { c =>
+      // irregular position gaps so bins/linear windows land unevenly
+      Iterator.iterate(1L)(_ + 1 + rnd.nextInt(400)).take(800 + rnd.nextInt(800))
+        .map(p => s"$c\t$p\t.\tA\tT\t50\tPASS\tDP=1\tGT:DP\t0/1:3").toSeq
+    }
+    val p = writeBgzf(lines, blockBytes = 256)
+    val conf = spark.sessionState.newHadoopConf()
+    Tabix.buildForVcf(conf, p.toString)
+    def pruned = spark.read.format("vcf").option("split_bytes", "512").load(p.toString)
+    val truth = Vcf.read(spark, p.toString) // expression path: never pruned
+    for (_ <- 1 to 12) {
+      val c = s"chr${1 + rnd.nextInt(4)}" // incl. a chrom absent from the file
+      val a = rnd.nextInt(120000).toLong
+      val b = a + rnd.nextInt(30000)
+      val cond = rnd.nextInt(3) match {
+        case 0 => col("chrom") === c && col("pos") >= a && col("pos") <= b
+        case 1 => col("chrom") === c && col("pos") === a // point query
+        case _ => col("pos") >= a && col("pos") <= b // pos-only, all chroms
+      }
+      val got = pruned.filter(cond).count()
+      val want = truth.filter(cond).count()
+      assert(got == want, s"pruned=$got truth=$want for $cond")
+    }
+  }
+
   test("df.write option(index=gidx) builds a fresh sidecar; write→read round trip prunes") {
     val src = writeBgzf(header ++ body("chr1", 2000) ++ body("chr2", 2000))
     val df = spark.read.format("vcf").load(src.toString)
