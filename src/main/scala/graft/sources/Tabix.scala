@@ -41,15 +41,18 @@ object Tabix {
   private val MaxPos = 1L << 29 // the 5-level bin scheme addresses 512 Mb
 
   /** One reference sequence's index: bin → chunks (virtual offsets),
-    * linear 16 kb window → min virtual offset. */
+    * linear 16 kb window → min virtual offset. `loffsets` is CSI's
+    * replacement for the linear index: per-bin virtual offset of the
+    * first record overlapping the bin's interval. */
   final case class RefIndex(name: String,
                             bins: Map[Int, Array[(Long, Long)]],
-                            linear: Array[Long])
+                            linear: Array[Long],
+                            loffsets: Map[Int, Long] = Map.empty)
 
   /** `minShift`/`depth` are the bin-scheme parameters: fixed (14, 5) for
     * `.tbi`, arbitrary for `.csi` (which exists precisely to index contigs
-    * past 2^29). CSI carries no linear index — per-bin loffsets exist but
-    * the conservative minOff=0 (empty `linear`) stays sound. */
+    * past 2^29). CSI carries no linear index; its per-bin loffsets serve
+    * the same lower-bound role (see [[chunksFor]]). */
   final case class Index(refs: IndexedSeq[RefIndex],
                          minShift: Int = LinearShift, depth: Int = 5) {
     private val byName: Map[String, RefIndex] = refs.map(r => r.name -> r).toMap
@@ -106,9 +109,9 @@ object Tabix {
   /** Parse a `.csi` index (bcftools' default; same R-tree over BGZF
     * virtual offsets with PARAMETERIZED (min_shift, depth) — the format
     * that exists to index contigs past 2^29). Ref names come from the
-    * tabix-style aux block. Per-bin loffsets are skipped: an empty linear
-    * index makes the chunk lower-bound conservative (minOff = 0), which
-    * only ever keeps more splits. None when absent/unreadable. */
+    * tabix-style aux block. Per-bin loffsets are kept and drive the chunk
+    * lower bound in [[chunksFor]] (CSI has no linear index), tightening
+    * candidate ranges to `.tbi` parity. None when absent/unreadable. */
   def readCsi(conf: Configuration, csiPath: String): Option[Index] =
     try {
       val p = new Path(csiPath)
@@ -139,18 +142,22 @@ object Tabix {
       val refs = (0 until nRef).map { i =>
         val nBin = b.getInt
         val bins = Map.newBuilder[Int, Array[(Long, Long)]]
+        val loffs = Map.newBuilder[Int, Long]
         var j = 0
         while (j < nBin) {
           val bin = b.getInt
-          b.getLong // loffset — unused, see scaladoc
+          val loff = b.getLong
           val nChunk = b.getInt
           val chunks = new Array[(Long, Long)](nChunk)
           var k = 0
           while (k < nChunk) { chunks(k) = (b.getLong, b.getLong); k += 1 }
-          if (bin >= 0 && bin <= maxBin) bins += bin -> chunks // skip pseudo-bins
+          if (bin >= 0 && bin <= maxBin) { // skip pseudo-bins
+            bins += bin -> chunks
+            if (loff > 0L) loffs += bin -> loff
+          }
           j += 1
         }
-        RefIndex(names(i), bins.result(), Array.emptyLongArray)
+        RefIndex(names(i), bins.result(), Array.emptyLongArray, loffs.result())
       }
       Some(Index(refs, minShift, depth))
     } catch { case _: Throwable => None }
@@ -182,13 +189,14 @@ object Tabix {
   }
 
   /** Smallest bin fully containing 0-based half-open [beg, end) — the
-    * standard reg2bin, used by the builder. */
-  private[sources] def reg2bin(beg0: Long, end0: Long): Int = {
+    * standard reg2bin, generalized over (minShift, depth) for `.csi`. */
+  private[sources] def reg2bin(beg0: Long, end0: Long,
+                               minShift: Int = LinearShift, depth: Int = 5): Int = {
     val beg = math.max(0L, beg0)
-    val end = math.min(MaxPos, end0) - 1
-    var shift = LinearShift
-    var offset = 4681
-    while (shift <= 26) {
+    val end = math.min(1L << (minShift + depth * 3), end0) - 1
+    var shift = minShift
+    var offset = firstLeafBin(depth)
+    while (shift < minShift + depth * 3) {
       if ((beg >> shift) == (end >> shift)) return (offset + (beg >> shift)).toInt
       offset = (offset - 1) / 8
       shift += 3
@@ -196,17 +204,42 @@ object Tabix {
     0
   }
 
+  /** First bin number of the deepest level: 4681 for depth 5. */
+  private def firstLeafBin(depth: Int): Int = ((1 << (depth * 3)) - 1) / 7
+
+  /** CSI lower bound for a query starting at `beg`: the loffset of the
+    * deepest-level bin containing beg, falling back (absent bin) to the
+    * previous sibling, then the parent — each step only ever moves the
+    * bound EARLIER in the file, so the walk stays sound. This is the role
+    * the `.tbi` linear index plays, at bin granularity. */
+  private def loffsetBound(r: RefIndex, beg: Long, minShift: Int, depth: Int): Long = {
+    if (r.loffsets.isEmpty) return 0L
+    var bin = firstLeafBin(depth) + (beg >> minShift).toInt
+    while (bin != 0) {
+      r.loffsets.get(bin) match {
+        case Some(l) => return l
+        case None =>
+          val parent = (bin - 1) >> 3
+          val firstSibling = (parent << 3) + 1
+          bin = if (bin > firstSibling) bin - 1 else parent
+      }
+    }
+    r.loffsets.getOrElse(0, 0L)
+  }
+
   /** Candidate chunk list (virtual-offset ranges) that may hold features
     * overlapping 0-based half-open [beg, end) on `refName` — reg2bins
-    * chunks, linear-index lower bound applied. Empty = provably no data. */
+    * chunks, lower-bounded by the `.tbi` linear index or the `.csi`
+    * per-bin loffsets. Empty = provably no data. */
   def chunksFor(idx: Index, refName: String, beg0: Long, end0: Long): Seq[(Long, Long)] =
     idx.ref(refName) match {
       case None => Seq.empty // ref absent from the index = no features
       case Some(r) =>
         val beg = math.max(0L, beg0)
         val minOff =
-          if (r.linear.isEmpty) 0L // CSI: no linear index — conservative
-          else r.linear(math.min(beg >> idx.minShift, (r.linear.length - 1).toLong).toInt)
+          if (r.linear.nonEmpty)
+            r.linear(math.min(beg >> idx.minShift, (r.linear.length - 1).toLong).toInt)
+          else loffsetBound(r, beg, idx.minShift, idx.depth) // CSI
         reg2bins(beg, end0, idx.minShift, idx.depth)
           .flatMap(b => r.bins.getOrElse(b, Array.empty[(Long, Long)]))
           .filter(_._2 > minOff)
@@ -297,10 +330,18 @@ object Tabix {
     * at virtual offsets [vBeg, vEnd). Must arrive in file order. */
   final case class Feature(ref: String, beg: Long, end: Long, vBeg: Long, vEnd: Long)
 
+  /** The `.csi` bin depth graft writes: (14, 7) addresses 2^35 ≈ 34 Gbp —
+    * past any real contig — while leaf windows stay 16 kb, so the index
+    * is as selective as a `.tbi` and only occupied bins are serialized. */
+  val CsiDepth = 7
+
   /** Incremental single-pass builder — feed features in file order (refs
     * grouped, positions sorted within a ref: the tabix precondition),
-    * then `finish()` for the serialized (uncompressed) index body. */
-  final class Builder {
+    * then `finish()` (.tbi body) or `finishCsi()` (.csi body). Default
+    * (14, 5) is `.tbi`'s fixed scheme; any other parameterization is
+    * `.csi`-only. */
+  final class Builder(val minShift: Int = LinearShift, val depth: Int = 5) {
+    private val maxPos = 1L << (minShift + depth * 3)
     private val refNames = scala.collection.mutable.ArrayBuffer.empty[String]
     private val refBins = scala.collection.mutable.ArrayBuffer
       .empty[scala.collection.mutable.LinkedHashMap[Int, scala.collection.mutable.ArrayBuffer[(Long, Long)]]]
@@ -323,8 +364,18 @@ object Tabix {
       // "unsorted positions" error)
       require(f.beg >= lastBeg,
         s"tabix build: unsorted positions on ${f.ref} (${f.beg + 1} after ${lastBeg + 1})")
+      // past the addressable range the bin arithmetic ALIASES (a 5-level
+      // .tbi stops at 2^29 = 512 Mbp — the exact case .csi exists for):
+      // refuse to emit a lying index rather than one that prunes wrongly
+      // in external readers
+      require(f.end <= maxPos,
+        s"tabix build: ${f.ref}:${f.beg + 1}-${f.end} exceeds the " +
+          s"2^${minShift + depth * 3} addressing limit of this " +
+          (if (minShift == LinearShift && depth == 5) "5-level .tbi scheme — " +
+            "index with option(\"index\",\"csi\") or option(\"index\",\"gidx\") instead"
+           else s"(min_shift=$minShift, depth=$depth) .csi scheme"))
       lastBeg = f.beg
-      val bin = reg2bin(f.beg, f.end)
+      val bin = reg2bin(f.beg, f.end, minShift, depth)
       val chunks = refBins.last.getOrElseUpdate(bin,
         scala.collection.mutable.ArrayBuffer.empty)
       // merge adjacent/overlapping chunks within a bin (htslib does the
@@ -333,8 +384,8 @@ object Tabix {
         chunks(chunks.length - 1) = (chunks.last._1, math.max(chunks.last._2, f.vEnd))
       else chunks += ((f.vBeg, f.vEnd))
       val linear = refLinear.last
-      val wBeg = (math.max(0L, f.beg) >> LinearShift).toInt
-      val wEnd = (math.max(f.beg, f.end - 1) >> LinearShift).toInt
+      val wBeg = (math.max(0L, f.beg) >> minShift).toInt
+      val wEnd = (math.max(f.beg, f.end - 1) >> minShift).toInt
       while (linear.length <= wEnd) linear += 0L
       var w = wBeg
       while (w <= wEnd) {
@@ -343,44 +394,110 @@ object Tabix {
       }
     }
 
-    /** Uncompressed .tbi body (caller BGZF-frames it). VCF preset:
-      * format=2, seq/beg/end columns 1/2/0, meta '#', skip 0. */
-    def finish(): Array[Byte] = {
-      // backfill empty linear windows with the previous value so a query
-      // landing in a feature gap still gets a sound (lower) min offset
+    // backfill empty linear windows with the previous value so a query
+    // landing in a feature gap still gets a sound (lower) min offset
+    private def backfillLinear(): Unit =
       refLinear.foreach { lin =>
         var i = 1
         while (i < lin.length) { if (lin(i) == 0L) lin(i) = lin(i - 1); i += 1 }
       }
+
+    private class Out {
       val bos = new java.io.ByteArrayOutputStream(4096)
-      val o = new java.io.DataOutputStream(bos)
+      private val o = new java.io.DataOutputStream(bos)
+      def w(b: Int): Unit = o.write(b)
       def i32(v: Int): Unit = {
         o.write(v & 0xff); o.write((v >> 8) & 0xff)
         o.write((v >> 16) & 0xff); o.write((v >> 24) & 0xff)
       }
       def i64(v: Long): Unit = { i32((v & 0xffffffffL).toInt); i32((v >>> 32).toInt) }
-      o.write('T'); o.write('B'); o.write('I'); o.write(1)
-      i32(refNames.length)
-      i32(2); i32(1); i32(2); i32(0) // format=VCF, col_seq=1, col_beg=2, col_end=0
-      i32('#'); i32(0)
+      def bytes(): Array[Byte] = { o.flush(); bos.toByteArray }
+    }
+
+    // the tabix VCF preset header fields shared by .tbi and the .csi aux
+    // block: format=2, seq/beg/end columns 1/2/0, meta '#', skip 0
+    private def writeConf(o: Out): Unit = {
+      o.i32(2); o.i32(1); o.i32(2); o.i32(0)
+      o.i32('#'); o.i32(0)
       val nameBytes = refNames.map(_.getBytes("UTF-8"))
-      i32(nameBytes.map(_.length + 1).sum)
-      nameBytes.foreach { nb => o.write(nb); o.write(0) }
+      o.i32(nameBytes.map(_.length + 1).sum)
+      nameBytes.foreach { nb => nb.foreach(b => o.w(b)); o.w(0) }
+    }
+
+    /** Uncompressed .tbi body (caller BGZF-frames it). */
+    def finish(): Array[Byte] = {
+      require(minShift == LinearShift && depth == 5,
+        s".tbi is fixed at (min_shift=14, depth=5); ($minShift, $depth) is .csi-only")
+      backfillLinear()
+      val o = new Out
+      o.w('T'); o.w('B'); o.w('I'); o.w(1)
+      o.i32(refNames.length)
+      writeConf(o)
       var r = 0
       while (r < refNames.length) {
         val bins = refBins(r)
-        i32(bins.size)
+        o.i32(bins.size)
         bins.foreach { case (bin, chunks) =>
-          i32(bin); i32(chunks.length)
-          chunks.foreach { case (u, v) => i64(u); i64(v) }
+          o.i32(bin); o.i32(chunks.length)
+          chunks.foreach { case (u, v) => o.i64(u); o.i64(v) }
         }
         val lin = refLinear(r)
-        i32(lin.length)
-        lin.foreach(i64)
+        o.i32(lin.length)
+        lin.foreach(o.i64)
         r += 1
       }
-      o.flush()
-      bos.toByteArray
+      o.bytes()
+    }
+
+    /** Uncompressed .csi body (caller BGZF-frames it): same bins/chunks,
+      * ref names in the tabix aux block, and — in place of the linear
+      * index — each bin's loffset = the linear value at the bin's first
+      * window (the offset of the first record at-or-before the bin's
+      * interval: a sound, htslib-compatible lower bound). */
+    def finishCsi(): Array[Byte] = {
+      backfillLinear()
+      val o = new Out
+      o.w('C'); o.w('S'); o.w('I'); o.w(1)
+      o.i32(minShift); o.i32(depth)
+      // l_aux then the aux block (28 fixed bytes + names)
+      val aux = {
+        val a = new Out
+        writeConf(a)
+        a.bytes()
+      }
+      o.i32(aux.length)
+      aux.foreach(b => o.w(b))
+      o.i32(refNames.length)
+      var r = 0
+      while (r < refNames.length) {
+        val bins = refBins(r)
+        val lin = refLinear(r)
+        o.i32(bins.size)
+        bins.foreach { case (bin, chunks) =>
+          // bin's start position → its first minShift window → linear value
+          val (first, shift) = binExtentParams(bin)
+          val startWindow = ((bin.toLong - first) << shift) >> minShift
+          val loff =
+            if (lin.isEmpty) 0L
+            else lin(math.min(startWindow, (lin.length - 1).toLong).toInt)
+          o.i32(bin); o.i64(loff); o.i32(chunks.length)
+          chunks.foreach { case (u, v) => o.i64(u); o.i64(v) }
+        }
+        r += 1
+      }
+      o.bytes()
+    }
+
+    /** (first bin number of the bin's level, position shift of that
+      * level) — identifies where a bin's interval starts. */
+    private def binExtentParams(bin: Int): (Int, Int) = {
+      var level = 0
+      var first = 0
+      while (((1 << ((level + 1) * 3)) - 1) / 7 <= bin && level < depth) {
+        level += 1
+        first = ((1 << (level * 3)) - 1) / 7
+      }
+      (first, minShift + (depth - level) * 3)
     }
   }
 
@@ -389,6 +506,13 @@ object Tabix {
     val p = new Path(path + Suffix)
     val out = p.getFileSystem(conf).create(p, true)
     try Bgzf.writeBytes(builder.finish(), out) finally out.close()
+  }
+
+  /** Serialize a finished builder to `<path>.csi` (BGZF-framed). */
+  def writeCsi(conf: Configuration, path: String, builder: Builder): Unit = {
+    val p = new Path(path + CsiSuffix)
+    val out = p.getFileSystem(conf).create(p, true)
+    try Bgzf.writeBytes(builder.finishCsi(), out) finally out.close()
   }
 
   /** 0-based half-open feature extent of one VCF line: [pos-1, pos-1+
@@ -402,15 +526,18 @@ object Tabix {
     (beg, end)
   }
 
-  /** Sequential one-pass `.tbi` build for an existing BGZF VCF: walk the
+  /** Sequential one-pass index build for an existing BGZF VCF: walk the
     * blocks, track each line's virtual offsets, index data lines. One
     * streaming pass over one file — the per-file indexing step that runs
-    * inside each write task (or standalone for foreign files). */
-  def buildForVcf(conf: Configuration, path: String): Unit = {
+    * inside each write task (or standalone for foreign files). `kind` is
+    * "tbi" (fixed 5-level scheme, ≤ 2^29) or "csi" (depth-[[CsiDepth]]). */
+  def buildForVcf(conf: Configuration, path: String, kind: String = "tbi"): Unit = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     require(Bgzf.isBgzf(conf, path), s"tabix requires BGZF input: $path")
-    val builder = new Builder
+    require(kind == "tbi" || kind == "csi", s"unknown index kind: $kind")
+    val builder =
+      if (kind == "csi") new Builder(LinearShift, CsiDepth) else new Builder
     val lines = Bgzf.splitLinesWithOffsets(conf, path)
     try lines.foreach { case (line, vBeg, vEnd) =>
       if (!line.startsWith("#")) {
@@ -424,7 +551,7 @@ object Tabix {
         }
       }
     } finally lines match { case c: AutoCloseable => c.close(); case _ => () }
-    write(conf, path, builder)
+    if (kind == "csi") writeCsi(conf, path, builder) else write(conf, path, builder)
   }
 
   /** INFO `END=` value of a raw INFO field string, if present. */

@@ -23,19 +23,29 @@ import org.apache.spark.sql.functions._
   */
 object Vcf {
 
+  /** Index sidecars (.gidx/.tbi/.csi) that sit BESIDE data files in a
+    * directory written with `option("index",...)` or indexed by external
+    * tools — never data, excluded from every data-file walk (a `.tbi`
+    * parsed as VCF text yields garbage rows on an unfiltered scan). */
+  def isIndexSidecar(name: String): Boolean =
+    name.endsWith(VcfIndex.Suffix) || name.endsWith(Tabix.Suffix) ||
+      name.endsWith(Tabix.CsiSuffix)
+
   /** The leading '#'-prefixed header block, read with a BOUNDED
     * driver-side stream that stops at the first data line — O(header),
     * not O(file): schema and sample inference on a 100 GB VCF must not
     * scan 100 GB (a distributed `read.text(...).filter(startsWith("#"))`
     * collect touches every line). Globs/directories resolve to their
-    * first visible file (headers agree across parts by construction of
-    * every writer in this domain); gzip/BGZF decode through the codec,
-    * of which only the header's blocks are ever inflated. */
+    * first visible file (the V2 scan's planning-time header-compatibility
+    * check guards the "headers agree across parts" assumption for foreign
+    * directories); gzip/BGZF decode through the codec, of which only the
+    * header's blocks are ever inflated. */
   def headerLines(spark: SparkSession, path: String): Seq[String] = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
-    def visible(n: String): Boolean = !n.startsWith("_") && !n.startsWith(".")
+    def visible(n: String): Boolean =
+      !n.startsWith("_") && !n.startsWith(".") && !isIndexSidecar(n)
     def firstFile(s: org.apache.hadoop.fs.FileStatus): Option[org.apache.hadoop.fs.Path] =
       if (!visible(s.getPath.getName)) None
       else if (s.isDirectory)
@@ -47,7 +57,13 @@ object Vcf {
       case st => st
     }).sortBy(_.getPath.getName).iterator.flatMap(firstFile).nextOption()
       .getOrElse(throw new java.io.FileNotFoundException(path))
-    val raw = fs.open(target)
+    headerLinesOf(conf, target)
+  }
+
+  /** [[headerLines]] for one concrete file. */
+  def headerLinesOf(conf: org.apache.hadoop.conf.Configuration,
+                    target: org.apache.hadoop.fs.Path): Seq[String] = {
+    val raw = target.getFileSystem(conf).open(target)
     val in: java.io.InputStream =
       if (target.getName.endsWith(".gz") || target.getName.endsWith(".bgz"))
         new java.util.zip.GZIPInputStream(raw, 65536)
@@ -65,6 +81,40 @@ object Vcf {
     } finally br.close()
   }
 
+  /** What must AGREE across the files of one directory/glob scan for the
+    * first-file schema inference to be sound: the #CHROM sample columns
+    * (a different panel order silently reads the WRONG sample under
+    * `sample_index`) and, when typed INFO columns are requested, each
+    * requested key's declared (Number, Type). */
+  final case class HeaderMeta(samples: Seq[String], infoTypes: Map[String, String])
+
+  private val InfoDecl =
+    """##INFO=<ID=([^,>]+),Number=([^,>]+),Type=([^,>]+)""".r.unanchored
+
+  def headerMetaOf(conf: org.apache.hadoop.conf.Configuration,
+                   target: org.apache.hadoop.fs.Path): HeaderMeta = {
+    val lines = headerLinesOf(conf, target)
+    val samples = lines.find(_.startsWith("#CHROM"))
+      .map(_.split("\t").drop(9).toSeq).getOrElse(Seq.empty)
+    val info = lines.collect {
+      case InfoDecl(id, num, tpe) => id -> s"Number=$num,Type=$tpe"
+    }.toMap
+    HeaderMeta(samples, info)
+  }
+
+  // planning may see the same (unchanged) files every query: cache header
+  // fingerprints by (path, len, mtime), bounded
+  private val headerMetaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), HeaderMeta]()
+
+  def headerMetaCached(conf: org.apache.hadoop.conf.Configuration,
+                       s: org.apache.hadoop.fs.FileStatus): HeaderMeta = {
+    if (headerMetaCache.size > 100000) headerMetaCache.clear()
+    headerMetaCache.computeIfAbsent(
+      (s.getPath.toString, s.getLen, s.getModificationTime),
+      _ => headerMetaOf(conf, s.getPath))
+  }
+
   /** Sample names from the #CHROM header line (columns 10+). */
   def sampleNames(spark: SparkSession, path: String): Seq[String] = {
     val header = headerLines(spark, path).find(_.startsWith("#CHROM"))
@@ -79,7 +129,40 @@ object Vcf {
     * [[explodeSamples]] — one scan for every sample. */
   def read(spark: SparkSession, path: String, sampleIndex: Int = 0): DataFrame =
     if (looksBgzf(spark, path)) readBgzf(spark, path, sampleIndex)
-    else fromLines(spark.read.text(path), sampleIndex)
+    else fromLines(textLines(spark, path), sampleIndex)
+
+  /** `spark.read.text` with index sidecars excluded: a directory written
+    * with `option("index","tbi"/"csi"/"gidx")` keeps its sidecars next to
+    * the parts, and a naive directory text scan would parse them as data
+    * (binary garbage rows on an unfiltered read). Directories expand to
+    * their visible data files; single files and globs pass through. */
+  private[sources] def textLines(spark: SparkSession, path: String): DataFrame = {
+    val expanded: Seq[String] =
+      try {
+        val conf = spark.sessionState.newHadoopConf()
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(conf)
+        def visible(n: String): Boolean =
+          !n.startsWith("_") && !n.startsWith(".") && !isIndexSidecar(n)
+        def walk(s: org.apache.hadoop.fs.FileStatus): Seq[String] =
+          if (!visible(s.getPath.getName)) Seq.empty
+          else if (s.isDirectory) fs.listStatus(s.getPath).toSeq.flatMap(walk)
+          else Seq(s.getPath.toString)
+        fs.globStatus(p) match {
+          case null => Seq(path)
+          case st if st.exists(s => s.isDirectory ||
+              isIndexSidecar(s.getPath.getName)) => st.toSeq.flatMap(walk)
+          case _ => Seq(path) // plain file(s): no expansion needed
+        }
+      } catch { case _: Throwable => Seq(path) }
+    if (expanded == Seq(path)) spark.read.text(path)
+    else if (expanded.isEmpty) // directory holding only sidecars
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.StringType))))
+    else spark.read.text(expanded: _*)
+  }
 
   /** True for a single `.gz`/`.bgz` file with a valid BGZF chain — those
     * dispatch to the splittable reader; plain gzip (unsplittable, but
@@ -133,7 +216,7 @@ object Vcf {
     * [[sampleNames]] for the name -> index mapping and [[explodeSamples]]
     * for the long (one row per sample) shape distributed joins want. */
   def readAllSamples(spark: SparkSession, path: String): DataFrame = {
-    val lines = spark.read.text(path).filter(!col("value").startsWith("#"))
+    val lines = textLines(spark, path).filter(!col("value").startsWith("#"))
     // materialize the line split and the FORMAT keys BEFORE the per-sample
     // transform: expressions referenced inside a HOF lambda re-evaluate per
     // ELEMENT, so inlining `split(value)` there re-splits the whole line

@@ -73,7 +73,9 @@ class VcfDataSource extends TableProvider with DataSourceRegister {
     // of the read shapes); reads pass inferSchema's result back unchanged
     new VcfTable(path, sampleIndex, splitBytes, allSamples(properties),
       Option(schema).filter(_.fields.nonEmpty),
-      VcfV2.parseInfoFields(Option(properties.get("info_fields"))))
+      VcfV2.parseInfoFields(Option(properties.get("info_fields"))),
+      !Option(properties.get("header_check")).exists(v =>
+        v.equalsIgnoreCase("off") || v.equalsIgnoreCase("false")))
   }
 }
 
@@ -147,7 +149,8 @@ object VcfV2 {
 class VcfTable(path: String, sampleIndex: Int, splitBytes: Long,
                allSamples: Boolean = false,
                external: Option[StructType] = None,
-               infoFields: Seq[(String, String, String)] = Nil)
+               infoFields: Seq[(String, String, String)] = Nil,
+               headerCheck: Boolean = true)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"vcf $path"
@@ -157,7 +160,8 @@ class VcfTable(path: String, sampleIndex: Int, splitBytes: Long,
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new VcfScanBuilder(path, sampleIndex, splitBytes, schema(), infoFields)
+    new VcfScanBuilder(path, sampleIndex, splitBytes, schema(), infoFields,
+      headerCheck)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -184,7 +188,8 @@ class VcfTable(path: String, sampleIndex: Int, splitBytes: Long,
 
 class VcfScanBuilder(path: String, sampleIndex: Int, splitBytes: Long,
                      full: StructType,
-                     infoFields: Seq[(String, String, String)] = Nil)
+                     infoFields: Seq[(String, String, String)] = Nil,
+                     headerCheck: Boolean = true)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -205,12 +210,13 @@ class VcfScanBuilder(path: String, sampleIndex: Int, splitBytes: Long,
     required = requiredSchema
 
   override def build(): Scan = new VcfScan(path, sampleIndex, splitBytes,
-    pushed, required, infoFields)
+    pushed, required, infoFields, headerCheck)
 }
 
 class VcfScan(path: String, sampleIndex: Int, splitBytes: Long,
               pushed: Array[Filter], required: StructType,
-              infoFields: Seq[(String, String, String)] = Nil)
+              infoFields: Seq[(String, String, String)] = Nil,
+              headerCheck: Boolean = true)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -227,10 +233,10 @@ class VcfScan(path: String, sampleIndex: Int, splitBytes: Long,
     val base = new Path(path)
     val fs = base.getFileSystem(conf)
     // recursive walk: nested layouts (dir/chrom=1/part.vcf) are read, not
-    // silently skipped; hidden names and .gidx sidecars excluded at every
-    // level
+    // silently skipped; hidden names and index sidecars (.gidx/.tbi/.csi —
+    // binary, not data) excluded at every level
     def visible(n: String): Boolean =
-      !n.startsWith("_") && !n.startsWith(".") && !n.endsWith(VcfIndex.Suffix)
+      !n.startsWith("_") && !n.startsWith(".") && !Vcf.isIndexSidecar(n)
     def walk(s: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
       if (!visible(s.getPath.getName)) Seq.empty
       else if (s.isDirectory) fs.listStatus(s.getPath).toSeq.flatMap(walk)
@@ -238,6 +244,33 @@ class VcfScan(path: String, sampleIndex: Int, splitBytes: Long,
     val files = fs.globStatus(base) match {
       case null => Seq.empty[org.apache.hadoop.fs.FileStatus]
       case st => st.toSeq.flatMap(walk)
+    }
+    // Header-compatibility gate for multi-file scans: the read schema and
+    // sample panel were inferred from the FIRST file (Vcf.headerLines);
+    // the reference never mixes headers silently — pysam reads each
+    // file's own header (ugvc/joint/denovo_refinement.py:30-35 one frame
+    // per parent file). A foreign directory mixing panels or INFO
+    // declarations must fail HERE with the offending file, not yield the
+    // wrong sample or silent nulls. O(header) per file, driver-side at
+    // planning, cached by (path, len, mtime); `option("header_check",
+    // "off")` opts out for known-homogeneous huge directories.
+    if (headerCheck && files.length > 1) {
+      val ref = Vcf.headerMetaCached(conf, files.head)
+      files.tail.foreach { s =>
+        val m = Vcf.headerMetaCached(conf, s)
+        require(m.samples == ref.samples,
+          s"vcf scan: sample columns of ${s.getPath} (${m.samples.mkString(",")}) " +
+            s"differ from ${files.head.getPath} (${ref.samples.mkString(",")}); " +
+            "a directory scan needs one header — split the load or reorder " +
+            "columns upstream (header_check=off overrides)")
+        infoFields.foreach { case (_, key, _) =>
+          require(m.infoTypes.get(key) == ref.infoTypes.get(key),
+            s"vcf scan: INFO $key declared as " +
+              s"${m.infoTypes.getOrElse(key, "<absent>")} in ${s.getPath} but " +
+              s"${ref.infoTypes.getOrElse(key, "<absent>")} in ${files.head.getPath}; " +
+              "typed info_fields need one declaration (header_check=off overrides)")
+        }
+      }
     }
     // region-index split pruning: with (chrom,pos) predicates pushed and a
     // fresh sidecar present, drop splits whose stats cannot match — the

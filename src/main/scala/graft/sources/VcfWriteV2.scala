@@ -60,16 +60,18 @@ class VcfBatchWrite(path: String, schema: StructType,
   private val bgzf = opt("compression").exists(_.equalsIgnoreCase("bgzf"))
   private val blockBytes = opt("bgzf_block_bytes").map(_.toInt).getOrElse(60000)
   private val sampleNames = opt("sample_names").map(_.split(",").toSeq)
-  // option("index","gidx"), "tbi", or "gidx,tbi" — build sidecar indexes
-  // at write time, mirroring the reference's tabix_index-after-every-write
+  // option("index","gidx"), "tbi", "csi", or a comma list — build sidecar
+  // indexes at write time, mirroring the reference's
+  // tabix_index-after-every-write (csi for contigs past .tbi's 2^29 limit,
+  // the same fallback bcftools applies)
   private val indexKinds: Set[String] =
     opt("index").map(_.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
-  require(indexKinds.subsetOf(Set("gidx", "tbi")),
-    s"vcf write: unknown index kind(s) ${indexKinds -- Set("gidx", "tbi")} " +
-      "(supported: gidx, tbi)")
-  require(!indexKinds.contains("tbi") || bgzf,
-    "vcf write: index=tbi requires compression=bgzf (tabix indexes BGZF files)")
+  require(indexKinds.subsetOf(Set("gidx", "tbi", "csi")),
+    s"vcf write: unknown index kind(s) ${indexKinds -- Set("gidx", "tbi", "csi")} " +
+      "(supported: gidx, tbi, csi)")
+  require(indexKinds.intersect(Set("tbi", "csi")).isEmpty || bgzf,
+    "vcf write: index=tbi/csi requires compression=bgzf (tabix indexes BGZF files)")
 
   private def stagingDir = new Path(path, s"_staging-$queryId")
 
@@ -188,11 +190,15 @@ class VcfDataWriter(conf: Configuration, stagingDir: String, fileName: String,
     if (declared < 0) scala.collection.mutable.ArrayBuffer.empty else null
 
   // write-time index state: per-chrom (min,max) pos for the .gidx the
-  // driver commit emits, and the tabix builder fed line-by-line with the
-  // sink's virtual offsets (bgzf only — enforced at option parse)
+  // driver commit emits, and the tabix builders fed line-by-line with the
+  // sink's virtual offsets (bgzf only — enforced at option parse); "csi"
+  // uses the deeper scheme so >2^29 contigs index instead of failing
   private val wantGidx = indexKinds.contains("gidx")
   private val tbiBuilder: Tabix.Builder =
     if (indexKinds.contains("tbi")) new Tabix.Builder else null
+  private val csiBuilder: Tabix.Builder =
+    if (indexKinds.contains("csi"))
+      new Tabix.Builder(depth = Tabix.CsiDepth) else null
   private val chromStats = scala.collection.mutable.Map.empty[String, (Long, Long)]
 
   private def emit(line: String): Unit =
@@ -236,11 +242,13 @@ class VcfDataWriter(conf: Configuration, stagingDir: String, fileName: String,
           if (ext._2 == null) (lo, hi)
           else (math.min(lo, ext._2.longValue()), math.max(hi, ext._2.longValue()))
       }
-      if (tbiBuilder != null && sink != null && ext._2 != null) {
+      if ((tbiBuilder != null || csiBuilder != null) && sink != null && ext._2 != null) {
         val vBeg = sink.virtualOffset
         emit(pad(line, n))
-        tbiBuilder.add(Tabix.Feature(ext._1, ext._2.longValue() - 1, ext._3,
-          vBeg, sink.virtualOffset))
+        val f = Tabix.Feature(ext._1, ext._2.longValue() - 1, ext._3,
+          vBeg, sink.virtualOffset)
+        if (tbiBuilder != null) tbiBuilder.add(f)
+        if (csiBuilder != null) csiBuilder.add(f)
         return
       }
     }
@@ -254,7 +262,9 @@ class VcfDataWriter(conf: Configuration, stagingDir: String, fileName: String,
 
   override def write(row: InternalRow): Unit = {
     val (line, nSamples) = fmt.format(row)
-    val ext = if (wantGidx || tbiBuilder != null) fmt.extent(row) else null
+    val ext =
+      if (wantGidx || tbiBuilder != null || csiBuilder != null) fmt.extent(row)
+      else null
     if (declared >= 0) emitRow(line, nSamples, ext)
     else if (nSamples > 0) { declared = nSamples; flushBuffered(); emitRow(line, nSamples, ext) }
     else {
@@ -271,14 +281,19 @@ class VcfDataWriter(conf: Configuration, stagingDir: String, fileName: String,
     ensureOpen()
     if (sink != null) sink.close()
     out.close()
+    // index the task's OWN part file in the task — distributed, zero
+    // extra read pass; the driver only renames
     val sidecars =
-      if (tbiBuilder == null) Nil
-      else {
-        // index the task's OWN part file in the task — distributed, zero
-        // extra read pass; the driver only renames
-        Tabix.write(conf, staged.toString, tbiBuilder)
-        Seq((staged.toString + Tabix.Suffix, fileName + Tabix.Suffix))
-      }
+      (if (tbiBuilder == null) Nil
+       else {
+         Tabix.write(conf, staged.toString, tbiBuilder)
+         Seq((staged.toString + Tabix.Suffix, fileName + Tabix.Suffix))
+       }) ++
+      (if (csiBuilder == null) Nil
+       else {
+         Tabix.writeCsi(conf, staged.toString, csiBuilder)
+         Seq((staged.toString + Tabix.CsiSuffix, fileName + Tabix.CsiSuffix))
+       })
     VcfCommitMessage(staged.toString, fileName, sidecars, chromStats.toMap)
   }
 
