@@ -194,8 +194,10 @@ object Curation {
     * both the stream membership (hash) and the order (doc_id) are
     * data-derived. */
   def seqPack(docs: DataFrame, budget: Int = PACK_BUDGET,
-              shards: Int = PACK_SHARDS): DataFrame = {
-    val n = docs.join(broadcast(packShardCounts(docs, base = shards)), Seq("source"))
+              shards: Int = PACK_SHARDS,
+              docsPerShard: Long = PACK_DOCS_PER_SHARD): DataFrame = {
+    val n = docs.join(broadcast(packShardCounts(docs, base = shards, docsPerShard)),
+        Seq("source"))
       .select(col("source"), col("doc_id"),
         Text.hash32(concat(lit("pack"), col("doc_id").cast("string"))) % col("n_shards"),
         size(Text.tokens(col("text"))).as("n_tokens"))

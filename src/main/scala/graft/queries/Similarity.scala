@@ -85,7 +85,7 @@ object Similarity {
     * expression (one fused loop, no per-element bounds checks or
     * intermediate arrays), left-associated like the oracle's list_sum.
     * Falls back to composed builtins when the extension isn't installed. */
-  private def dot(a: Column, b: Column): Column = {
+  private[queries] def dot(a: Column, b: Column): Column = {
     val active = org.apache.spark.sql.SparkSession.active
     if (active.catalog.functionExists("graft_dot")) call_function("graft_dot", a, b)
     else when(size(a) === DIM && size(b) === DIM,
@@ -244,7 +244,7 @@ object Similarity {
 
   /** Collect the deterministic PQ codebook: the full vectors of
     * `vec_id < PQ_K`, ordered by id (K x DIM doubles — trivially small). */
-  private def pqCodebook(all: DataFrame): Array[Array[Double]] =
+  private[queries] def pqCodebook(all: DataFrame): Array[Array[Double]] =
     all.filter(col("vec_id") < PQ_K).orderBy("vec_id")
       .select("v").collect().map(_.getSeq[Double](0).toArray)
 
@@ -278,7 +278,7 @@ object Similarity {
 
   /** Per-query ADC lookup table: lut[m][k] = <q_sub(m), cb[k]_sub(m)>,
     * rounded to 6 dp. Runs only over the fixed-size query batch. */
-  private def pqLutUdf(all: DataFrame, cb: Array[Array[Double]]): Column => Column = {
+  private[queries] def pqLutUdf(all: DataFrame, cb: Array[Array[Double]]): Column => Column = {
     val bcb = all.sparkSession.sparkContext.broadcast(cb)
     val f = udf { (qv: Seq[Double]) =>
       val vv = qv.toArray
@@ -296,7 +296,7 @@ object Similarity {
     * (one fused loop, no per-pair intermediate array — the N×Q hot path);
     * composed-HOF fallback when the extension isn't installed. Both forms
     * sum in ascending-m left-associated order, matching the oracle. */
-  private def adcSim(codes: Column, lut: Column): Column = {
+  private[queries] def adcSim(codes: Column, lut: Column): Column = {
     val active = org.apache.spark.sql.SparkSession.active
     if (active.catalog.functionExists("graft_adc")) call_function("graft_adc", codes, lut)
     else aggregate(zip_with(codes, lut, (c, l) => element_at(l, c + 1)),

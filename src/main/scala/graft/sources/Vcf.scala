@@ -103,16 +103,31 @@ object Vcf {
   }
 
   // planning may see the same (unchanged) files every query: cache header
-  // fingerprints by (path, len, mtime), bounded
-  private val headerMetaCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), HeaderMeta]()
+  // fingerprints by (path, len, mtime). LRU-bounded — evicting one cold
+  // entry at a time, never clearing wholesale (a hot directory must not
+  // re-plan every header after crossing the bound)
+  private val HeaderCacheMax = 100000
+  private val headerMetaCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long, Long), HeaderMeta](1024, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), HeaderMeta]): Boolean =
+        size() > HeaderCacheMax
+    })
 
   def headerMetaCached(conf: org.apache.hadoop.conf.Configuration,
                        s: org.apache.hadoop.fs.FileStatus): HeaderMeta = {
-    if (headerMetaCache.size > 100000) headerMetaCache.clear()
-    headerMetaCache.computeIfAbsent(
-      (s.getPath.toString, s.getLen, s.getModificationTime),
-      _ => headerMetaOf(conf, s.getPath))
+    val key = (s.getPath.toString, s.getLen, s.getModificationTime)
+    val hit = headerMetaCache.get(key)
+    if (hit != null) hit
+    else {
+      // the header read runs OUTSIDE the map lock (the planning-time
+      // compat walk fans these over a thread pool — a computeIfAbsent
+      // would serialize the I/O it exists to parallelize); a racing
+      // duplicate read is benign and idempotent
+      val m = headerMetaOf(conf, s.getPath)
+      headerMetaCache.put(key, m)
+      m
+    }
   }
 
   /** Sample names from the #CHROM header line (columns 10+). */

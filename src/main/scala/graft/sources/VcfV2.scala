@@ -256,21 +256,43 @@ class VcfScan(path: String, sampleIndex: Int, splitBytes: Long,
     // "off")` opts out for known-homogeneous huge directories.
     if (headerCheck && files.length > 1) {
       val ref = Vcf.headerMetaCached(conf, files.head)
-      files.tail.foreach { s =>
-        val m = Vcf.headerMetaCached(conf, s)
-        require(m.samples == ref.samples,
-          s"vcf scan: sample columns of ${s.getPath} (${m.samples.mkString(",")}) " +
-            s"differ from ${files.head.getPath} (${ref.samples.mkString(",")}); " +
-            "a directory scan needs one header — split the load or reorder " +
-            "columns upstream (header_check=off overrides)")
-        infoFields.foreach { case (_, key, _) =>
-          require(m.infoTypes.get(key) == ref.infoTypes.get(key),
-            s"vcf scan: INFO $key declared as " +
-              s"${m.infoTypes.getOrElse(key, "<absent>")} in ${s.getPath} but " +
-              s"${ref.infoTypes.getOrElse(key, "<absent>")} in ${files.head.getPath}; " +
-              "typed info_fields need one declaration (header_check=off overrides)")
+      // each check is one bounded header read (O(header), not O(file)),
+      // but a 100k-part foreign directory would serialize 100k FS opens
+      // inside planning — fan the reads over a bounded pool and surface
+      // the FIRST mismatch in file order (deterministic messages). The
+      // worker only builds the message; require stays on the driver
+      // thread so the error type/text matches the sequential walk.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, Runtime.getRuntime.availableProcessors()))
+      try {
+        val checks = files.tail.map { s =>
+          pool.submit(new java.util.concurrent.Callable[Option[String]] {
+            override def call(): Option[String] = {
+              val m = Vcf.headerMetaCached(conf, s)
+              if (m.samples != ref.samples)
+                Some(s"vcf scan: sample columns of ${s.getPath} (${m.samples.mkString(",")}) " +
+                  s"differ from ${files.head.getPath} (${ref.samples.mkString(",")}); " +
+                  "a directory scan needs one header — split the load or reorder " +
+                  "columns upstream (header_check=off overrides)")
+              else infoFields.collectFirst {
+                case (_, key, _) if m.infoTypes.get(key) != ref.infoTypes.get(key) =>
+                  s"vcf scan: INFO $key declared as " +
+                    s"${m.infoTypes.getOrElse(key, "<absent>")} in ${s.getPath} but " +
+                    s"${ref.infoTypes.getOrElse(key, "<absent>")} in ${files.head.getPath}; " +
+                    "typed info_fields need one declaration (header_check=off overrides)"
+              }
+            }
+          })
         }
-      }
+        checks.foreach { f =>
+          val mismatch =
+            try f.get()
+            catch { // keep a failed header read's own exception type
+              case e: java.util.concurrent.ExecutionException => throw e.getCause
+            }
+          require(mismatch.isEmpty, mismatch.get)
+        }
+      } finally pool.shutdown()
     }
     // region-index split pruning: with (chrom,pos) predicates pushed and a
     // fresh sidecar present, drop splits whose stats cannot match — the

@@ -101,6 +101,25 @@ class CurationSpec extends SparkSpec {
     assert(rows(3L) == ((1L, 2L)))   // tokens 12-21
   }
 
+  test("packShardCounts scales with source size; a giant source cannot serialize x10") {
+    // source A 10x the per-shard budget, source B tiny: A's stream count
+    // must grow (ceil(n/docsPerShard)) while B keeps the base — the same
+    // derive-from-N pattern as IVF's cell count
+    val docs = ((1L to 1000L).map(i => (i, "A", "w w w")) ++
+      (1001L to 1050L).map(i => (i, "B", "w w w")))
+      .toDF("doc_id", "source", "text")
+    val counts = Curation.packShardCounts(docs, base = 4, docsPerShard = 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("A") == 10L, s"1000 docs / 100 per shard must give 10 shards: $counts")
+    assert(counts("B") == 4L, s"a small source keeps the base shard count: $counts")
+    // and seqPack actually spreads the giant source over those streams:
+    // every shard id in [0, 10) appears for A
+    val shards = Curation.seqPack(docs, budget = 10, shards = 4, docsPerShard = 100L)
+      .filter(col("source") === "A").select("shard").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(shards.size > 4, s"giant source must use more than base streams: $shards")
+  }
+
   test("mix sampling is deterministic and repartition-invariant") {
     val docs = (1L to 500L).map(i => (i, s"src${i % 7}", "text body here"))
       .toDF("doc_id", "source", "text")
