@@ -43,11 +43,10 @@ object Probes {
     w.write("##INFO=<ID=DP,Number=1,Type=Integer,Description=\"d\">\n")
     w.write("##INFO=<ID=AN,Number=1,Type=Integer,Description=\"a\">\n")
     w.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n")
-    for (i <- 1 to Rows) {
-      val chrom = s"chr${1 + i % 8}"
-      val pos = (i / 8 + 1) * 3
+    val perChrom = Rows / 8
+    for (c <- 1 to 8; i <- 1 to perChrom) { // (chrom, pos)-sorted: tabix precondition
       val filt = if (i % 5 == 0) "LowQual" else "PASS"
-      w.write(s"$chrom\t$pos\t.\tACGT\tA\t${40 + rnd.nextInt(60)}.0\t$filt\t" +
+      w.write(s"chr$c\t${i * 3}\t.\tACGT\tA\t${40 + rnd.nextInt(60)}.0\t$filt\t" +
         s"DP=${rnd.nextInt(100)};AN=${rnd.nextInt(8)}\tGT:DP:GQ\t" +
         s"0/1:${rnd.nextInt(100)}:${rnd.nextInt(99)}\n")
     }
