@@ -9,7 +9,8 @@ object Plans {
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else Seq("a1_groupby_sum", "j1_inner_equi_join", "j5_interval_overlap",
-        "o4_topk", "d3_lsh_pairs", "e1_knn_cosine", "w1_pr_curve_bucketed",
+        "o4_topk", "d3_lsh_pairs", "e1_knn_cosine", "e2_ivf_ann",
+        "e4_ivf_pq", "w1_pr_curve_bucketed",
         "j11_isec_partition", "f14_pl_math", "w3_overlap_suppress",
         "w2_block_compress", "x6_decontaminate", "x7_mix_sample",
         "j13_skew_join", "qc1_fold_penalty", "qc2_sub_error_rate")

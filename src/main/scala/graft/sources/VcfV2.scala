@@ -292,7 +292,9 @@ class VcfScan(path: String, sampleIndex: Int, splitBytes: Long,
             }
           require(mismatch.isEmpty, mismatch.get)
         }
-      } finally pool.shutdown()
+        // cancels the queued remainder when a mismatch threw mid-walk; a
+        // completed walk has nothing left to cancel
+      } finally pool.shutdownNow()
     }
     // region-index split pruning: with (chrom,pos) predicates pushed and a
     // fresh sidecar present, drop splits whose stats cannot match — the
