@@ -42,9 +42,28 @@ object TextDedup {
   /** Signature frame, persisted: it is tiny (doc_id + K longs) and
     * every LSH consumer scans it from both sides of a self-join — caching
     * turns 2-4 full shingle+md5 passes into one. (At 100 TB the same role
-    * is played by [[signaturesToParquet]].) */
+    * is played by [[signaturesToParquet]].) Explicitly memoized per
+    * (session, dir) — same pattern as Similarity.annIndex — instead of
+    * re-persisting an equivalent plan per query and leaning on the
+    * CacheManager's canonical-plan dedupe. */
+  private val dedupFrameCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, String), DataFrame]()
+
   private def cachedMinhash(s: SparkSession, d: String): DataFrame =
-    signatureFrame(Tables.documents(s, d)).persist()
+    dedupFrameCache.computeIfAbsent((System.identityHashCode(s), d, "mh"),
+      _ => signatureFrame(Tables.documents(s, d)).persist())
+
+  // NOTE (round 10, tried and NOT adopted): persisting the LSH candidate
+  // pairs per session (the annIndex pattern — d3 reports, d4 verifies,
+  // d7 resolves over one materialized frame) could not be shown faster at
+  // the 100x replica: standalone A/B runs of the d-family swung +-35%
+  // with the box's ambient drift in BOTH directions, and 22.5 M cached
+  // pair rows compete for the 8 GB driver JVM's unified pool exactly when
+  // d7's edge repartition + checkpoints need it. Kept the round-9 shape
+  // the committed bench artifacts measure; at a real cluster the sharing
+  // mechanism is the at-rest form ([[signaturesToParquet]] +
+  // [[lshPairsFromParquet]]), not executor cache. The signature memo
+  // below stays: it is small and strictly removes 2-4 corpus hash passes.
 
   /** Hot-band degeneracy ceiling: a band key shared by k documents yields
     * k²/2 candidate pairs; one pathological key (boilerplate, empty docs)
