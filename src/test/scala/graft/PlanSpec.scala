@@ -111,6 +111,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("e2/e4 read the shared ANN index (InMemoryTableScan), not a fresh assignment") {
+    // the session-scoped annIndex memo is what keeps assignment/encode
+    // from re-running per query — a silent regression back to per-query
+    // recompute would pass every oracle, so gate the plan shape instead
+    for (q <- Seq("e2_ivf_ann", "e4_ivf_pq")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"),
+        s"$q must scan the memoized index, not rebuild it:\n${plan.take(800)}")
+    }
+  }
+
   test("fact-table scans prune columns (no full-width reads)") {
     val q = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
       .filter(org.apache.spark.sql.functions.col("l_quantity") > 45)
