@@ -91,6 +91,27 @@ class VcfHeaderGateSpec extends SparkSpec {
       .load(bad.toString).count() === 100L)
   }
 
+  test("the gate reads BGZF-compressed headers too (mixed plain/bgzf directory)") {
+    // a foreign dir mixing a plain-text part with a bgzf part whose panel
+    // differs: the gate must decompress the bgzf header (O(header) blocks
+    // only) and still name the offending file
+    val d = writeDir("a.vcf" -> vcfLines(Seq("S1"), "Integer", "chr1", 30))
+    val os = Files.newOutputStream(d.resolve("b.vcf.gz"))
+    Bgzf.write(vcfLines(Seq("SX"), "Integer", "chr2", 30).iterator, os, 512)
+    os.close()
+    val msg = allMessages(intercept[Throwable] {
+      spark.read.format("vcf").load(d.toString).count()
+    })
+    assert(msg.contains("sample columns") && msg.contains("b.vcf.gz"),
+      s"gate must decompress and name the bgzf file: $msg")
+    // homogeneous mixed-compression dir passes and reads both parts
+    val ok = writeDir("a.vcf" -> vcfLines(Seq("S1"), "Integer", "chr1", 30))
+    val os2 = Files.newOutputStream(ok.resolve("b.vcf.gz"))
+    Bgzf.write(vcfLines(Seq("S1"), "Integer", "chr2", 30).iterator, os2, 512)
+    os2.close()
+    assert(spark.read.format("vcf").load(ok.toString).count() === 60L)
+  }
+
   test(".tbi/.csi sidecars beside parts are never parsed as data (both read paths)") {
     val d = writeDir("part-0.vcf" -> vcfLines(Seq("S1"), "Integer", "chr1", 120))
     // realistic binary sidecars: actual BGZF-framed index bytes whose
