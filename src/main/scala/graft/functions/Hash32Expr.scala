@@ -97,6 +97,14 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
           scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
       }))
     e.injectFunction((
+      new FunctionIdentifier("graft_token_hashes"),
+      new ExpressionInfo(classOf[TokenHashes].getName, "graft_token_hashes"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"graft_token_hashes expects 1 argument, got ${exprs.length}")
+        TokenHashes(exprs.head)
+      }))
+    e.injectFunction((
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash].getName, "graft_simhash"),
       (exprs: Seq[Expression]) => {

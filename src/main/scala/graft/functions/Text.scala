@@ -49,6 +49,17 @@ object Text {
   /** Per-token hashes. */
   def tokenHashes(toks: Column): Column = transform(toks, t => hash32(t))
 
+  /** Per-token hashes straight from the raw text: the fused native
+    * [[TokenHashes]] expression (one byte scan, no split array, no HOF)
+    * when the session registered it, else the composed
+    * `tokenHashes(tokens(text))`. Both are bit-identical (fuzz-gated). */
+  def tokenHashesFromText(text: Column): Column = {
+    val active = org.apache.spark.sql.SparkSession.active
+    if (active.catalog.functionExists("graft_token_hashes"))
+      call_function("graft_token_hashes", text)
+    else tokenHashes(tokens(text))
+  }
+
   /** 3-gram shingle hashes combined arithmetically from token hashes:
     * h = (h1*299 + h2*991 + h3) mod p. One md5 per TOKEN (not per 3-word
     * shingle string) and zero string concatenation — the order-sensitive

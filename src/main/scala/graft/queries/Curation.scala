@@ -45,7 +45,7 @@ object Curation {
   /** Distinct 3-gram shingle hashes per document. */
   private def shingleSets(docs: DataFrame): DataFrame =
     docs
-      .withColumn("_th", Text.tokenHashes(Text.tokens(col("text"))))
+      .withColumn("_th", Text.tokenHashesFromText(col("text")))
       .select(col("doc_id"),
         array_distinct(Text.shingleHashes3(col("_th"))).as("sh"))
 

@@ -28,7 +28,7 @@ object TextDedup {
     // inlining them into shingleHashes3's lambda re-evaluates the whole
     // token-hash array per element_at (O(tokens^2) md5 calls)
     val base = docs
-      .withColumn("_th", Text.tokenHashes(Text.tokens(col("text"))))
+      .withColumn("_th", Text.tokenHashesFromText(col("text")))
       .withColumn("_hs", Text.shingleHashes3(col("_th")))
     (1 to K).foldLeft(base) { (df, i) =>
       df.withColumn(s"mh$i", Text.minhashPerm(col("_hs"), 2L * i + 1, 97L * i))
@@ -200,7 +200,7 @@ object TextDedup {
     // only on LSH candidates (long-array intersect, not string compares)
     "d4_jaccard_verify" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-        .withColumn("_th", Text.tokenHashes(Text.tokens(col("text"))))
+        .withColumn("_th", Text.tokenHashesFromText(col("text")))
         .select(col("doc_id"),
           array_distinct(Text.shingleHashes3(col("_th"))).as("sh"))
         .persist()
@@ -220,7 +220,7 @@ object TextDedup {
     // materialized once, 16 cheap bit-fold passes over them
     "d5_simhash" -> { (s, d) =>
       Tables.documents(s, d)
-        .withColumn("_th", Text.tokenHashes(Text.tokens(col("text"))))
+        .withColumn("_th", Text.tokenHashesFromText(col("text")))
         .select(col("doc_id"), Text.simhashFromHashes(col("_th"), 16).as("simhash"))
     },
     // ----- X5: the end-to-end curation pipeline — quality score, language

@@ -76,7 +76,7 @@ object Streams {
                           minShared: Int): DataFrame = {
     import graft.functions.Text
     docs
-      .withColumn("_th", Text.tokenHashes(Text.tokens(col("text"))))
+      .withColumn("_th", Text.tokenHashesFromText(col("text")))
       .withColumn("_sh", array_distinct(Text.shingleHashes3(col("_th"))))
       .select(col("doc_id"),
         size(array_intersect(col("_sh"), typedLit(pool))).cast("long").as("n_shared"))

@@ -27,6 +27,35 @@ class TextSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("native TokenHashes fuses split+hash bit-identically (adversarial fuzz)") {
+    assert(spark.catalog.functionExists("graft_token_hashes"), "extension not registered")
+    val rnd = new scala.util.Random(0x70CE)
+    val words = Seq("the", "a", "word", "längere", "日本語", "x", "", "1234")
+    val adversarial = Seq(
+      "",              // split("", " ", -1) = [""] — one empty token
+      " ",             // ["", ""]
+      "a",             // no spaces
+      "a ",            // trailing empty kept (limit -1)
+      " a",            // leading empty
+      "a  b",          // interior empty
+      "   ",           // all empties
+      "日本語 テスト",   // multi-byte UTF-8 (0x20 never occurs mid-sequence)
+      "tab\tand\nnewline stay intact") // only 0x20 splits
+    val random = (1 to 500).map { _ =>
+      (1 to rnd.nextInt(12)).map(_ => words(rnd.nextInt(words.length)))
+        .mkString(" ")
+    }
+    val docs = (adversarial ++ random).toDF("t")
+    val diff = docs.select(
+        Text.tokenHashesFromText(col("t")).as("native"),
+        Text.tokenHashes(Text.tokens(col("t"))).as("composed"))
+      .filter(not(col("native") <=> col("composed"))).count()
+    assert(diff == 0, "fused TokenHashes diverged from transform(split(...), hash32)")
+    // null text -> null array on both forms
+    val nulls = Seq[Option[String]](None).toDF("t")
+    assert(nulls.select(Text.tokenHashesFromText(col("t"))).head.isNullAt(0))
+  }
+
   test("shingles produce overlapping word n-grams") {
     val out = eval1(Text.shingles(Text.tokens(lit("w1 w2 w3 w4 w5")), 3))
     assert(out == Seq("w1 w2 w3", "w2 w3 w4", "w3 w4 w5"))
