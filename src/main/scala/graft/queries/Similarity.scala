@@ -445,9 +445,25 @@ object Similarity {
     * contents are deterministic, so sharing cannot change any result. */
   private val annIndexCache = new java.util.concurrent.ConcurrentHashMap[
     (Int, String), (DataFrame, DataFrame, Long)]()
+  private val AnnIndexCacheMax = 8
 
   private[queries] def annIndex(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, Long) =
+      : (DataFrame, DataFrame, Long) = {
+    // a long-lived session scanning many corpora must not accumulate
+    // persisted index frames without bound: past the cap, evict (and
+    // unpersist) everything but the requested dir — recompute on a
+    // re-visit is correct, just cold
+    if (annIndexCache.size >= AnnIndexCacheMax) {
+      val it = annIndexCache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey != ((System.identityHashCode(s), d))) {
+          e.getValue._1.unpersist(false)
+          e.getValue._2.unpersist(false)
+          it.remove()
+        }
+      }
+    }
     annIndexCache.computeIfAbsent((System.identityHashCode(s), d), _ => {
       val nCells = cellCountForAnn(Tables.embeddings(s, d).count())
       val all = vecs(s, d)
@@ -460,6 +476,7 @@ object Similarity {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (assigned, codes, nCells)
     })
+  }
 
   val queries: Map[String, Q] = Map(
     // ----- E1: brute-force cosine top-k (exact baseline)

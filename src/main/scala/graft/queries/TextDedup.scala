@@ -48,10 +48,24 @@ object TextDedup {
     * CacheManager's canonical-plan dedupe. */
   private val dedupFrameCache = new java.util.concurrent.ConcurrentHashMap[
     (Int, String, String), DataFrame]()
+  private val DedupCacheMax = 8
 
-  private def cachedMinhash(s: SparkSession, d: String): DataFrame =
+  private def cachedMinhash(s: SparkSession, d: String): DataFrame = {
+    // bounded like Similarity.annIndex: a session scanning many corpora
+    // evicts (and unpersists) other dirs' signature frames past the cap
+    if (dedupFrameCache.size >= DedupCacheMax) {
+      val it = dedupFrameCache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey != ((System.identityHashCode(s), d, "mh"))) {
+          e.getValue.unpersist(false)
+          it.remove()
+        }
+      }
+    }
     dedupFrameCache.computeIfAbsent((System.identityHashCode(s), d, "mh"),
       _ => signatureFrame(Tables.documents(s, d)).persist())
+  }
 
   // NOTE (round 10, tried and NOT adopted): persisting the LSH candidate
   // pairs per session (the annIndex pattern — d3 reports, d4 verifies,
