@@ -36,14 +36,23 @@ object Dedup {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("dst"))
       .persist()
-    // localCheckpoint per round truncates lineage — without it the nested
-    // plan grows with every iteration and planning itself blows up
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // FIRST propagation round, fused: with identity labels (comp == id) the
+    // generic round's edges⋈labels is the identity on the edge set, so
+    // round 1 is exactly min-neighbor ∪ self = groupBy(dst).agg(min(src)) —
+    // and grouping on dst reuses the hash partitioning the persist pinned,
+    // so the fused round is exchange-free where the generic round paid a
+    // V-sized distinct + checkpoint, a labels shuffle, and an E-sized join.
+    // (By symmetry the node set and the min over neighbors are identical
+    // viewed from dst or src.) localCheckpoint per round truncates lineage —
+    // without it the nested plan grows with every iteration and planning
+    // itself blows up.
+    var labels = edges.groupBy(col("dst"))
+      .agg(min(col("src")).as("_nmin"))
+      .select(col("dst").as("id"), least(col("dst"), col("_nmin")).as("comp"))
       .localCheckpoint()
     val jump = labels.count() >= JumpMinNodes // scan of the checkpoint — cheap
-    var iter = 0
-    var converged = false
+    var iter = 1 // round 1 already ran above
+    var converged = false // round 1 always changes the larger end of some pair
     while (iter < maxIter && !converged) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min("comp").as("ncomp"))
@@ -60,10 +69,11 @@ object Dedup {
       // that would cost one heavy edge round per hop collapse geometrically
       // instead (the skewed-replica probe's boilerplate chains: d7 312s
       // without jumps, 122s with; the unskewed 100x graph 128s -> 104s).
-      // Gated to iteration 2+ (diameter-<=2 clusters converge without ever
-      // paying the extra checkpoint) and to >= JumpMinNodes graphs (below
-      // that the fixed checkpoint latency outweighs whole saved rounds).
-      if (jump && iter >= 1) {
+      // Applies from overall round 2 on (diameter-<=2 clusters converge
+      // without ever paying the extra checkpoint — the fused round 1 above
+      // runs jump-free) and only on >= JumpMinNodes graphs (below that the
+      // fixed checkpoint latency outweighs whole saved rounds).
+      if (jump) {
         val j = updated.select(col("id").as("_jid"), col("comp").as("_jcomp"))
         updated = updated.join(j, updated("comp") === j("_jid"), "left")
           .select(updated("id"), updated("_old"),

@@ -118,6 +118,24 @@ object TextDedup {
     coldPairs.unionByName(hotPairs).distinct()
   }
 
+  /** Superset of the doc ids that can appear in any LSH candidate pair: the
+    * members of bands with >= 2 documents. Cold pairs share a band by
+    * definition; hot-band stars keep both the band's mindoc and every other
+    * member, all of which sit in that band — so restricting per-doc work to
+    * this set never drops a pair participant. Used by the Jaccard verifier
+    * to build distinct shingle sets ONLY for docs it can be asked about: at
+    * real-corpus dup density the candidate set is a small fraction of the
+    * corpus (AQE turns the semi-join into a broadcast once the aggregate
+    * turns out tiny); at the synthetic 100x replica (every doc has 99
+    * verbatim copies) it is the whole corpus and the restriction is
+    * measured-neutral — the win is the low-dup-density production case. */
+  private[queries] def candidateDocIds(mh: DataFrame): DataFrame = {
+    val bands = bandRows(mh)
+    val multi = bands.groupBy("bid", "key").agg(count(lit(1)).as("bc"))
+      .filter(col("bc") >= 2)
+    bands.join(multi, Seq("bid", "key")).select("doc_id").distinct()
+  }
+
   /** The band keys the cap degraded, with their membership counts — report
     * this next to any capped dedup run (no silent truncation). */
   def hotBands(mh: DataFrame, cap: Int = HOT_BAND_CAP): DataFrame =
@@ -213,12 +231,17 @@ object TextDedup {
     // ----- D4: n-gram Jaccard over distinct shingle-hash sets, verified
     // only on LSH candidates (long-array intersect, not string compares)
     "d4_jaccard_verify" -> { (s, d) =>
+      val mh = cachedMinhash(s, d)
+      // shingle sets only for docs that can appear in a candidate pair —
+      // the non-candidate majority of a real corpus skips the array build
+      // entirely (candidateDocIds is a proven superset of pair members)
       val docs = Tables.documents(s, d)
+        .join(candidateDocIds(mh), Seq("doc_id"), "left_semi")
         .withColumn("_th", Text.tokenHashesFromText(col("text")))
         .select(col("doc_id"),
           array_distinct(Text.shingleHashes3(col("_th"))).as("sh"))
         .persist()
-      lshPairs(cachedMinhash(s, d))
+      lshPairs(mh)
         .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
         .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
         .select(col("doc_a"), col("doc_b"),
@@ -258,6 +281,29 @@ object TextDedup {
         .select(col("doc_id"), col("n_tokens"),
           r6(col("distinct_ratio")).as("distinct_ratio"),
           r6(col("en_score")).as("en_score"))
+    },
+    // ----- X12: TF-IDF top-k terms per document — the canonical keyword /
+    // quality-signal extraction over a corpus. Shape at 100 TB: explode ->
+    // combiner groupBy (doc,term) -> one window by term for df (no
+    // vocabulary join, no broadcast of an unbounded vocab) -> WindowGroupLimit
+    // top-k by doc. idf = ln(N/df) is transcendental, so the round-6 gate
+    // boundary is unreachable (NOTES sharp edge #2); ties (equal tfidf)
+    // break on the term string — deterministic in both engines.
+    "x12_tfidf_topk" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val withDf = tf.withColumn("df",
+        count(lit(1)).over(Window.partitionBy("term")))
+      withDf
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+        .withColumn("tfidf",
+          r6(col("tf") * log(col("n_docs").cast("double") / col("df"))))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))))
+        .filter(col("rk") <= 5)
+        .select("doc_id", "term", "tf", "df", "tfidf")
     }
   )
 
@@ -370,6 +416,19 @@ object TextDedup {
           SELECT doc_id, (${(0 until 16).map(j =>
             s"CASE WHEN list_sum(list_transform(h, x -> ((x >> $j) & 1)*2 - 1)) > 0 THEN ${1L << j} ELSE 0 END")
             .mkString(" + ")}) AS simhash
-          FROM tok"""
+          FROM tok""",
+    "x12_tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+          dfq AS (SELECT doc_id, term, tf,
+            count(*) OVER (PARTITION BY term) AS df FROM tf),
+          n AS (SELECT count(*) AS n_docs FROM documents),
+          sc AS (SELECT doc_id, term, tf, df,
+            floor(tf * ln(n_docs*1.0/df) * 1000000 + 0.5)/1000000 AS tfidf
+            FROM dfq, n),
+          rk AS (SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk FROM sc)
+          SELECT doc_id, term, tf, df, tfidf FROM rk WHERE rk <= 5"""
   )
 }

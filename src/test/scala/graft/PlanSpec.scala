@@ -19,7 +19,8 @@ class PlanSpec extends SparkSpec {
     "d6_cosine_dedup",     // broadcast centroid assignment before cell-blocked pairs
     "a10_hist_percentiles", // crossJoin of 5 quantile constants with tiny hist
     "w1_pr_curve",          // single global window over small sweep
-    "x7_mix_sample")        // crossJoin of the 1-row max(n_docs) aggregate
+    "x7_mix_sample",        // crossJoin of the 1-row max(n_docs) aggregate
+    "x12_tfidf_topk")       // crossJoin of the 1-row corpus-count aggregate
   // NOTE on the sanctioned global windows (a10, exact w1): they run over
   // tiny AGGREGATES (<= ~10^4 rows), never the fact table; the 100x-rated
   // forms are prCurveScalable / prCurveBucketed (w1_pr_curve_bucketed),

@@ -39,4 +39,30 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((1L to n).forall(comps(_) == 1L))
   }
+
+  test("randomized graphs match a driver-side union-find (fused round 1 gate)") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val nNodes = 60 + rnd.nextInt(80)
+      val pairs = Seq.fill(40 + rnd.nextInt(120)) {
+        val a = rnd.nextInt(nNodes).toLong
+        val b = rnd.nextInt(nNodes).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      // driver-side union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(k => k -> find(k)).toMap
+      val got = Dedup.connectedComponents(pairs.toDF("doc_a", "doc_b"), maxIter = 50)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial: CC disagrees with union-find")
+    }
+  }
 }

@@ -146,6 +146,67 @@ class TextDedupSpec extends SparkSpec {
     assert(asg.forall { case (v, c) => c == v % 2 })
   }
 
+  test("candidateDocIds is a superset of every LSH pair member; d4 restriction is lossless") {
+    // mixed corpus: 3 exact-dup groups + unique docs (pseudo-random words
+    // so unique docs share no shingles and land in singleton bands)
+    val rnd = new scala.util.Random(7)
+    def uniqueText(i: Long) =
+      Seq.fill(12)("w" + (i * 1000 + rnd.nextInt(100000))).mkString(" ")
+    val docs = ((1L to 40L).map(i => (i, uniqueText(i))) ++
+      Seq(41L -> text, 42L -> text, 43L -> text,
+        44L -> "another duplicated body of words repeated across docs here now",
+        45L -> "another duplicated body of words repeated across docs here now"))
+      .toDF("doc_id", "text")
+    val mh = TextDedup.signatureFrame(docs)
+    val cand = TextDedup.candidateDocIds(mh).collect().map(_.getLong(0)).toSet
+    val pairs = TextDedup.lshPairs(mh).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairMembers = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(pairMembers.subsetOf(cand),
+      s"pair members ${pairMembers.diff(cand)} missing from candidateDocIds")
+    // the restricted shingle join (what d4 runs) equals the unrestricted one
+    import graft.functions.Text
+    def shingles(restrict: Boolean) = {
+      val base = if (restrict)
+        docs.join(TextDedup.candidateDocIds(mh), Seq("doc_id"), "left_semi")
+      else docs
+      base.withColumn("_th", Text.tokenHashesFromText(col("text")))
+        .select(col("doc_id"), array_distinct(Text.shingleHashes3(col("_th"))).as("sh"))
+    }
+    val pdf = pairs.toSeq.toDF("doc_a", "doc_b")
+    def verify(sh: org.apache.spark.sql.DataFrame) =
+      pdf.join(sh.as("da"), col("doc_a") === col("da.doc_id"))
+        .join(sh.as("db"), col("doc_b") === col("db.doc_id"))
+        .select(col("doc_a"), col("doc_b"), r6(Text.jaccard(col("da.sh"), col("db.sh"))).as("j"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(verify(shingles(restrict = true)) == verify(shingles(restrict = false)))
+    assert(pairs.nonEmpty && cand.size < 46, "restriction should prune the unique docs")
+  }
+
+  test("x12 tf-idf: corpus-wide terms score zero, rare terms rank top, k bounds rows") {
+    val dir = Files.createTempDirectory("graft_tfidf").toString
+    // 4 docs: 'common' in every doc (idf=0), rarer terms distinguish
+    Seq(
+      (1L, "common alpha alpha beta", "en", "s", 23L),
+      (2L, "common beta beta gamma", "en", "s", 22L),
+      (3L, "common gamma delta delta", "en", "s", 24L),
+      (4L, "common epsilon epsilon epsilon", "en", "s", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextDedup.queries("x12_tfidf_topk")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // every doc has <= 5 rows and at most its distinct-term count
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.keySet == Set(1L, 2L, 3L, 4L))
+    assert(byDoc.values.forall(_.length <= 5))
+    // 'common' appears in all 4 docs -> idf = ln(1) = 0 -> tfidf 0
+    assert(out.filter(_._2 == "common").forall(r => r._4 == 4L && r._5 == 0.0))
+    // doc 4: epsilon tf=3, df=1 -> tfidf = 3*ln(4) tops the doc
+    val top4 = byDoc(4L).maxBy(_._5)
+    assert(top4._2 == "epsilon" && top4._3 == 3L)
+    assert(math.abs(top4._5 - math.floor(3 * math.log(4.0) * 1e6 + 0.5) / 1e6) < 1e-12)
+  }
+
   test("IVF assignments written partitioned by cell (partition-pruned probes)") {
     val dim = 4
     val vecs = (0L until 40L).map { i =>
