@@ -232,11 +232,21 @@ object TextDedup {
     // only on LSH candidates (long-array intersect, not string compares)
     "d4_jaccard_verify" -> { (s, d) =>
       val mh = cachedMinhash(s, d)
-      // shingle sets only for docs that can appear in a candidate pair —
-      // the non-candidate majority of a real corpus skips the array build
-      // entirely (candidateDocIds is a proven superset of pair members)
-      val docs = Tables.documents(s, d)
-        .join(candidateDocIds(mh), Seq("doc_id"), "left_semi")
+      // Adaptive candidate restriction: building distinct shingle sets only
+      // for docs that can appear in a candidate pair skips the md5-heavy
+      // array build for the non-candidate majority of a real corpus
+      // (candidateDocIds is a proven superset of pair members). When most
+      // docs ARE candidates — the synthetic 100x replica gives every doc 99
+      // verbatim copies — the semi-join only adds a text shuffle (measured
+      // +10% there), so fall back to the unrestricted scan. Both branches
+      // are result-identical; the two counts are a band scan over the
+      // persisted signature frame + a parquet metadata count.
+      val cand = candidateDocIds(mh).persist()
+      val base = Tables.documents(s, d)
+      val restricted = cand.count() < base.count() / 2
+      val src =
+        if (restricted) base.join(cand, Seq("doc_id"), "left_semi") else base
+      val docs = src
         .withColumn("_th", Text.tokenHashesFromText(col("text")))
         .select(col("doc_id"),
           array_distinct(Text.shingleHashes3(col("_th"))).as("sh"))
