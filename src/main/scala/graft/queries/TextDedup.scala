@@ -127,6 +127,32 @@ object TextDedup {
     coldPairs.unionByName(hotPairs).distinct()
   }
 
+  /** Connectivity-only edge set for duplicate-CLUSTER resolution: one star
+    * edge (band-min, member) per (band, member) in every band with >= 2
+    * docs. Component-equivalent to [[lshPairs]] — inside a band, both
+    * graphs connect every member to the band min (a cold band's clique
+    * contains its star; a hot band's capped pairs ARE its star), and any
+    * lshPairs pair (a, b) shares a band whose min links them — but the
+    * edge count is O(members) per band instead of O(members²), so at real
+    * dup density the CC input shrinks by the mean band multiplicity (the
+    * 100x replica: 22.6 M clique pairs -> <= BANDS x docs star edges).
+    * Node sets are identical too (members of >= 2-doc bands), so the
+    * component PARTITION — and hence d7's (id, min-reachable) output — is
+    * unchanged. The candidate-pair LIST for verification (d3/d4) still
+    * needs [[lshPairs]]; this is only for consumers that need
+    * connectivity, not the pairs themselves. */
+  private[queries] def bandStarEdges(mh: DataFrame): DataFrame = {
+    val bands = bandRows(mh)
+    // join-back lands on the keys the aggregate shuffled on — no second
+    // exchange (same layout trick as lshPairs)
+    val stats = bands.groupBy("bid", "key")
+      .agg(count(lit(1)).as("bc"), min("doc_id").as("mindoc"))
+    bands.join(stats, Seq("bid", "key"))
+      .filter(col("bc") >= 2 && col("doc_id") =!= col("mindoc"))
+      .select(col("mindoc").as("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** Superset of the doc ids that can appear in any LSH candidate pair: the
     * members of bands with >= 2 documents. Cold pairs share a band by
     * definition; hot-band stars keep both the band's mindoc and every other
@@ -267,9 +293,12 @@ object TextDedup {
           r6(Text.jaccard(col("da.sh"), col("db.sh"))).as("jaccard"))
     },
     // ----- D7: duplicate-cluster resolution — connected components over
-    // the LSH candidate graph; every doc maps to its cluster's min id
+    // the LSH candidate graph; every doc maps to its cluster's min id.
+    // CC consumes the component-equivalent star edges, not the clique
+    // pairs: same partition of the same node set (proof at bandStarEdges),
+    // ~BANDS x docs edges instead of sum-of-band-size² pairs.
     "d7_dedup_resolve" -> { (s, d) =>
-      graft.operators.Dedup.connectedComponents(lshPairs(cachedMinhash(s, d)))
+      graft.operators.Dedup.connectedComponents(bandStarEdges(cachedMinhash(s, d)))
         .select(col("id").as("doc_id"), col("comp").as("canonical"))
     },
     // ----- D5: SimHash (16-bit, scalar-only, no explode); token hashes

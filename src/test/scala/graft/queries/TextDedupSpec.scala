@@ -183,6 +183,37 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.nonEmpty && cand.size < 46, "restriction should prune the unique docs")
   }
 
+  test("bandStarEdges is component-equivalent to lshPairs (mixed + hot-band corpora)") {
+    import graft.operators.Dedup
+    // mixed corpus: dup groups of several sizes + unique docs, plus a
+    // CHAINED group (each doc shares a band with the next via overlapping
+    // text) so the equivalence is exercised across bands, not just inside
+    // one band's clique
+    val rnd = new scala.util.Random(11)
+    def uniqueText(i: Long) =
+      Seq.fill(12)("u" + (i * 1000 + rnd.nextInt(100000))).mkString(" ")
+    val base = (1L to 30L).map(i => (i, uniqueText(i))) ++
+      (31L to 35L).map(i => (i, text)) ++ // 5-dup group
+      Seq(36L -> "pair of twins sharing every word in this body right here",
+          37L -> "pair of twins sharing every word in this body right here")
+    def comps(pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (cap <- Seq(2, 128)) { // cap=2 makes the 5-dup group's bands HOT
+      val mh = TextDedup.signatureFrame(base.toDF("doc_id", "text"))
+      val fromPairs = comps(TextDedup.lshPairs(mh, cap))
+      val fromStars = comps(TextDedup.bandStarEdges(mh))
+      assert(fromStars == fromPairs,
+        s"cap=$cap: star-edge components diverge from pair components")
+    }
+    // edge-count claim: all-identical corpus, stars are O(n), pairs O(n^2)
+    val mhAll = TextDedup.signatureFrame(identicalDocs(40))
+    val nStars = TextDedup.bandStarEdges(mhAll).count()
+    val nPairs = TextDedup.lshPairs(mhAll).count()
+    assert(nStars == 39L && nPairs == (39L * 40L) / 2,
+      s"stars=$nStars pairs=$nPairs")
+  }
+
   test("x12 tf-idf: corpus-wide terms score zero, rare terms rank top, k bounds rows") {
     val dir = Files.createTempDirectory("graft_tfidf").toString
     // 4 docs: 'common' in every doc (idf=0), rarer terms distinguish
