@@ -352,6 +352,35 @@ object TextDedup {
           Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))))
         .filter(col("rk") <= 5)
         .select("doc_id", "term", "tf", "df", "tfidf")
+    },
+    // ----- D9: SimHash near-dup pairs — the pairing half of the SimHash
+    // dedup path (d5 emits the signatures; this finds the neighbors).
+    // Scale shape: collapse to DISTINCT 16-bit values first, so the join
+    // input is bounded at 2^16 rows NO MATTER the corpus size — the
+    // value-level neighbor graph is constant-size and the per-doc work is
+    // one groupBy. Hamming-<=1 pairs of distinct values differ in exactly
+    // one bit, which lives in exactly one 8-bit block, so they agree on
+    // exactly the OTHER block (pigeonhole): the 2-block equi-join finds
+    // each pair exactly once — no all-pairs scan, no distinct needed.
+    "d9_simhash_pairs" -> { (s, d) =>
+      val sh = Tables.documents(s, d)
+        .withColumn("_th", Text.tokenHashesFromText(col("text")))
+        .select(col("doc_id"), Text.simhashFromHashes(col("_th"), 16).as("simhash"))
+      val vals = sh.groupBy("simhash")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("rep"))
+      val blocks = vals.select(col("simhash"), col("n_docs"), col("rep"),
+          explode(array(
+            struct(lit(0).as("blk"), col("simhash").bitwiseAND(lit(255L)).as("bkey")),
+            struct(lit(1).as("blk"), shiftright(col("simhash"), 8).cast("long").as("bkey")))).as("b"))
+        .select(col("simhash"), col("n_docs"), col("rep"),
+          col("b.blk").as("blk"), col("b.bkey").as("bkey"))
+      blocks.as("a").join(blocks.as("b"),
+          col("a.blk") === col("b.blk") && col("a.bkey") === col("b.bkey") &&
+            col("a.simhash") < col("b.simhash"))
+        .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 1)
+        .select(col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"),
+          col("a.rep").as("rep_a"), col("b.rep").as("rep_b"),
+          col("a.n_docs").as("docs_a"), col("b.n_docs").as("docs_b"))
     }
   )
 
@@ -477,6 +506,21 @@ object TextDedup {
             FROM dfq, n),
           rk AS (SELECT *, row_number() OVER (
             PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk FROM sc)
-          SELECT doc_id, term, tf, df, tfidf FROM rk WHERE rk <= 5"""
+          SELECT doc_id, term, tf, df, tfidf FROM rk WHERE rk <= 5""",
+    // value-level all-pairs is fine for the ORACLE (distinct 16-bit values
+    // are few at test scale); the engine runs the blocked join
+    "d9_simhash_pairs" ->
+      s"""WITH tok AS (SELECT doc_id, list_transform(string_split(text, ' '),
+            x -> ${hx("x")}) AS h FROM documents),
+          sh AS (SELECT doc_id, (${(0 until 16).map(j =>
+            s"CASE WHEN list_sum(list_transform(h, x -> ((x >> $j) & 1)*2 - 1)) > 0 THEN ${1L << j} ELSE 0 END")
+            .mkString(" + ")}) AS simhash FROM tok),
+          vals AS (SELECT simhash, count(*) AS n_docs, min(doc_id) AS rep
+                   FROM sh GROUP BY 1)
+          SELECT a.simhash AS sim_a, b.simhash AS sim_b,
+                 a.rep AS rep_a, b.rep AS rep_b,
+                 a.n_docs AS docs_a, b.n_docs AS docs_b
+          FROM vals a JOIN vals b ON a.simhash < b.simhash
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 1"""
   )
 }

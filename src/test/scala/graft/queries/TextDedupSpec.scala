@@ -214,6 +214,37 @@ class TextDedupSpec extends SparkSpec {
       s"stars=$nStars pairs=$nPairs")
   }
 
+  test("d9 simhash pairs: blocked join == all-pairs, each pair found exactly once") {
+    val dir = Files.createTempDirectory("graft_d9").toString
+    // random corpus + planted near-identical pair (one-word delta => small
+    // hamming) + exact dups (same simhash VALUE => not a pair, counted in
+    // n_docs); enough docs that some random values land within hamming 1
+    val rnd = new scala.util.Random(13)
+    val docs = (1L to 200L).map { i =>
+      (i, Seq.fill(10)("w" + rnd.nextInt(50)).mkString(" "), "en", "s", 60L)
+    } ++ Seq(
+      (201L, text, "en", "s", 60L), (202L, text, "en", "s", 60L)) // exact dups
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextDedup.queries("d9_simhash_pairs")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // exactly-once: the blocked join has no distinct, so duplicates here
+    // would mean the pigeonhole argument is wrong
+    assert(out.length == out.toSet.size, "pair emitted more than once")
+    // independent all-pairs recompute over the distinct simhash values
+    import graft.functions.Text
+    val vals = Seq(docs: _*).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .withColumn("_th", Text.tokenHashesFromText(col("text")))
+      .select(Text.simhashFromHashes(col("_th"), 16).as("simhash"))
+      .distinct().collect().map(_.getLong(0))
+    val expected = (for {
+      a <- vals; b <- vals
+      if a < b && java.lang.Long.bitCount(a ^ b) <= 1
+    } yield (a, b)).toSet
+    assert(out.toSet == expected, "blocked join diverges from all-pairs")
+    assert(expected.nonEmpty, "corpus produced no hamming<=1 value pairs")
+  }
+
   test("x12 tf-idf: corpus-wide terms score zero, rare terms rank top, k bounds rows") {
     val dir = Files.createTempDirectory("graft_tfidf").toString
     // 4 docs: 'common' in every doc (idf=0), rarer terms distinguish
