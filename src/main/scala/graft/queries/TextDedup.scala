@@ -332,18 +332,29 @@ object TextDedup {
     },
     // ----- X12: TF-IDF top-k terms per document — the canonical keyword /
     // quality-signal extraction over a corpus. Shape at 100 TB: explode ->
-    // combiner groupBy (doc,term) -> one window by term for df (no
-    // vocabulary join, no broadcast of an unbounded vocab) -> WindowGroupLimit
-    // top-k by doc. idf = ln(N/df) is transcendental, so the round-6 gate
-    // boundary is unreachable (NOTES sharp edge #2); ties (equal tfidf)
-    // break on the term string — deterministic in both engines.
+    // combiner groupBy (doc,term) -> df via groupBy(term) + equi-join back
+    // (NOT a window by term: a corpus-wide term's window partition is the
+    // whole corpus in ONE task — the groupBy is combiner-friendly and the
+    // hot-term join partitions are AQE-splittable) -> WindowGroupLimit
+    // top-k by doc (doc partitions are bounded by doc length). idf =
+    // ln(N/df) is transcendental, so the round-6 gate boundary is
+    // unreachable (NOTES sharp edge #2); ties (equal tfidf) break on the
+    // term string — deterministic in both engines.
     "x12_tfidf_topk" -> { (s, d) =>
       val docs = Tables.documents(s, d)
+      // persisted AND eagerly materialized: tf feeds BOTH the df aggregate
+      // and the join — unmaterialized, the two branches of one action race
+      // to populate the cache and each re-runs the explode + groupBy
+      // (sharp edge #16; same fix as cachedMinhash — measured 38 -> 25 s
+      // at the 100x replica). At a real lake this is the write-once
+      // term-frequency table every TF-IDF consumer scans.
       val tf = docs
         .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val withDf = tf.withColumn("df",
-        count(lit(1)).over(Window.partitionBy("term")))
+        .persist()
+      tf.count()
+      val dfCounts = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val withDf = tf.join(dfCounts, Seq("term"))
       withDf
         .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
         .withColumn("tfidf",
