@@ -13,7 +13,8 @@ object Plans {
         "e4_ivf_pq", "w1_pr_curve_bucketed",
         "j11_isec_partition", "f14_pl_math", "w3_overlap_suppress",
         "w2_block_compress", "x6_decontaminate", "x7_mix_sample",
-        "j13_skew_join", "qc1_fold_penalty", "qc2_sub_error_rate")
+        "j13_skew_join", "qc1_fold_penalty", "qc2_sub_error_rate",
+        "d9_simhash_pairs", "x12_tfidf_topk")
     val spark = Spark.session("graft-plans")
     names.foreach { n =>
       println(s"\n## $n\n")
