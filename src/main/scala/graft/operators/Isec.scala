@@ -37,4 +37,33 @@ object Isec {
     partition(sets, keyCols)
       .groupBy("mask", "n_sets")
       .agg(count(lit(1)).as("n_keys"))
+
+  /** Same-source special case: every set is a predicate over ONE frame
+    * (the bcftools-isec shape in practice — one callset, N filter
+    * definitions). Equal to `partition(preds.map(source.filter), keyCols)`
+    * but ONE scan + ONE hash aggregate replace N scans, N distinct
+    * shuffles and the union: each row contributes the OR of its matching
+    * predicate bits, the per-key mask is the bit-OR aggregate (dup keys
+    * within a set collapse by idempotence — the distinct is free), and
+    * n_sets is the popcount of the final mask. */
+  def partitionFromPredicates(source: DataFrame, preds: Seq[org.apache.spark.sql.Column],
+                              keyCols: Seq[String]): DataFrame = {
+    require(preds.nonEmpty && preds.size <= 62, "1..62 predicates")
+    val rowMask = preds.zipWithIndex
+      .map { case (p, i) => when(p, lit(1L << i)).otherwise(lit(0L)) }
+      .reduce(_ bitwiseOR _)
+    source.select(keyCols.map(col) :+ rowMask.as("_m"): _*)
+      .filter(col("_m") =!= 0L)
+      .groupBy(keyCols.map(col): _*)
+      .agg(bit_or(col("_m")).as("mask"))
+      .withColumn("n_sets", bit_count(col("mask")).cast("long"))
+  }
+
+  /** Class sizes of [[partitionFromPredicates]]: one row per mask. */
+  def partitionSizesFromPredicates(source: DataFrame,
+                                   preds: Seq[org.apache.spark.sql.Column],
+                                   keyCols: Seq[String]): DataFrame =
+    partitionFromPredicates(source, preds, keyCols)
+      .groupBy("mask", "n_sets")
+      .agg(count(lit(1)).as("n_keys"))
 }

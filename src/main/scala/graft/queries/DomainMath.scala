@@ -131,10 +131,13 @@ object DomainMath {
     "j11_isec_partition" -> { (s, d) =>
       val li = Tables.lineitem(s, d)
       val key = Seq("l_orderkey", "l_partkey")
-      Isec.partitionSizes(Seq(
-        li.filter(col("l_suppkey") <= 60),
-        li.filter(col("l_quantity") > 25),
-        li.filter(col("l_discount") > 0.04)), key)
+      // same-source fused form: one fact scan + one aggregate (the general
+      // partitionSizes pays N scans + N distinct shuffles + a union;
+      // IsecSpec pins the equivalence)
+      Isec.partitionSizesFromPredicates(li, Seq(
+        col("l_suppkey") <= 60,
+        col("l_quantity") > 25,
+        col("l_discount") > 0.04), key)
     },
     // ----- W3: overlap-buffer suppression — drop uncalled-genotype records
     // from overlap groups that contain a called variant
