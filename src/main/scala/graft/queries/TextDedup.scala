@@ -279,6 +279,7 @@ object TextDedup {
       val cand = candidateDocIds(mh).persist()
       val base = Tables.documents(s, d)
       val restricted = cand.count() < base.count() / 2
+      if (!restricted) cand.unpersist() // unused by the fallback branch
       val src =
         if (restricted) base.join(cand, Seq("doc_id"), "left_semi") else base
       val docs = src
