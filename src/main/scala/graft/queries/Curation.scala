@@ -243,7 +243,26 @@ object Curation {
       .select("lang", "token", "cnt")
   }
 
+  /** X13 — deterministic epoch shuffle-and-shard: every document gets a
+    * pseudo-random (shard, sortkey) from seeded hashes of its id, so
+    * `repartition(shard) → sortWithinPartitions(sortkey) → write
+    * partitionBy(shard)` yields a reproducible GLOBAL shuffle with no
+    * global sort and no RNG state. The assignment is a pure row-local
+    * function of (seed, doc_id) — partitioning-, engine- and rerun-
+    * invariant (x7's mix-sampling argument), and a new seed reshuffles
+    * the corpus for the next epoch. Shard count bounds write fan-out;
+    * within-shard order is hash order. CurationSpec pins invariance,
+    * seed sensitivity, and the sorted sharded layout write. */
+  def shuffleShard(docs: DataFrame, shards: Int = 16, seed: Int = 42): DataFrame =
+    docs.select(col("doc_id"),
+      (Text.hash32(concat(lit(s"shard$seed:"), col("doc_id").cast("string")))
+        % shards.toLong).as("shard"),
+      Text.hash32(concat(lit(s"ord$seed:"), col("doc_id").cast("string")))
+        .as("sortkey"))
+
   val queries: Map[String, Q] = Map(
+    // ----- X13: deterministic epoch shuffle-and-shard assignment
+    "x13_shuffle_shard" -> { (s, d) => shuffleShard(Tables.documents(s, d)) },
     // ----- X6: train/test decontamination — n-gram containment of every
     // corpus doc against the broadcast eval pool
     "x6_decontaminate" -> { (s, d) => decontaminate(Tables.documents(s, d)) },
@@ -273,6 +292,11 @@ object Curation {
        ds AS (SELECT doc_id, list_distinct(hs) AS sh FROM hsh)"""
 
   val oracles: Map[String, String] = Map(
+    "x13_shuffle_shard" ->
+      """SELECT doc_id,
+           CAST(('0x'||substr(md5('shard42:'||CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 16 AS shard,
+           CAST(('0x'||substr(md5('ord42:'||CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) AS sortkey
+         FROM documents""",
     "x6_decontaminate" ->
       s"""$shCte,
           pool AS (SELECT DISTINCT unnest(sh) AS h FROM ds WHERE doc_id % $EVAL_MOD = 0),

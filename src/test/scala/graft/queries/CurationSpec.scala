@@ -132,4 +132,33 @@ class CurationSpec extends SparkSpec {
     // than it has, every source with rate 1 keeps everything it hashed in
     assert(a.forall { case (_, n, k) => k <= n })
   }
+
+  test("shuffle-shard: invariant assignment, seed reshuffles, sorted sharded layout") {
+    val docs = (1L to 2000L).map(i => (i, "body")).toDF("doc_id", "text")
+    def asg(df: org.apache.spark.sql.DataFrame, seed: Int = 42) =
+      Curation.shuffleShard(df, shards = 8, seed = seed).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val base = asg(docs)
+    // pure function of (seed, doc_id): partitioning cannot move anything
+    assert(asg(docs.repartition(13)) == base)
+    // every shard populated, no shard hoards (8-way over 2000 docs)
+    val perShard = base.values.groupBy(_._1).view.mapValues(_.size)
+    assert(perShard.size == 8 && perShard.values.min > 100)
+    // a new seed is a new permutation: most docs change shard
+    val reseeded = asg(docs, seed = 43)
+    val moved = base.count { case (id, (sh, _)) => reseeded(id)._1 != sh }
+    assert(moved > 1000, s"only $moved docs moved on reseed")
+    // the layout write: one file per shard, rows sorted by sortkey
+    val dir = java.nio.file.Files.createTempDirectory("graft_shuf").toString
+    // sort by (shard, sortkey): the dynamic-partition writer requires its
+    // input ordered by the partition column and would inject its own
+    // NON-STABLE sort on shard otherwise, scrambling the sortkey order
+    Curation.shuffleShard(docs, shards = 8)
+      .repartition(8, col("shard")).sortWithinPartitions("shard", "sortkey")
+      .write.partitionBy("shard").mode("overwrite").parquet(dir)
+    val shard3 = spark.read.parquet(s"$dir/shard=3").select("sortkey")
+      .collect().map(_.getLong(0))
+    assert(shard3.nonEmpty && shard3.sameElements(shard3.sorted),
+      "shard file must come back in sortkey order")
+  }
 }
