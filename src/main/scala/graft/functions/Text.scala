@@ -34,9 +34,16 @@ object Text {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Sliding word n-grams joined by spaces: ["a b c", "b c d", ...]. */
-  def shingles(toks: Column, n: Int): Column =
-    transform(sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
+  def shingles(toks: Column, n: Int): Column = {
+    // guard short docs: sequence(1, m) DESCENDS when m < 1, and the
+    // resulting element_at(toks, 0) throws under ANSI — a doc shorter
+    // than the shingle width has zero shingles, not an error
+    val m = size(toks) - (n - 1)
+    when(m >= 1,
+      transform(sequence(lit(1), m),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
 
   /** Largest 32-bit prime; modulus for the MinHash permutation family. */
   val MinhashP: Long = 4294967291L
@@ -65,10 +72,13 @@ object Text {
     * shingle string) and zero string concatenation — the order-sensitive
     * combine keeps "a b c" != "c b a". */
   def shingleHashes3(tokHashes: Column): Column =
-    transform(sequence(lit(1), size(tokHashes) - 2),
-      i => (element_at(tokHashes, i) * 299L +
-            element_at(tokHashes, i + 1) * 991L +
-            element_at(tokHashes, i + 2)) % MinhashP)
+    // same short-doc guard as [[shingles]]: <3 tokens => zero shingles
+    when(size(tokHashes) >= 3,
+      transform(sequence(lit(1), size(tokHashes) - 2),
+        i => (element_at(tokHashes, i) * 299L +
+              element_at(tokHashes, i + 1) * 991L +
+              element_at(tokHashes, i + 2)) % MinhashP))
+      .otherwise(array().cast("array<bigint>"))
 
   /** One MinHash value from precomputed base hashes: min of (a*h + b) mod p.
     * With h < 2^32 and small a the product stays well inside a long. */

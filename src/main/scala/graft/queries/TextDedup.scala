@@ -101,7 +101,13 @@ object TextDedup {
       struct(lit(b).as("bid"),
         concat_ws("_", col(s"mh${2 * b - 1}"), col(s"mh${2 * b}")).as("key"))
     }: _*)
-    mh.select(col("doc_id"), explode(bands).as("band"))
+    // zero-shingle docs (< 3 tokens) minhash to all-null signatures, and
+    // concat_ws SKIPS nulls — without the filter every such doc shares
+    // band key "" and they all pair with each other (then d4 divides by
+    // an empty union). Too-short docs are exact-dedup territory (d1),
+    // not MinHash candidates.
+    mh.filter(col("mh1").isNotNull)
+      .select(col("doc_id"), explode(bands).as("band"))
       .select(col("doc_id"), col("band.bid").as("bid"), col("band.key").as("key"))
   }
 
@@ -393,6 +399,32 @@ object TextDedup {
         .select(col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"),
           col("a.rep").as("rep_a"), col("b.rep").as("rep_b"),
           col("a.n_docs").as("docs_a"), col("b.n_docs").as("docs_b"))
+    },
+    // ----- X14: repetition stats (Gopher-style quality rules) — fraction
+    // of tokens in the single most frequent token, and fraction of bigrams
+    // in the most frequent bigram. Shape at scale: explode -> combiner
+    // groupBy (doc,gram) -> per-doc max/sum — every stage partial-aggregates
+    // map-side and partitions by doc, never by gram (a corpus-wide hot token
+    // never concentrates). Ratios are exact rationals gated through r6's
+    // pure-double rounding (bit-identical in DuckDB).
+    "x14_repetition" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      val uni = toks.select(col("doc_id"), explode(col("t")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(sum("c").as("n_tokens"), max("c").as("top_tok"))
+      // guard: sequence(1, size-1) DESCENDS for 1-token docs (ANSI
+      // element_at(t, 0) throws) — bigrams only exist at size >= 2 anyway
+      val big = toks.filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(Text.shingles(col("t"), 2)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(sum("c").as("n_bigrams"), max("c").as("top_big"))
+      uni.join(big, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          r6(col("top_tok").cast("double") / col("n_tokens")).as("top_token_frac"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          r6(coalesce(col("top_big").cast("double") / col("n_bigrams"), lit(0.0)))
+            .as("top_bigram_frac"))
     }
   )
 
@@ -533,6 +565,22 @@ object TextDedup {
                  a.rep AS rep_a, b.rep AS rep_b,
                  a.n_docs AS docs_a, b.n_docs AS docs_b
           FROM vals a JOIN vals b ON a.simhash < b.simhash
-          WHERE bit_count(xor(a.simhash, b.simhash)) <= 1"""
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 1""",
+    "x14_repetition" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          uc AS (SELECT doc_id, g, count(*) AS c
+                 FROM (SELECT doc_id, unnest(t) AS g FROM tok) GROUP BY 1, 2),
+          us AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   max(c) AS top_tok FROM uc GROUP BY 1),
+          bc AS (SELECT doc_id, g, count(*) AS c
+                 FROM (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                         i -> t[i] || ' ' || t[i+1])) AS g FROM tok) GROUP BY 1, 2),
+          bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                   max(c) AS top_big FROM bc GROUP BY 1)
+          SELECT us.doc_id, us.n_tokens,
+            floor(top_tok*1.0/us.n_tokens*1000000 + 0.5)/1000000 AS top_token_frac,
+            coalesce(bs.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+            floor(coalesce(top_big*1.0/bs.n_bigrams, 0.0)*1000000 + 0.5)/1000000 AS top_bigram_frac
+          FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id"""
   )
 }

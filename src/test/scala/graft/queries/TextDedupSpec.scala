@@ -269,6 +269,48 @@ class TextDedupSpec extends SparkSpec {
     assert(math.abs(top4._5 - math.floor(3 * math.log(4.0) * 1e6 + 0.5) / 1e6) < 1e-12)
   }
 
+  test("x14 repetition: hand-computed token/bigram fractions; 1-token doc has no bigrams") {
+    val dir = Files.createTempDirectory("graft_x14").toString
+    Seq(
+      // "a a a b": top token a=3/4; bigrams [a a, a a, a b] -> top 2/3
+      (1L, "a a a b", "en", "s", 7L),
+      // all distinct: top token 1/4; bigrams all distinct -> 1/3
+      (2L, "w x y z", "en", "s", 7L),
+      // single token: no bigrams -> n_bigrams 0, frac 0.0
+      (3L, "solo", "en", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextDedup.queries("x14_repetition")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))).toMap
+    def f6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(out(1L) == ((4L, f6(3.0 / 4), 3L, f6(2.0 / 3))))
+    assert(out(2L) == ((4L, f6(1.0 / 4), 3L, f6(1.0 / 3))))
+    assert(out(3L) == ((1L, 1.0, 0L, 0.0)))
+  }
+
+  test("short docs are total: 1- and 2-token docs survive shingle/minhash/x14 paths") {
+    val dir = Files.createTempDirectory("graft_short").toString
+    Seq((1L, "solo", "en", "s", 4L), (2L, "two words", "en", "s", 9L),
+        (3L, text, "en", "s", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // pre-guard, sequence(1, size-2) descended through index 0 for these
+    // docs and element_at threw under ANSI — every query below crashed
+    val mh = TextDedup.queries("d2_minhash")(spark, dir).collect()
+    assert(mh.length == 3)
+    val short = mh.filter(r => r.getLong(0) <= 2L)
+    assert(short.forall(r => (1 to 8).forall(i => r.isNullAt(i))),
+      "zero-shingle docs must minhash to null, not crash or fake values")
+    // null-signature docs must NOT band together (concat_ws skips nulls,
+    // so unfiltered they'd all share key "" and d4 would divide 0/0)
+    val pairs = TextDedup.queries("d4_jaccard_verify")(spark, dir).collect()
+    assert(pairs.forall(r => r.getLong(0) > 2L && r.getLong(1) > 2L),
+      "zero-shingle docs leaked into LSH candidate pairs")
+    val x14 = TextDedup.queries("x14_repetition")(spark, dir).collect()
+    assert(x14.length == 3)
+  }
+
   test("IVF assignments written partitioned by cell (partition-pruned probes)") {
     val dim = 4
     val vecs = (0L until 40L).map { i =>
