@@ -105,6 +105,14 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         TokenHashes(exprs.head)
       }))
     e.injectFunction((
+      new FunctionIdentifier("graft_repstats"),
+      new ExpressionInfo(classOf[RepetitionStats].getName, "graft_repstats"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"graft_repstats expects 1 argument, got ${exprs.length}")
+        RepetitionStats(exprs.head)
+      }))
+    e.injectFunction((
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash].getName, "graft_simhash"),
       (exprs: Seq[Expression]) => {

@@ -118,6 +118,60 @@ object Text {
     aggregate(transform(toks, t => hash32(t)), lit(0L),
       (acc, h) => (acc * 31 + h) % p)
 
+  /** Sliding 2-gram hashes from per-token hashes — the 2-wide sibling of
+    * [[shingleHashes3]], same arithmetic combine, same short-doc guard. */
+  def shingleHashes2(tokHashes: Column): Column =
+    when(size(tokHashes) >= 2,
+      transform(sequence(lit(1), size(tokHashes) - 1),
+        i => (element_at(tokHashes, i) * 991L +
+              element_at(tokHashes, i + 1)) % MinhashP))
+      .otherwise(array().cast("array<bigint>"))
+
+  /** Repetition counts for x14 — `struct(n_tokens, top_tok, top_big)` over
+    * a token-hash array: the fused native [[RepetitionStats]] expression
+    * (one codegen call: sort + run-scan twice on primitive long[]) when
+    * the session registered it, else the composed sort + [[maxRunCount]] +
+    * [[shingleHashes2]] form. Bit-identical (spec-gated). */
+  def repetitionCounts(tokHashes: Column): Column = {
+    val active = org.apache.spark.sql.SparkSession.active
+    if (active.catalog.functionExists("graft_repstats"))
+      call_function("graft_repstats", tokHashes)
+    else repetitionCountsBuiltin(tokHashes)
+  }
+
+  /** Built-in-only form of [[repetitionCounts]]. Callers must pass a
+    * MATERIALIZED column (the HOF folds re-evaluate inlined defining
+    * expressions per element). */
+  def repetitionCountsBuiltin(tokHashes: Column): Column = {
+    val n = size(tokHashes)
+    // null-array guard: struct(...) itself is never null, so without the
+    // when() a null input gives struct(null,null,null) where the native
+    // expression gives NULL
+    when(tokHashes.isNotNull, struct(
+      n.cast("long").as("n_tokens"),
+      maxRunCount(array_sort(tokHashes)).as("top_tok"),
+      maxRunCount(array_sort(shingleHashes2(tokHashes))).as("top_big")))
+  }
+
+  /** Max multiplicity of any value in a SORTED long array, as the max run
+    * length of one element fold — equal values are adjacent after sorting,
+    * so the longest run IS the highest count. Scalar per row: the
+    * mode-count of a doc's tokens without exploding the corpus into a
+    * gram shuffle. The array is referenced only as the fold's ARGUMENT
+    * (evaluated once per row) — an index fold with `element_at(arr, i)`
+    * inside the lambda re-evaluates an inlined defining expression per
+    * element. This is the interpreted fallback behind
+    * [[repetitionCounts]]'s native expression; empty arrays fold to 0. */
+  def maxRunCount(sortedArr: Column): Column =
+    aggregate(sortedArr,
+      struct(lit(null).cast("bigint").as("p"), lit(0L).as("r"), lit(0L).as("m")),
+      (acc, x) => {
+        val run = when(x <=> acc.getField("p"), acc.getField("r") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("p"), run.as("r"), greatest(acc.getField("m"), run).as("m"))
+      },
+      acc => acc.getField("m"))
+
   /** Fraction of tokens found in `vocab` (stopword ratio / language score). */
   def vocabRatio(toks: Column, vocab: Seq[String]): Column = {
     val inVocab = size(filter(toks, t => t.isin(vocab.map(lit): _*)))

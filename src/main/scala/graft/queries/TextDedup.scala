@@ -402,29 +402,28 @@ object TextDedup {
     },
     // ----- X14: repetition stats (Gopher-style quality rules) — fraction
     // of tokens in the single most frequent token, and fraction of bigrams
-    // in the most frequent bigram. Shape at scale: explode -> combiner
-    // groupBy (doc,gram) -> per-doc max/sum — every stage partial-aggregates
-    // map-side and partitions by doc, never by gram (a corpus-wide hot token
-    // never concentrates). Ratios are exact rationals gated through r6's
-    // pure-double rounding (bit-identical in DuckDB).
+    // in the most frequent bigram. These are PER-DOC statistics, so the
+    // explode -> groupBy(doc,gram) -> re-agg shape is a pointless double
+    // shuffle of every gram (65 s at the 100x replica); and per-row STRING
+    // work (bigram concat, string sorts, a struct-state fold) is nearly as
+    // bad (51 s). The shipped form stays entirely in long-space: native
+    // token hashes, arithmetic 2-gram combine (shingleHashes3's pattern),
+    // long-array sorts, and an allocation-free packed-long run fold —
+    // map-only, zero-exchange, one scan. Counts are over 32-bit token
+    // hashes; the oracle replays the SAME md5-prefix hashes (d1/d2
+    // precedent), so the gate is exact, collisions and all. Ratios are
+    // exact rationals gated through r6's pure-double rounding.
     "x14_repetition" -> { (s, d) =>
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), Text.tokens(col("text")).as("t"))
-      val uni = toks.select(col("doc_id"), explode(col("t")).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(sum("c").as("n_tokens"), max("c").as("top_tok"))
-      // guard: sequence(1, size-1) DESCENDS for 1-token docs (ANSI
-      // element_at(t, 0) throws) — bigrams only exist at size >= 2 anyway
-      val big = toks.filter(size(col("t")) >= 2)
-        .select(col("doc_id"), explode(Text.shingles(col("t"), 2)).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(sum("c").as("n_bigrams"), max("c").as("top_big"))
-      uni.join(big, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_tokens"),
-          r6(col("top_tok").cast("double") / col("n_tokens")).as("top_token_frac"),
-          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-          r6(coalesce(col("top_big").cast("double") / col("n_bigrams"), lit(0.0)))
-            .as("top_bigram_frac"))
+      val docs = Tables.documents(s, d)
+        .withColumn("_h", Text.tokenHashesFromText(col("text")))
+        .withColumn("_r", Text.repetitionCounts(col("_h")))
+      val n = col("_r.n_tokens")
+      docs.select(col("doc_id"),
+        n.as("n_tokens"),
+        r6(col("_r.top_tok").cast("double") / n).as("top_token_frac"),
+        greatest(n - 1, lit(0L)).as("n_bigrams"),
+        when(n >= 2, r6(col("_r.top_big").cast("double") / (n - 1)))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
     }
   )
 
@@ -567,14 +566,16 @@ object TextDedup {
           FROM vals a JOIN vals b ON a.simhash < b.simhash
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 1""",
     "x14_repetition" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      s"""WITH th AS (SELECT doc_id, list_transform(string_split(text, ' '),
+                        x -> ${hx("x")}) AS h FROM documents),
           uc AS (SELECT doc_id, g, count(*) AS c
-                 FROM (SELECT doc_id, unnest(t) AS g FROM tok) GROUP BY 1, 2),
+                 FROM (SELECT doc_id, unnest(h) AS g FROM th) GROUP BY 1, 2),
           us AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
                    max(c) AS top_tok FROM uc GROUP BY 1),
           bc AS (SELECT doc_id, g, count(*) AS c
-                 FROM (SELECT doc_id, unnest(list_transform(range(1, len(t)),
-                         i -> t[i] || ' ' || t[i+1])) AS g FROM tok) GROUP BY 1, 2),
+                 FROM (SELECT doc_id, unnest(list_transform(range(1, len(h)),
+                         i -> (h[i]*991 + h[i+1]) % 4294967291)) AS g FROM th)
+                 GROUP BY 1, 2),
           bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
                    max(c) AS top_big FROM bc GROUP BY 1)
           SELECT us.doc_id, us.n_tokens,

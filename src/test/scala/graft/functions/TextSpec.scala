@@ -56,6 +56,33 @@ class TextSpec extends SparkSpec {
     assert(nulls.select(Text.tokenHashesFromText(col("t"))).head.isNullAt(0))
   }
 
+  test("native RepetitionStats is bit-identical to the composed fold (fuzz incl. short docs)") {
+    assert(spark.catalog.functionExists("graft_repstats"), "extension not registered")
+    val rnd = new scala.util.Random(0xA14)
+    val docs = (Seq("", "a", "a a", "x y", "a a a b b") ++
+      (1 to 500).map { _ =>
+        (0 to rnd.nextInt(40)).map(_ => "w" + rnd.nextInt(8)).mkString(" ")
+      }).toDF("t")
+      .withColumn("_h", Text.tokenHashesFromText(col("t")))
+    val diff = docs.select(
+        call_function("graft_repstats", col("_h")).as("native"),
+        Text.repetitionCountsBuiltin(col("_h")).as("composed"))
+      .filter(not(col("native") <=> col("composed"))).count()
+    assert(diff == 0, "native RepetitionStats diverged from the HOF fold")
+    // hand values: "a a a b b" -> n=5, top_tok=3, top_big: bigrams
+    // (a,a)x2 (a,b) (b,b) -> 2
+    val r = Seq("a a a b b").toDF("t")
+      .withColumn("_h", Text.tokenHashesFromText(col("t")))
+      .select(col("_h"), Text.repetitionCounts(col("_h")).as("r"))
+      .select("r.n_tokens", "r.top_tok", "r.top_big").head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((5L, 3L, 2L)))
+    // null text -> null struct on both forms
+    val nulls = Seq[Option[String]](None).toDF("t")
+      .withColumn("_h", Text.tokenHashesFromText(col("t")))
+    assert(nulls.select(call_function("graft_repstats", col("_h"))).head.isNullAt(0))
+    assert(nulls.select(Text.repetitionCountsBuiltin(col("_h"))).head.isNullAt(0))
+  }
+
   test("shingles produce overlapping word n-grams") {
     val out = eval1(Text.shingles(Text.tokens(lit("w1 w2 w3 w4 w5")), 3))
     assert(out == Seq("w1 w2 w3", "w2 w3 w4", "w3 w4 w5"))
