@@ -105,6 +105,14 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         TokenHashes(exprs.head)
       }))
     e.injectFunction((
+      new FunctionIdentifier("graft_isect"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_isect"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_isect expects 2 arguments, got ${exprs.length}")
+        SortedIntersectCount(exprs.head, exprs(1))
+      }))
+    e.injectFunction((
       new FunctionIdentifier("graft_repstats"),
       new ExpressionInfo(classOf[RepetitionStats].getName, "graft_repstats"),
       (exprs: Seq[Expression]) => {

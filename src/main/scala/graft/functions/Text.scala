@@ -183,4 +183,23 @@ object Text {
     val inter = size(array_intersect(a, b)).cast("double")
     inter / (size(a) + size(b) - inter)
   }
+
+  /** Jaccard over SORTED distinct arrays: the native two-pointer
+    * [[SortedIntersectCount]] merge when the session registered it (zero
+    * allocation per pair, stays in codegen), else the array_intersect
+    * form. Bit-identical on sorted-distinct inputs (spec-gated); build
+    * them with [[sortedShingleSet]]. */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    val active = org.apache.spark.sql.SparkSession.active
+    val inter =
+      if (active.catalog.functionExists("graft_isect"))
+        call_function("graft_isect", a, b).cast("double")
+      else size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** Sorted distinct 3-shingle hash set — pay the per-doc sort once so
+    * every pairwise [[jaccardSorted]] merge is linear. */
+  def sortedShingleSet(tokHashes: Column): Column =
+    array_sort(array_distinct(shingleHashes3(tokHashes)))
 }

@@ -288,16 +288,18 @@ object TextDedup {
       if (!restricted) cand.unpersist() // unused by the fallback branch
       val src =
         if (restricted) base.join(cand, Seq("doc_id"), "left_semi") else base
+      // sorted-distinct sets: the per-doc sort is paid once, every
+      // per-pair intersect becomes a native linear merge (jaccardSorted)
       val docs = src
         .withColumn("_th", Text.tokenHashesFromText(col("text")))
         .select(col("doc_id"),
-          array_distinct(Text.shingleHashes3(col("_th"))).as("sh"))
+          Text.sortedShingleSet(col("_th")).as("sh"))
         .persist()
       lshPairs(mh)
         .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
         .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
         .select(col("doc_a"), col("doc_b"),
-          r6(Text.jaccard(col("da.sh"), col("db.sh"))).as("jaccard"))
+          r6(Text.jaccardSorted(col("da.sh"), col("db.sh"))).as("jaccard"))
     },
     // ----- D7: duplicate-cluster resolution — connected components over
     // the LSH candidate graph; every doc maps to its cluster's min id.

@@ -83,6 +83,33 @@ class TextSpec extends SparkSpec {
     assert(nulls.select(Text.repetitionCountsBuiltin(col("_h"))).head.isNullAt(0))
   }
 
+  test("native SortedIntersectCount matches array_intersect on sorted-distinct fuzz") {
+    assert(spark.catalog.functionExists("graft_isect"), "extension not registered")
+    val rnd = new scala.util.Random(0x15EC)
+    val rows = (1 to 500).map { _ =>
+      def set() = (0 to rnd.nextInt(30)).map(_ => rnd.nextInt(40).toLong)
+        .distinct.sorted
+      (set(), set())
+    } :+ ((Seq.empty[Long], Seq(1L, 2L))) :+ ((Seq.empty[Long], Seq.empty[Long]))
+    val df = rows.toDF("a", "b")
+    val diff = df.select(
+        call_function("graft_isect", col("a"), col("b")).as("native"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("builtin"))
+      .filter(not(col("native") <=> col("builtin"))).count()
+    assert(diff == 0, "sorted merge diverged from array_intersect")
+    // null propagation matches
+    val nulls = Seq((Option.empty[Seq[Long]], Option(Seq(1L)))).toDF("a", "b")
+    assert(nulls.select(call_function("graft_isect", col("a"), col("b"))).head.isNullAt(0))
+    // jaccardSorted == jaccard on the same sets (both-empty excluded:
+    // 0/0 throws in BOTH forms, and d4 pairs always have >= 1 shingle)
+    val jd = df.filter(size(col("a")) + size(col("b")) > 0)
+      .select(
+        Text.jaccardSorted(col("a"), col("b")).as("s"),
+        Text.jaccard(col("a"), col("b")).as("c"))
+      .filter(not(col("s") <=> col("c"))).count()
+    assert(jd == 0)
+  }
+
   test("shingles produce overlapping word n-grams") {
     val out = eval1(Text.shingles(Text.tokens(lit("w1 w2 w3 w4 w5")), 3))
     assert(out == Seq("w1 w2 w3", "w2 w3 w4", "w3 w4 w5"))
