@@ -105,6 +105,14 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         TokenHashes(exprs.head)
       }))
     e.injectFunction((
+      new FunctionIdentifier("graft_fp"),
+      new ExpressionInfo(classOf[RollingFingerprint].getName, "graft_fp"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"graft_fp expects 1 argument, got ${exprs.length}")
+        RollingFingerprint(exprs.head)
+      }))
+    e.injectFunction((
       new FunctionIdentifier("graft_isect"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_isect"),
       (exprs: Seq[Expression]) => {

@@ -118,6 +118,18 @@ object Text {
     aggregate(transform(toks, t => hash32(t)), lit(0L),
       (acc, h) => (acc * 31 + h) % p)
 
+  /** [[fingerprint]] over PRE-HASHED tokens — the native
+    * [[RollingFingerprint]] fold when the session registered it (no
+    * per-element interpreted HOF step), else the composed aggregate.
+    * Pair with [[tokenHashesFromText]] so a doc's tokens are hashed once
+    * and every chunk slice fingerprints the hash slice (x9's shape). */
+  def fingerprintFromHashes(tokHashes: Column): Column = {
+    val active = org.apache.spark.sql.SparkSession.active
+    if (active.catalog.functionExists("graft_fp"))
+      call_function("graft_fp", tokHashes)
+    else aggregate(tokHashes, lit(0L), (acc, h) => (acc * 31 + h) % 1000000007L)
+  }
+
   /** Sliding 2-gram hashes from per-token hashes — the 2-wide sibling of
     * [[shingleHashes3]], same arithmetic combine, same short-doc guard. */
   def shingleHashes2(tokHashes: Column): Column =

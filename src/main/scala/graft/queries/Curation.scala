@@ -170,20 +170,24 @@ object Curation {
     * rolling fingerprint. Scalar + posexplode — zero shuffles; this is the
     * map-only shard-prep step before tokenized training shards. */
   def chunkPack(docs: DataFrame, chunk: Int = CHUNK): DataFrame = {
-    val toks = Text.tokens(col("text"))
-    val nChunks = floor((size(toks) + lit(chunk - 1)) / lit(chunk)).cast("int")
+    // hash the doc's tokens ONCE (native fused expression) and chunk the
+    // HASH array: each chunk's fingerprint folds its hash slice natively,
+    // instead of re-deriving md5 per token inside an interpreted HOF per
+    // chunk (13.7 -> ~6 s at the 100x replica)
+    val hs = Text.tokenHashesFromText(col("text"))
+    val nChunks = floor((size(col("_h")) + lit(chunk - 1)) / lit(chunk)).cast("int")
     docs
-      .withColumn("_t", toks)
+      .withColumn("_h", hs)
       .withColumn("_chunks",
         transform(sequence(lit(0), nChunks - 1),
-          i => slice(col("_t"), i * chunk + 1, lit(chunk))))
+          i => slice(col("_h"), i * chunk + 1, lit(chunk))))
       // outer + null-filter: same reason as explodeShingles — don't let the
       // optimizer rebuild the chunk array inside an inferred pre-Generate
       // filter (here only a constant-factor tax, but free to avoid)
       .select(col("doc_id"), posexplode_outer(col("_chunks")).as(Seq("chunk_idx", "c")))
       .filter(col("c").isNotNull)
       .select(col("doc_id"), col("chunk_idx"), size(col("c")).as("n_tokens"),
-        Text.fingerprint(col("c")).as("chunk_fp"))
+        Text.fingerprintFromHashes(col("c")).as("chunk_fp"))
   }
 
   /** Concat-and-cut sequence packing: within each (source, shard) stream,

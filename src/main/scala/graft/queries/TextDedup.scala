@@ -238,10 +238,11 @@ object TextDedup {
         .groupBy("lang", "pred").agg(count(lit(1)).as("n"),
           round(avg("en_score"), 6).as("avg_score"))
     },
-    // ----- X4: rolling-hash document fingerprint
+    // ----- X4: rolling-hash document fingerprint (native hash + fold)
     "x4_fingerprint" -> { (s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
-        Text.fingerprint(Text.tokens(col("text"))).as("fp"))
+        Text.fingerprintFromHashes(Text.tokenHashesFromText(col("text")))
+          .as("fp"))
     },
     // ----- D1: exact dedup on a normalized prefix key (hash-groupBy)
     "d1_exact_dedup" -> { (s, d) =>

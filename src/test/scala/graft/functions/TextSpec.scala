@@ -83,6 +83,24 @@ class TextSpec extends SparkSpec {
     assert(nulls.select(Text.repetitionCountsBuiltin(col("_h"))).head.isNullAt(0))
   }
 
+  test("native RollingFingerprint is bit-identical to the HOF fold (fuzz)") {
+    assert(spark.catalog.functionExists("graft_fp"), "extension not registered")
+    val rnd = new scala.util.Random(0xF9)
+    val docs = (Seq("", "a", "one two three") ++
+      (1 to 500).map { _ =>
+        (0 to rnd.nextInt(40)).map(_ => "w" + rnd.nextInt(50)).mkString(" ")
+      }).toDF("t")
+      .withColumn("_h", Text.tokenHashesFromText(col("t")))
+    val diff = docs.select(
+        call_function("graft_fp", col("_h")).as("native"),
+        Text.fingerprint(Text.tokens(col("t"))).as("composed"))
+      .filter(not(col("native") <=> col("composed"))).count()
+    assert(diff == 0, "native fingerprint diverged from aggregate(transform(hash32))")
+    val nulls = Seq[Option[String]](None).toDF("t")
+      .withColumn("_h", Text.tokenHashesFromText(col("t")))
+    assert(nulls.select(call_function("graft_fp", col("_h"))).head.isNullAt(0))
+  }
+
   test("native SortedIntersectCount matches array_intersect on sorted-distinct fuzz") {
     assert(spark.catalog.functionExists("graft_isect"), "extension not registered")
     val rnd = new scala.util.Random(0x15EC)
