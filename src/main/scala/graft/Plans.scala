@@ -14,7 +14,8 @@ object Plans {
         "j11_isec_partition", "f14_pl_math", "w3_overlap_suppress",
         "w2_block_compress", "x6_decontaminate", "x7_mix_sample",
         "j13_skew_join", "qc1_fold_penalty", "qc2_sub_error_rate",
-        "d9_simhash_pairs", "x12_tfidf_topk")
+        "d9_simhash_pairs", "x12_tfidf_topk", "j2_multikey_join",
+        "x14_repetition")
     val spark = Spark.session("graft-plans")
     names.foreach { n =>
       println(s"\n## $n\n")

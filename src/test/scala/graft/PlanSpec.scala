@@ -112,6 +112,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x14 is a single map-only codegen stage (native repstats, zero exchanges)") {
+    // per-doc repetition stats must never regress to a gram shuffle or an
+    // interpreted HOF chain: the plan is scan -> project with ONE
+    // graft_repstats call and no Exchange anywhere
+    val plan = SparkEntry.queries("x14_repetition")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_repstats"),
+      s"x14 must use the native RepetitionStats expression:\n${plan.take(800)}")
+    assert(!plan.contains("Exchange"),
+      s"x14 must stay map-only (no shuffle):\n${plan.take(800)}")
+    assert(!plan.contains("aggregate("),
+      s"x14 must not fall back to interpreted HOF folds:\n${plan.take(800)}")
+  }
+
   test("e2/e4 read the shared ANN index (InMemoryTableScan), not a fresh assignment") {
     // the session-scoped annIndex memo is what keeps assignment/encode
     // from re-running per query — a silent regression back to per-query
