@@ -83,6 +83,31 @@ class TextSpec extends SparkSpec {
     assert(nulls.select(Text.repetitionCountsBuiltin(col("_h"))).head.isNullAt(0))
   }
 
+  test("RepetitionStats equals an independent Scala recount (not just the HOF twin)") {
+    // native-vs-composed proves the two engine paths agree; this proves
+    // BOTH implement "max multiplicity": recount via a plain Scala map
+    // over the same hashes
+    val rnd = new scala.util.Random(0xBEEF)
+    val texts = (1 to 200).map { _ =>
+      (0 to rnd.nextInt(30)).map(_ => "t" + rnd.nextInt(6)).mkString(" ")
+    }
+    val rows = texts.toDF("t")
+      .withColumn("_h", Text.tokenHashesFromText(col("t")))
+      .select(col("_h"), Text.repetitionCounts(col("_h")).as("r"))
+      .collect()
+    rows.foreach { row =>
+      val h = row.getSeq[Long](0)
+      val r = row.getStruct(1)
+      def topOf(xs: Seq[Long]) =
+        if (xs.isEmpty) 0L else xs.groupBy(identity).values.map(_.size).max.toLong
+      val bigs = h.sliding(2).withFilter(_.length == 2)
+        .map(p => (p(0) * 991L + p(1)) % 4294967291L).toSeq
+      assert(r.getLong(0) == h.length.toLong)
+      assert(r.getLong(1) == topOf(h), s"top_tok mismatch for $h")
+      assert(r.getLong(2) == topOf(bigs), s"top_big mismatch for $h")
+    }
+  }
+
   test("native RollingFingerprint is bit-identical to the HOF fold (fuzz)") {
     assert(spark.catalog.functionExists("graft_fp"), "extension not registered")
     val rnd = new scala.util.Random(0xF9)
