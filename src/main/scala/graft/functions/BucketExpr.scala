@@ -76,7 +76,7 @@ object BucketBinUtil {
     val active = org.apache.spark.sql.SparkSession.active
     if (active.catalog.functionExists("graft_bucket"))
       call_function("graft_bucket", value,
-        array(bounds.map(lit(_)): _*))
+        array(bounds.toIndexedSeq.map(lit(_)): _*))
     else {
       val f = udf { (v: Double) => find(bounds, v) }
       f(value)

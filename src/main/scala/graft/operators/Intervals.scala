@@ -101,7 +101,7 @@ object Intervals {
                bStart: String = "bstart", bEnd: String = "bend",
                binSize: Long = 10000L,
                broadcastB: Boolean = false): DataFrame = {
-    val withId = a.withColumn("_aid", xxhash64(a.columns.map(col): _*))
+    val withId = a.withColumn("_aid", xxhash64(a.columns.toIndexedSeq.map(col): _*))
     val ab = withBins(withId, chrom, aStart, aEnd, binSize)
     val bb0 = withBins(b.withColumnRenamed(chrom, "_bchrom"), "_bchrom", bStart, bEnd, binSize)
       .withColumnRenamed("_bin", "_bbin")

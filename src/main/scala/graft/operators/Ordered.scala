@@ -181,7 +181,7 @@ object Ordered {
     u.withColumn("_m", when(col("_side") === 0, struct(col(payloadCol).as("p"))))
       .withColumn("_asof", last(col("_m"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .select(pCols.map(col) :+ col("_asof.p").as(s"asof_$payloadCol"): _*)
+      .select(pCols.toIndexedSeq.map(col) :+ col("_asof.p").as(s"asof_$payloadCol"): _*)
   }
 
   /** W7 — keep every k-th row per partition in the given order. */

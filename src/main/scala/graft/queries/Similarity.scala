@@ -245,7 +245,7 @@ object Similarity {
     vecCoarse.join(fineCoarse, Seq("gid"))
       .withColumn("csim", round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6))
       .withColumn("_r", row_number().over(wCell)).filter(col("_r") === 1)
-      .select(all.columns.map(col) :+ col("f_cid").as("cid"): _*)
+      .select(all.columns.toIndexedSeq.map(col) :+ col("f_cid").as("cid"): _*)
   }
 
   // ---- E3: product quantization (PQ) ---------------------------------
