@@ -105,6 +105,14 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         TokenHashes(exprs.head)
       }))
     e.injectFunction((
+      new FunctionIdentifier("graft_round6"),
+      new ExpressionInfo(classOf[Round6].getName, "graft_round6"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"graft_round6 expects 1 argument, got ${exprs.length}")
+        Round6(exprs.head)
+      }))
+    e.injectFunction((
       new FunctionIdentifier("graft_fp"),
       new ExpressionInfo(classOf[RollingFingerprint].getName, "graft_fp"),
       (exprs: Seq[Expression]) => {

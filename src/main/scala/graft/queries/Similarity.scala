@@ -231,19 +231,19 @@ object Similarity {
     val fineCoarse = fineCents
       .select(col("cid").as("f_cid"), col("cv"), col("cnrm"))
       .crossJoin(coarse)
-      .withColumn("gsim", round(dot(col("cv"), col("gv")) / (col("cnrm") * col("gnrm")), 6))
+      .withColumn("gsim", roundSim(dot(col("cv"), col("gv")) / (col("cnrm") * col("gnrm"))))
       .withColumn("_r", row_number().over(wFine)).filter(col("_r") === 1)
       .select(col("f_cid"), col("cv"), col("cnrm"), col("gid"))
 
     val wVec = Window.partitionBy("vec_id").orderBy(col("gsim").desc, col("gid").asc)
     val vecCoarse = all.crossJoin(coarse)
-      .withColumn("gsim", round(dot(col("v"), col("gv")) / (col("nrm") * col("gnrm")), 6))
+      .withColumn("gsim", roundSim(dot(col("v"), col("gv")) / (col("nrm") * col("gnrm"))))
       .withColumn("_r", row_number().over(wVec)).filter(col("_r") === 1)
       .drop("gv", "gnrm", "gsim", "_r")
 
     val wCell = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("f_cid").asc)
     vecCoarse.join(fineCoarse, Seq("gid"))
-      .withColumn("csim", round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6))
+      .withColumn("csim", roundSim(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))))
       .withColumn("_r", row_number().over(wCell)).filter(col("_r") === 1)
       .select(all.columns.toIndexedSeq.map(col) :+ col("f_cid").as("cid"): _*)
   }
@@ -368,7 +368,7 @@ object Similarity {
     val cand = codes.crossJoin(broadcast(q.select("qid", "lut")))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        round(adcSim(col("codes"), col("lut")), 6).as("asim"))
+        roundSim(adcSim(col("codes"), col("lut"))).as("asim"))
       .withColumn("_r", row_number().over(wAdc))
       .filter(col("_r") <= shortlist)
       .select("qid", "vec_id")
@@ -376,7 +376,7 @@ object Similarity {
     cand.join(all, Seq("vec_id")) // shortlist-sized equi-join rehydrates vectors
       .join(broadcast(q.select("qid", "qv", "qnrm")), Seq("qid"))
       .select(col("qid"), col("vec_id"),
-        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("sim"))
+        roundSim(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("sim"))
       .withColumn("rank", row_number().over(wExact))
       .filter(col("rank") <= k)
       .select("qid", "rank", "vec_id", "sim")
@@ -419,7 +419,7 @@ object Similarity {
     val cand = codes.join(broadcast(q),
         col("cid") === col("qcid") && col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        round(adcSim(col("codes"), col("lut")), 6).as("asim"))
+        roundSim(adcSim(col("codes"), col("lut"))).as("asim"))
       .withColumn("_r", row_number().over(wAdc))
       .filter(col("_r") <= shortlist)
       .select("qid", "vec_id")
@@ -427,7 +427,7 @@ object Similarity {
     cand.join(all, Seq("vec_id"))
       .join(broadcast(queries), Seq("qid"))
       .select(col("qid"), col("vec_id"),
-        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("sim"))
+        roundSim(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("sim"))
       .withColumn("rank", row_number().over(wExact))
       .filter(col("rank") <= k)
       .select("qid", "rank", "vec_id", "sim")
@@ -489,7 +489,7 @@ object Similarity {
       val sims = all.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
-          round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("sim"))
+          roundSim(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("sim"))
       val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
       sims.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= TOPK)
@@ -513,7 +513,7 @@ object Similarity {
       assigned.join(b, Seq("label", "cid"))
         .filter(col("vec_id") < col("vec_b"))
         .select(col("vec_id").as("vec_a"), col("vec_b"),
-          round(dot(col("v"), col("vb")) / (col("nrm") * col("nrmb")), 6).as("sim"))
+          roundSim(dot(col("v"), col("vb")) / (col("nrm") * col("nrmb"))).as("sim"))
         .filter(col("sim") >= 0.4)
     },
     // ----- E2: IVF-bucketed ANN (cluster-pruned search)
@@ -529,7 +529,7 @@ object Similarity {
       val wRank = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
       assigned.join(broadcast(q), col("cid") === col("qcid") && col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
-          round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("sim"))
+          roundSim(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("sim"))
         .withColumn("rank", row_number().over(wRank))
         .filter(col("rank") <= TOPK)
         .select("qid", "rank", "vec_id", "sim")
@@ -552,7 +552,7 @@ object Similarity {
       codes.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
-          round(adcSim(col("codes"), col("lut")), 6).as("asim"))
+          roundSim(adcSim(col("codes"), col("lut"))).as("asim"))
         .withColumn("rank", row_number().over(wRank))
         .filter(col("rank") <= TOPK)
         .select("qid", "rank", "vec_id", "asim")
