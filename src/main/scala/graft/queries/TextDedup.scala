@@ -268,7 +268,7 @@ object TextDedup {
       lshPairs(mh)
         .join(mh.as("a"), col("doc_a") === col("a.doc_id"))
         .join(mh.as("b"), col("doc_b") === col("b.doc_id"))
-        .select(col("doc_a"), col("doc_b"), round(est, 6).as("est_sim"))
+        .select(col("doc_a"), col("doc_b"), roundSim(est).as("est_sim"))
     },
     // ----- D4: n-gram Jaccard over distinct shingle-hash sets, verified
     // only on LSH candidates (long-array intersect, not string compares)
