@@ -92,15 +92,33 @@ object Genomics {
     * the when-chain preserves the reference's check order. Pure Catalyst
     * array expressions — codegen'd, no UDF. */
   def errorType(g1: Column, g2: Column, c1: Column, c2: Column): Column = {
-    def gset(a: Column, b: Column): Column =
-      array_sort(array_distinct(array(coalesce(a, lit(-1)), coalesce(b, lit(-1)))))
-    val gs = gset(g1, g2)
-    val cs = gset(c1, c2)
-    when(gs === cs, lit("NO_ERROR"))
-      .when(gs === array(lit(0)) || gs === array(lit(-1)), lit("NOISE"))
-      .when(cs === array(lit(0)) || cs === array(lit(-1)), lit("NO_VARIANT"))
-      .when(size(array_except(gs, cs)) === 0, lit("HOM_TO_HET"))   // gtr ⊆ call
-      .when(size(array_except(cs, gs)) === 0, lit("HET_TO_HOM"))   // call ⊆ gtr
+    // The allele SET {a,b} as a bitmask: bit (allele+1), null → bit 0.
+    // Set equality == mask equality, subset == mask inclusion, and the
+    // singleton checks are single-bit masks — pure integer arithmetic in
+    // whole-stage codegen. The previous form built
+    // array_sort(array_distinct(array(...))) per WHEN branch: ~9
+    // interpreted lambda-comparator sorts PER ROW (HOFs never codegen),
+    // which made f13 the one bench query whose cost tracked how many
+    // OTHER queries had already run in the JVM (megamorphic interpreter
+    // call sites: 7 s early in a session, ~40 s after the full inventory).
+    // Contract: alleles are small ints in [0, 30] or null (genotypes are
+    // 0..3) — shift amounts must stay inside an int.
+    def gmask(a: Column, b: Column): Column = {
+      // scala-API shiftleft wants a literal shift; the SQL expression
+      // takes a column — call it directly
+      def bit(c: Column) =
+        call_function("shiftleft", lit(1), coalesce(c, lit(-1)) + 1)
+      bit(a).bitwiseOR(bit(b))
+    }
+    val gm = gmask(g1, g2)
+    val cm = gmask(c1, c2)
+    val noneBit = lit(1)       // {null}  -> 1 << 0
+    val zeroBit = lit(2)       // {0}     -> 1 << 1
+    when(gm === cm, lit("NO_ERROR"))
+      .when(gm === zeroBit || gm === noneBit, lit("NOISE"))
+      .when(cm === zeroBit || cm === noneBit, lit("NO_VARIANT"))
+      .when(gm.bitwiseAND(bitwise_not(cm)) === 0, lit("HOM_TO_HET")) // gtr ⊆ call
+      .when(cm.bitwiseAND(bitwise_not(gm)) === 0, lit("HET_TO_HOM")) // call ⊆ gtr
       .otherwise(lit("WRONG_ALLELE"))
   }
 

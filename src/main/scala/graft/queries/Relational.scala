@@ -173,7 +173,10 @@ object Relational {
         when(col("l_quantity") > 40, lit("HIGH_QTY")),
         when(col("l_discount") > 0.05, lit("DISCOUNTED")),
         when(col("l_tax") > 0.04, lit("TAXED")))
-      li.withColumn("category", explode(filter(cats, c => c.isNotNull)))
+      // array_compact, not filter(c => c.isNotNull): the lambda HOF is
+      // interpreted per row and its cost tracks JVM interpreter state
+      // (same megamorphic effect as f13's old array_sort chain)
+      li.withColumn("category", explode(array_compact(cats)))
         .groupBy("category")
         .agg(count(lit(1)).as("n"), round(avg("l_extendedprice"), 4).as("avg_price"))
     },
