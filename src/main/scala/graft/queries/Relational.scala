@@ -168,15 +168,20 @@ object Relational {
     // stratum they belong to via explode (report_utils.py:507-538, :206-222)
     "p3_category_strata" -> { (s, d) =>
       val li = Tables.lineitem(s, d)
-      val cats = array(
-        lit("ALL"),
-        when(col("l_quantity") > 40, lit("HIGH_QTY")),
-        when(col("l_discount") > 0.05, lit("DISCOUNTED")),
-        when(col("l_tax") > 0.04, lit("TAXED")))
-      // array_compact, not filter(c => c.isNotNull): the lambda HOF is
-      // interpreted per row and its cost tracks JVM interpreter state
-      // (same megamorphic effect as f13's old array_sort chain)
-      li.withColumn("category", explode(array_compact(cats)))
+      // A Generate's child expression is ALWAYS evaluated interpreted, so
+      // exploding a per-row computed array of category strings pays the
+      // JVM-state interpreter tax on every fact row (f13's cliff; p3 sat
+      // at 3x its standalone time in-bench). Explode a LITERAL index
+      // instead — constant generator, nothing per-row to interpret — and
+      // keep the membership predicates in a codegen'd Filter; the
+      // category string is a literal lookup. Same rows, same aggregate.
+      li.withColumn("i", explode(typedlit(Seq(0, 1, 2, 3))))
+        .filter(col("i") === 0 ||
+          (col("i") === 1 && col("l_quantity") > 40) ||
+          (col("i") === 2 && col("l_discount") > 0.05) ||
+          (col("i") === 3 && col("l_tax") > 0.04))
+        .withColumn("category", element_at(
+          typedlit(Seq("ALL", "HIGH_QTY", "DISCOUNTED", "TAXED")), col("i") + 1))
         .groupBy("category")
         .agg(count(lit(1)).as("n"), round(avg("l_extendedprice"), 4).as("avg_price"))
     },
