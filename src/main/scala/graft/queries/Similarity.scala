@@ -464,7 +464,7 @@ object Similarity {
         }
       }
     }
-    annIndexCache.computeIfAbsent((System.identityHashCode(s), d), _ => {
+    val entry = annIndexCache.computeIfAbsent((System.identityHashCode(s), d), _ => {
       val nCells = cellCountForAnn(Tables.embeddings(s, d).count())
       val all = vecs(s, d)
       val cents = all.filter(col("vec_id") < nCells)
@@ -476,6 +476,13 @@ object Similarity {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (assigned, codes, nCells)
     })
+    // re-persist if an external clearCache() dropped the memoized frames
+    // (otherwise every ANN query recomputes assignment/encode)
+    Seq(entry._1, entry._2).foreach { df =>
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    entry
   }
 
   val queries: Map[String, Q] = Map(

@@ -63,17 +63,23 @@ object TextDedup {
         }
       }
     }
-    dedupFrameCache.computeIfAbsent((System.identityHashCode(s), d, "mh"), { _ =>
-      val df = signatureFrame(Tables.documents(s, d)).persist()
+    val df = dedupFrameCache.computeIfAbsent((System.identityHashCode(s), d, "mh"), { _ =>
+      val fresh = signatureFrame(Tables.documents(s, d)).persist()
       // materialize NOW: LSH consumers scan this frame 3-5 times inside one
       // job, and parallel stages of a single action each recompute the
       // unmaterialized plan instead of sharing in-flight cache population.
       // Paying the one corpus hash pass eagerly makes every subsequent scan
       // (same query AND later queries) a cache read — measured 82 -> 52 s
       // on d4 standalone at the 100x replica.
-      df.count()
-      df
+      fresh.count()
+      fresh
     })
+    // re-persist if an external clearCache() dropped the memoized frame
+    // (otherwise every LSH consumer recomputes the corpus hash pass)
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      df.persist(); df.count()
+    }
+    df
   }
 
   // NOTE (round 10, tried and NOT adopted): persisting the LSH candidate
