@@ -51,8 +51,13 @@ object Round6Util {
     val f = math.floor(y)
     val frac = y - f
     // near an exact decimal half the shortest-decimal representation can
-    // disagree with binary arithmetic — delegate to the exact path
-    if (frac > 0.499999 && frac < 0.500001) exact(x)
+    // disagree with binary arithmetic — delegate to the exact path. The
+    // band must scale with ulp(y): at |x| ~ 4.5e3, ulp(x*1e6) already
+    // exceeds a fixed 1e-6, and exact-decimal halves above that escaped
+    // a constant band (e.g. x=33546.9128745 fast-rounded down while
+    // BigDecimal HALF_UP rounds up).
+    val band = math.max(1e-6, 4.0 * Math.ulp(y))
+    if (frac > 0.5 - band && frac < 0.5 + band) exact(x)
     // + 0.0 normalizes -0.0 to +0.0, matching BigDecimal's unsigned zero
     else (if (frac >= 0.5) f + 1.0 else f) / 1e6 + 0.0
   }

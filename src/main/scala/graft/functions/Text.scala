@@ -39,10 +39,15 @@ object Text {
     // resulting element_at(toks, 0) throws under ANSI — a doc shorter
     // than the shingle width has zero shingles, not an error
     val m = size(toks) - (n - 1)
-    when(m >= 1,
-      transform(sequence(lit(1), m),
-        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
-      .otherwise(array().cast("array<string>"))
+    // outer isNotNull preserves null propagation (null in => null out,
+    // matching the native expressions' null contract); without it the
+    // short-doc otherwise() branch would turn a null array into an empty
+    // one (ADVICE r10)
+    when(toks.isNotNull,
+      when(m >= 1,
+        transform(sequence(lit(1), m),
+          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+        .otherwise(array().cast("array<string>")))
   }
 
   /** Largest 32-bit prime; modulus for the MinHash permutation family. */
@@ -72,13 +77,15 @@ object Text {
     * shingle string) and zero string concatenation — the order-sensitive
     * combine keeps "a b c" != "c b a". */
   def shingleHashes3(tokHashes: Column): Column =
-    // same short-doc guard as [[shingles]]: <3 tokens => zero shingles
-    when(size(tokHashes) >= 3,
-      transform(sequence(lit(1), size(tokHashes) - 2),
-        i => (element_at(tokHashes, i) * 299L +
-              element_at(tokHashes, i + 1) * 991L +
-              element_at(tokHashes, i + 2)) % MinhashP))
-      .otherwise(array().cast("array<bigint>"))
+    // same short-doc guard as [[shingles]]: <3 tokens => zero shingles;
+    // outer isNotNull keeps null in => null out
+    when(tokHashes.isNotNull,
+      when(size(tokHashes) >= 3,
+        transform(sequence(lit(1), size(tokHashes) - 2),
+          i => (element_at(tokHashes, i) * 299L +
+                element_at(tokHashes, i + 1) * 991L +
+                element_at(tokHashes, i + 2)) % MinhashP))
+        .otherwise(array().cast("array<bigint>")))
 
   /** One MinHash value from precomputed base hashes: min of (a*h + b) mod p.
     * With h < 2^32 and small a the product stays well inside a long. */
@@ -133,11 +140,13 @@ object Text {
   /** Sliding 2-gram hashes from per-token hashes — the 2-wide sibling of
     * [[shingleHashes3]], same arithmetic combine, same short-doc guard. */
   def shingleHashes2(tokHashes: Column): Column =
-    when(size(tokHashes) >= 2,
-      transform(sequence(lit(1), size(tokHashes) - 1),
-        i => (element_at(tokHashes, i) * 991L +
-              element_at(tokHashes, i + 1)) % MinhashP))
-      .otherwise(array().cast("array<bigint>"))
+    // outer isNotNull keeps null in => null out (same contract as above)
+    when(tokHashes.isNotNull,
+      when(size(tokHashes) >= 2,
+        transform(sequence(lit(1), size(tokHashes) - 1),
+          i => (element_at(tokHashes, i) * 991L +
+                element_at(tokHashes, i + 1)) % MinhashP))
+        .otherwise(array().cast("array<bigint>")))
 
   /** Repetition counts for x14 — `struct(n_tokens, top_tok, top_big)` over
     * a token-hash array: the fused native [[RepetitionStats]] expression

@@ -58,26 +58,35 @@ object Curation {
     * CacheManager sometimes — not deterministically — served one query's
     * plan to another. At a real lake this frame is a written-once shingle
     * table (cf. TextDedup.signaturesToParquet). */
+  // True LRU: past the bound we evict ONE least-recently-used entry, not
+  // every other key (the previous clear-all-but-current form unpersisted
+  // frames a concurrent query on another dataset could still be scanning,
+  // and thrashed when >8 datasets alternated — ADVICE r10). Storage is a
+  // CHM of lazy cells so the ~15 s corpus materialize runs under the
+  // per-KEY cell lock, never a global monitor; the access-ordered
+  // LinkedHashMap only tracks recency (cheap, synchronized).
   private val shingleCache = new java.util.concurrent.ConcurrentHashMap[
     (Int, String), DataFrame]()
+  private val shingleLru = new java.util.LinkedHashMap[
+    (Int, String), java.lang.Boolean](16, 0.75f, /*accessOrder=*/ true)
   private val ShingleCacheMax = 8
 
   private def cachedShingleSets(s: SparkSession, d: String): DataFrame = {
-    if (shingleCache.size >= ShingleCacheMax) {
-      val it = shingleCache.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        if (e.getKey != ((System.identityHashCode(s), d))) {
-          e.getValue.unpersist(false)
-          it.remove()
-        }
-      }
-    }
-    val df = shingleCache.computeIfAbsent((System.identityHashCode(s), d), _ => {
+    val key = (System.identityHashCode(s), d)
+    val df = shingleCache.computeIfAbsent(key, _ => {
       val fresh = shingleSets(Tables.documents(s, d)).persist()
       fresh.count() // materialize eagerly: parallel consumers must not race
       fresh
     })
+    shingleLru.synchronized {
+      shingleLru.put(key, java.lang.Boolean.TRUE)
+      while (shingleLru.size > ShingleCacheMax) {
+        val eldest = shingleLru.entrySet().iterator().next().getKey
+        shingleLru.remove(eldest)
+        val evicted = shingleCache.remove(eldest)
+        if (evicted != null) evicted.unpersist(false)
+      }
+    }
     // an external spark.catalog.clearCache() (RunQuery, the bench's
     // clear-cache mode) silently unpersists the memoized frame; without
     // re-persisting, every consumer would recompute the full corpus pass

@@ -431,8 +431,11 @@ object TextDedup {
         n.as("n_tokens"),
         r6(col("_r.top_tok").cast("double") / n).as("top_token_frac"),
         greatest(n - 1, lit(0L)).as("n_bigrams"),
+        // second when (not otherwise) keeps null-text docs null-out
+        // instead of fabricating 0.0 (ADVICE r10; the oracle DROPS such
+        // rows, so neither side should invent a value)
         when(n >= 2, r6(col("_r.top_big").cast("double") / (n - 1)))
-          .otherwise(lit(0.0)).as("top_bigram_frac"))
+          .when(n.isNotNull, lit(0.0)).as("top_bigram_frac"))
     }
   )
 

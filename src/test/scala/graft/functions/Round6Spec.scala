@@ -28,6 +28,21 @@ class Round6Spec extends SparkSpec {
         val h = k + 0.5
         Seq(h / 1e6, (h + 1e-13) / 1e6, (h - 1e-13) / 1e6, -h / 1e6)
       } ++
+      // exact-decimal halves ACROSS MAGNITUDES up to |x| = 1e6: at
+      // |x| ≳ 4.5e3, ulp(x*1e6) exceeds a fixed 1e-6 band, so these
+      // catch a guard band that fails to scale with magnitude
+      // (regression for the ADVICE r10 finding, e.g. x=33546.9128745)
+      Seq(33546.9128745) ++
+      (0 to 11).flatMap { m =>
+        val rj = new scala.util.Random(m * 7 + 1)
+        (1 to 40).flatMap { _ =>
+          val k = rj.nextInt(9) + 1   // k*10^m + 0.5 halves at scale 1e-6
+          val h = (k * math.pow(10, m) + 0.5) / 1e6
+          Seq(h, -h, h * (1 + 2e-16), h * (1 - 2e-16),
+            // non-half neighbors at the same magnitude
+            h + rj.nextDouble() / 1e6, h - rj.nextDouble() / 1e6)
+        }
+      } ++
       (1 to 2000).map(_ => (rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(10) - 3))
     val df = adversarial.toDF("x")
     val diff = df.select(

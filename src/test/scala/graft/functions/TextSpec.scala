@@ -158,6 +158,26 @@ class TextSpec extends SparkSpec {
     assert(out == Seq("w1 w2 w3", "w2 w3 w4", "w3 w4 w5"))
   }
 
+  test("shingle builders propagate null (null in => null out), short docs => empty") {
+    // the short-doc guards must NOT turn a null array into an empty one
+    // (ADVICE r10): null input means "no document", not "empty document"
+    val df = spark.range(1).select(
+      lit(null).cast("array<string>").as("nt"),
+      lit(null).cast("array<bigint>").as("nh"),
+      array(lit("one")).as("short1"),
+      array(lit(7L)).as("shorth"))
+    val row = df.select(
+      Text.shingles(col("nt"), 3).as("a"),
+      Text.shingleHashes3(col("nh")).as("b"),
+      Text.shingleHashes2(col("nh")).as("c"),
+      Text.shingles(col("short1"), 3).as("d"),
+      Text.shingleHashes3(col("shorth")).as("e"),
+      Text.shingleHashes2(col("shorth")).as("f")).head
+    assert(row.isNullAt(0) && row.isNullAt(1) && row.isNullAt(2))
+    assert(row.getSeq[String](3).isEmpty && row.getSeq[Long](4).isEmpty &&
+      row.getSeq[Long](5).isEmpty)
+  }
+
   test("minhash is permutation-stable and order-insensitive across shingle order") {
     def mh(text: String, i: Int) =
       eval1(Text.minhashPerm(Text.shingleHashes(
