@@ -137,6 +137,24 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         RepetitionStats(exprs.head)
       }))
     e.injectFunction((
+      new FunctionIdentifier("graft_shingle_set"),
+      new ExpressionInfo(classOf[SortedShingleSet].getName, "graft_shingle_set"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"graft_shingle_set expects 1 argument, got ${exprs.length}")
+        SortedShingleSet(exprs.head)
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_minhash_sig expects 2 arguments (hashes, k), got ${exprs.length}")
+        require(exprs(1).foldable,
+          "graft_minhash_sig k must be a literal")
+        MinHashSig(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
+      }))
+    e.injectFunction((
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash].getName, "graft_simhash"),
       (exprs: Seq[Expression]) => {

@@ -220,7 +220,39 @@ object Text {
   }
 
   /** Sorted distinct 3-shingle hash set — pay the per-doc sort once so
-    * every pairwise [[jaccardSorted]] merge is linear. */
-  def sortedShingleSet(tokHashes: Column): Column =
+    * every pairwise [[jaccardSorted]] merge is linear. The native fused
+    * [[SortedShingleSet]] expression when the session registered it (one
+    * codegen call: primitive combine + sort + in-place dedup), else the
+    * composed three-pass form. Set-identical (spec-gated). */
+  def sortedShingleSet(tokHashes: Column): Column = {
+    val active = org.apache.spark.sql.SparkSession.active
+    if (active.catalog.functionExists("graft_shingle_set"))
+      call_function("graft_shingle_set", tokHashes)
+    else sortedShingleSetBuiltin(tokHashes)
+  }
+
+  /** Built-in-only form of [[sortedShingleSet]]. */
+  def sortedShingleSetBuiltin(tokHashes: Column): Column =
     array_sort(array_distinct(shingleHashes3(tokHashes)))
+
+  /** MinHash signature (array of K permutation minima, a=2i+1, b=97i) —
+    * the native one-pass [[MinHashSig]] when registered, else the
+    * composed K-sweep fold. Bit-identical (spec-gated); zero shingles →
+    * null array (= per-column null minima of the composed form). */
+  def minhashSig(tokHashes: Column, k: Int): Column = {
+    val active = org.apache.spark.sql.SparkSession.active
+    if (active.catalog.functionExists("graft_minhash_sig"))
+      call_function("graft_minhash_sig", tokHashes, lit(k))
+    else minhashSigBuiltin(tokHashes, k)
+  }
+
+  /** Built-in-only form of [[minhashSig]]: K interpreted sweeps over the
+    * shingle hashes (what the DuckDB oracle replays). */
+  def minhashSigBuiltin(tokHashes: Column, k: Int): Column = {
+    val hs = shingleHashes3(tokHashes)
+    // when() keeps the whole-array-null contract of the native form:
+    // zero shingles => null array, not an array of K nulls
+    when(size(hs) >= 1,
+      array((1 to k).map(i => minhashPerm(hs, 2L * i + 1, 97L * i)): _*))
+  }
 }

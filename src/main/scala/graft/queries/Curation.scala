@@ -42,12 +42,13 @@ object Curation {
     * boilerplate (headers, footers, license blocks). */
   val HOT_DF = 5
 
-  /** Distinct 3-gram shingle hashes per document. */
+  /** Distinct 3-gram shingle hashes per document (sorted — consumers are
+    * set-semantics: explode, size, sorted-merge intersect; the native
+    * fused build replaces three per-row array passes, two interpreted). */
   private def shingleSets(docs: DataFrame): DataFrame =
     docs
       .withColumn("_th", Text.tokenHashesFromText(col("text")))
-      .select(col("doc_id"),
-        array_distinct(Text.shingleHashes3(col("_th"))).as("sh"))
+      .select(col("doc_id"), Text.sortedShingleSet(col("_th")).as("sh"))
 
   /** Session-scoped memo of the corpus shingle-set frame — the same
     * pattern (and the same production argument) as TextDedup.cachedMinhash

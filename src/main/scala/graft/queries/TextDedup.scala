@@ -24,14 +24,18 @@ object TextDedup {
   private val BANDS = 4    // LSH bands (2 rows each)
 
   private def withMinhash(docs: DataFrame): DataFrame = {
-    // token hashes land in their own column BEFORE the shingle combine:
-    // inlining them into shingleHashes3's lambda re-evaluates the whole
-    // token-hash array per element_at (O(tokens^2) md5 calls)
+    // token hashes land in their own column BEFORE the signature call:
+    // inlining them into a HOF lambda re-evaluates the whole token-hash
+    // array per element_at (O(tokens^2) md5 calls). The signature itself
+    // is ONE native pass (MinHashSig: shingle combine + K running minima
+    // in codegen) — the composed form paid 2K+1 interpreted HOF sweeps
+    // per doc (shingle transform + K x array_min(transform)), the exact
+    // megamorphic-interpreter exposure of NOTES sharp edge #17.
     val base = docs
       .withColumn("_th", Text.tokenHashesFromText(col("text")))
-      .withColumn("_hs", Text.shingleHashes3(col("_th")))
+      .withColumn("_sig", Text.minhashSig(col("_th"), K))
     (1 to K).foldLeft(base) { (df, i) =>
-      df.withColumn(s"mh$i", Text.minhashPerm(col("_hs"), 2L * i + 1, 97L * i))
+      df.withColumn(s"mh$i", element_at(col("_sig"), i))
     }
   }
 

@@ -77,7 +77,9 @@ object Streams {
     import graft.functions.Text
     docs
       .withColumn("_th", Text.tokenHashesFromText(col("text")))
-      .withColumn("_sh", array_distinct(Text.shingleHashes3(col("_th"))))
+      // sortedShingleSet is set-identical to the old array_distinct form
+      // and the only consumer is size(array_intersect(...)) — order-free
+      .withColumn("_sh", Text.sortedShingleSet(col("_th")))
       .select(col("doc_id"),
         size(array_intersect(col("_sh"), typedLit(pool))).cast("long").as("n_shared"))
       .filter(col("n_shared") >= minShared)

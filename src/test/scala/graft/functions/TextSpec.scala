@@ -158,6 +158,53 @@ class TextSpec extends SparkSpec {
     assert(out == Seq("w1 w2 w3", "w2 w3 w4", "w3 w4 w5"))
   }
 
+  test("native SortedShingleSet == composed sort(distinct(shingles3)) (fuzz incl. short/null)") {
+    val rnd = new scala.util.Random(0x55aa)
+    val docs = (0 until 300).map { i =>
+      val n = rnd.nextInt(40) // includes 0,1,2-token docs
+      // small vocab forces duplicate shingles so the dedup path is hit
+      (i.toLong, (0 until n).map(_ => s"w${rnd.nextInt(6)}").mkString(" "))
+    }
+    val df = spark.createDataFrame(docs).toDF("doc_id", "text")
+      .withColumn("_th", Text.tokenHashesFromText(col("text")))
+    val diff = df.select(
+        call_function("graft_shingle_set", col("_th")).as("nat"),
+        Text.sortedShingleSetBuiltin(col("_th")).as("cmp"))
+      .filter(not(col("nat") <=> col("cmp"))).count()
+    assert(diff == 0)
+    // null propagates
+    assert(df.limit(1).select(call_function("graft_shingle_set",
+      lit(null).cast("array<bigint>"))).head.isNullAt(0))
+  }
+
+  test("native MinHashSig == composed K-sweep minhashPerm (fuzz incl. short/null)") {
+    val rnd = new scala.util.Random(0xbeef)
+    val docs = (0 until 300).map { i =>
+      val n = rnd.nextInt(40)
+      (i.toLong, (0 until n).map(_ => s"t${rnd.nextInt(50)}").mkString(" "))
+    }
+    val K = 8
+    val df = spark.createDataFrame(docs).toDF("doc_id", "text")
+      .withColumn("_th", Text.tokenHashesFromText(col("text")))
+    val nat = df.select(col("doc_id"),
+      call_function("graft_minhash_sig", col("_th"), lit(K)).as("sig"))
+    val cmpCols = (1 to K).map(i => Text.minhashPerm(
+      Text.shingleHashes3(col("_th")), 2L * i + 1, 97L * i).as(s"mh$i"))
+    val cmp = df.select(col("doc_id") +: cmpCols: _*)
+    val joined = nat.join(cmp, "doc_id")
+    val diff = joined.filter(
+      (1 to K).map(i => not(element_at(col("sig"), i) <=> col(s"mh$i")))
+        .reduce(_ || _)).count()
+    assert(diff == 0)
+    // a doc with <3 tokens gives a NULL signature array and null mh cols
+    val short = Seq((1L, "one two")).toDF("doc_id", "text")
+      .withColumn("_th", Text.tokenHashesFromText(col("text")))
+    assert(short.select(call_function("graft_minhash_sig", col("_th"), lit(K)))
+      .head.isNullAt(0))
+    // builtin fallback agrees with the native whole-array-null contract
+    assert(short.select(Text.minhashSigBuiltin(col("_th"), K)).head.isNullAt(0))
+  }
+
   test("shingle builders propagate null (null in => null out), short docs => empty") {
     // the short-doc guards must NOT turn a null array into an empty one
     // (ADVICE r10): null input means "no document", not "empty document"
