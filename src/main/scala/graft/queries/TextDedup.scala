@@ -187,6 +187,160 @@ object TextDedup {
     bands.join(multi, Seq("bid", "key")).select("doc_id").distinct()
   }
 
+  /** One banded row for the per-band Jaccard automaton. */
+  private[queries] case class BandedDoc(bid: Int, key: String, docId: Long,
+    sh: Array[Long])
+
+  /** Streaming per-band pair generator with Jaccard computed IN the band
+    * group — the d4 scale path. Input iterator must be sorted by
+    * (bid, key, docId). Cold bands (<= cap members) emit all pairs
+    * (a < b); a band crossing the cap degrades to a star over its min doc
+    * (= the first in sorted order) exactly like [[lshPairs]] — the buffer
+    * never holds more than cap+1 shingle sets, so one pathological band
+    * key cannot blow the task heap. Jaccard = |A∩B| / (|A|+|B|-|A∩B|)
+    * over the sorted-distinct sets via an alloc-free two-pointer merge —
+    * the same arithmetic as [[Text.jaccardSorted]] (exact-integer doubles,
+    * bit-identical). */
+  private final class BandJaccardIterator(iter: Iterator[BandedDoc], cap: Int)
+      extends Iterator[(Long, Long, Double)] {
+    private val pending = scala.collection.mutable.Queue.empty[(Long, Long, Double)]
+    private var curBid = Int.MinValue
+    private var curKey: String = null
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+    private var hot = false
+    private var center: (Long, Array[Long]) = null
+
+    private def isect(a: Array[Long], b: Array[Long]): Int = {
+      var i = 0; var j = 0; var c = 0
+      while (i < a.length && j < b.length) {
+        val x = a(i); val y = b(j)
+        if (x == y) { c += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      c
+    }
+
+    private def jac(a: Array[Long], b: Array[Long]): Double = {
+      val inter = isect(a, b).toDouble
+      inter / (a.length + b.length - inter)
+    }
+
+    private def flushGroup(): Unit = {
+      // cold group at end-of-group: all pairs (hot groups emitted on the fly)
+      if (!hot && buf.length >= 2) {
+        var i = 0
+        while (i < buf.length) {
+          var j = i + 1
+          while (j < buf.length) {
+            pending.enqueue((buf(i)._1, buf(j)._1, jac(buf(i)._2, buf(j)._2)))
+            j += 1
+          }
+          i += 1
+        }
+      }
+      buf.clear(); hot = false; center = null
+    }
+
+    private def accept(d: BandedDoc): Unit = {
+      if (d.bid != curBid || d.key != curKey) {
+        flushGroup(); curBid = d.bid; curKey = d.key
+      }
+      if (hot) {
+        pending.enqueue((center._1, d.docId, jac(center._2, d.sh)))
+      } else {
+        buf.append((d.docId, d.sh))
+        if (buf.length > cap) {
+          // band just went hot: degrade the whole buffer to a star over
+          // the min doc (first in sorted order), then stream
+          hot = true
+          center = buf.head
+          var i = 1
+          while (i < buf.length) {
+            pending.enqueue((center._1, buf(i)._1, jac(center._2, buf(i)._2)))
+            i += 1
+          }
+          buf.clear()
+        }
+      }
+    }
+
+    override def hasNext: Boolean = {
+      while (pending.isEmpty && iter.hasNext) accept(iter.next())
+      if (pending.isEmpty) flushGroup()
+      pending.nonEmpty
+    }
+    override def next(): (Long, Long, Double) = pending.dequeue()
+  }
+
+  /** d4's verified near-dup pairs with the Jaccard computed PER BAND GROUP
+    * instead of per joined pair row.
+    *
+    * The double-join form (pairs ⋈ docs ⋈ docs) ships one shingle ARRAY
+    * per candidate pair through the second join's shuffle — at the 100×
+    * replica that is 22.5 M rows × ~28 longs ≈ 5 GB riding one exchange,
+    * the single largest cost in the whole bench (r10 verdict). Here each
+    * doc's set ships at most once per BAND it belongs to (≤ BANDS copies,
+    * and only for docs in ≥2-member bands): band rows join the shingle
+    * sets by doc_id, shuffle once by (bid, key), and a sorted streaming
+    * automaton emits (doc_a, doc_b, jaccard) directly — the pair-count ×
+    * set-size term disappears from every shuffle. Dedup across bands
+    * happens on the tiny (a, b, jac) rows. Same pair set as [[lshPairs]]
+    * (cold all-pairs + hot-band stars, spec-pinned), same Jaccard
+    * arithmetic as [[Text.jaccardSorted]]. */
+  private[queries] def jaccardPairsGrouped(s: SparkSession, docs: DataFrame,
+      mh: DataFrame, cap: Int = HOT_BAND_CAP): DataFrame = {
+    import s.implicits._
+    val bands = bandRows(mh)
+    val multi = bands.groupBy("bid", "key").agg(count(lit(1)).as("bc"))
+      .filter(col("bc") >= 2)
+    // join-back lands on the aggregate's own key layout — no extra exchange
+    val banded = bands.join(multi, Seq("bid", "key"))
+      .select(col("doc_id"), col("bid"), col("key"))
+    // shingle sets ONLY for docs that can appear in a pair (the
+    // candidateDocIds restriction, fused into this path's semi-join)
+    val docsSh = docs
+      .join(banded.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      .withColumn("_th", Text.tokenHashesFromText(col("text")))
+      .select(col("doc_id"), Text.sortedShingleSet(col("_th")).as("sh"))
+      .filter(col("sh").isNotNull)
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    banded.join(docsSh, Seq("doc_id"))
+      .select(col("bid"), col("key"), col("doc_id").as("docId"), col("sh"))
+      .as[BandedDoc]
+      .repartition(parts, col("bid"), col("key"))
+      .sortWithinPartitions("bid", "key", "docId")
+      .mapPartitions(it => new BandJaccardIterator(it, cap))
+      .toDF("doc_a", "doc_b", "jaccard")
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** The double-join reference form of d4 (rounds 7-10's shipped shape):
+    * lshPairs ⋈ docs ⋈ docs with a per-pair sorted-merge intersect.
+    * Adaptive candidate restriction: shingle sets are built only for docs
+    * that can appear in a pair unless most docs are candidates (the
+    * synthetic replica), where the semi-join is measured-neutral.
+    * Kept as the spec oracle for [[jaccardPairsGrouped]] — and as the
+    * better plan when the pair list is externally provided rather than
+    * band-derived. */
+  private[queries] def jaccardPairsJoined(s: SparkSession, base: DataFrame,
+      mh: DataFrame, cap: Int = HOT_BAND_CAP): DataFrame = {
+    val cand = candidateDocIds(mh).persist()
+    val restricted = cand.count() < base.count() / 2
+    if (!restricted) cand.unpersist()
+    val src =
+      if (restricted) base.join(cand, Seq("doc_id"), "left_semi") else base
+    val docs = src
+      .withColumn("_th", Text.tokenHashesFromText(col("text")))
+      .select(col("doc_id"), Text.sortedShingleSet(col("_th")).as("sh"))
+      .persist()
+    lshPairs(mh, cap)
+      .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
+      .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        Text.jaccardSorted(col("da.sh"), col("db.sh")).as("jaccard"))
+  }
+
   /** The band keys the cap degraded, with their membership counts — report
     * this next to any capped dedup run (no silent truncation). */
   def hotBands(mh: DataFrame, cap: Int = HOT_BAND_CAP): DataFrame =
@@ -281,36 +435,14 @@ object TextDedup {
         .select(col("doc_a"), col("doc_b"), roundSim(est).as("est_sim"))
     },
     // ----- D4: n-gram Jaccard over distinct shingle-hash sets, verified
-    // only on LSH candidates (long-array intersect, not string compares)
+    // only on LSH candidates. The banded-automaton path: shingle sets ship
+    // per BAND membership (<= BANDS copies each), never per pair — see
+    // jaccardPairsGrouped; TextDedupSpec pins it pair-for-pair equal to
+    // the double-join form (jaccardPairsJoined), which remains the
+    // reference implementation.
     "d4_jaccard_verify" -> { (s, d) =>
-      val mh = cachedMinhash(s, d)
-      // Adaptive candidate restriction: building distinct shingle sets only
-      // for docs that can appear in a candidate pair skips the md5-heavy
-      // array build for the non-candidate majority of a real corpus
-      // (candidateDocIds is a proven superset of pair members). When most
-      // docs ARE candidates — the synthetic 100x replica gives every doc 99
-      // verbatim copies — the semi-join only adds a text shuffle (measured
-      // +10% there), so fall back to the unrestricted scan. Both branches
-      // are result-identical; the two counts are a band scan over the
-      // persisted signature frame + a parquet metadata count.
-      val cand = candidateDocIds(mh).persist()
-      val base = Tables.documents(s, d)
-      val restricted = cand.count() < base.count() / 2
-      if (!restricted) cand.unpersist() // unused by the fallback branch
-      val src =
-        if (restricted) base.join(cand, Seq("doc_id"), "left_semi") else base
-      // sorted-distinct sets: the per-doc sort is paid once, every
-      // per-pair intersect becomes a native linear merge (jaccardSorted)
-      val docs = src
-        .withColumn("_th", Text.tokenHashesFromText(col("text")))
-        .select(col("doc_id"),
-          Text.sortedShingleSet(col("_th")).as("sh"))
-        .persist()
-      lshPairs(mh)
-        .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
-        .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
-        .select(col("doc_a"), col("doc_b"),
-          r6(Text.jaccardSorted(col("da.sh"), col("db.sh"))).as("jaccard"))
+      jaccardPairsGrouped(s, Tables.documents(s, d), cachedMinhash(s, d))
+        .select(col("doc_a"), col("doc_b"), r6(col("jaccard")).as("jaccard"))
     },
     // ----- D7: duplicate-cluster resolution — connected components over
     // the LSH candidate graph; every doc maps to its cluster's min id.

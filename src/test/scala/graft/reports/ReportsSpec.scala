@@ -36,17 +36,64 @@ class ReportsSpec extends SparkSpec {
     "error_rate_bq0", "error_rate_bq3", "error_rate_bq5", "error_rate_bq10",
     "snp_count_bq0", "snp_count_bq3", "snp_count_bq5", "snp_count_bq10")
 
+  private def mrdFeatures = Seq(("c1", 1L, "S", "matched", 70.0, 300L))
+    .toDF("chrom", "pos", "signature", "signature_type", "qual", "x_length")
+  private def mrdSignatures = Seq(
+    ("c1", 1L, "S", "matched", "C->T", 0.4, 30L, true))
+    .toDF("chrom", "pos", "signature", "signature_type", "mutation_type",
+      "af", "coverage", "pass_sig")
+  private def mrdLabeled = Seq((true, 70.0)).toDF("label", "qual")
+
+  // 3-novelty long frame with up to 3 named metric columns (padded names
+  // are dropped again so arity always matches the 5-tuples)
+  private def jcLong(cols: String*) = {
+    val padded = (cols ++ Seq("_p1", "_p2", "_p3")).take(3)
+    Seq(
+      ("none", "all", "1", "2", "3"), ("none", "known", "1", "2", "3"),
+      ("none", "novel", "1", "2", "3"))
+      .toDF(Seq("JexlExpression", "Novelty") ++ padded: _*)
+      .select((Seq("JexlExpression", "Novelty") ++ cols)
+        .map(org.apache.spark.sql.functions.col): _*)
+  }
+
+  private def detailedData = (1 to 30).map { i =>
+    (Seq("tp", "fp", "fn")(i % 3), if (i % 2 == 0) "PASS" else "LOW",
+      i / 30.0, i % 2 == 0, i % 3, i % 5, i / 30.0, i.toDouble,
+      i % 2 == 0, i % 3 == 0, i % 4 == 0, i % 5 == 0)
+  }.toDF("classify_gt", "filter", "tree_score", "indel", "indel_length",
+    "hmer_indel_length", "gc_content", "coverage", "lcr", "mappability",
+    "ug_hcr", "exome")
+
   test("registerAll registers every report layer's views in one call") {
+    import org.apache.spark.sql.functions.col
     val names = Reports.registerAll(spark,
       concordance = Some(concordance),
       variants = Some(variants),
       qc = Some(Reports.QcInputs(metrics, cvg, cvg, totalBeads = 2000.0)),
-      motifs = Some(motifs))
+      motifs = Some(motifs),
+      mrd = Some(Reports.MrdInputs(mrdFeatures, mrdSignatures, mrdLabeled,
+        col("qual") >= 60, col("pass_sig"))),
+      jointCalling = Some(Reports.JcInputs(
+        jcLong("insertion_to_deletion_ratio",
+          "n_singleton_SNPs", "n_singleton_indels"),
+        jcLong("nSNPs", "nIndels", "TiTvRatio"),
+        jcLong("variantMultiSnpRatio", "variantMultiIndelRatio"),
+        Seq(("none", "known", "1", "0.5"))
+          .toDF("JexlExpression", "Novelty", "Length", "Freq"))),
+      detailed = Some(Reports.DetailedInputs(detailedData,
+        Seq("Exome" -> col("exome")))))
     val expected = Set(
       "accuracy_metrics", "recall_precision_curve", "optimal_recall_precision",
       "motif_spectrum", "af_histogram", "indel_histogram",
       "qc_throughput", "qc_coverage", "qc_error", "qc_top_metrics",
-      "strand_matched_errors", "error_rate_summary", "cycle_skip_asymmetry")
+      "strand_matched_errors", "error_rate_summary", "cycle_skip_asymmetry",
+      "mrd_mutation_type_spectrum", "mrd_allele_fraction_hist",
+      "mrd_denom_ratio", "mrd_tf_filt_signature_filt_featuremap",
+      "mrd_tf_unfilt_signature_filt_featuremap",
+      "mrd_tf_filt_signature_unfilt_featuremap",
+      "mrd_supporting_reads_per_locus", "mrd_read_length_dist",
+      "jc_variant_statistics", "jc_indel_length_histogram",
+      "detailed_vars")
     assert(names.toSet == expected, s"got: ${names.sorted}")
     expected.foreach { v =>
       assert(spark.catalog.tableExists(v), s"view $v missing")
