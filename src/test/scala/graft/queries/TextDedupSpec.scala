@@ -183,6 +183,35 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.nonEmpty && cand.size < 46, "restriction should prune the unique docs")
   }
 
+  test("jaccardPairsGrouped == jaccardPairsJoined pair-for-pair (mixed, near-dup, hot-band)") {
+    val rnd = new scala.util.Random(0x44d)
+    // near-dup family: shared 20-word base with per-doc tail edits, plus
+    // exact-dup groups (some larger than the test cap => hot bands), plus
+    // unique noise docs in singleton bands
+    val base = (1 to 20).map(i => s"b$i").mkString(" ")
+    val docs = (
+      (1L to 30L).map(i => (i,
+        Seq.fill(12)("u" + (i * 991 + rnd.nextInt(50000))).mkString(" "))) ++
+      (31L to 40L).map(i => (i, base + s" tail${i % 4} x$i end")) ++
+      (41L to 60L).map(i => (i, text)) ++                 // 20 exact dups
+      (61L to 64L).map(i => (i, base))                    // 4 exact dups
+    ).toDF("doc_id", "text")
+    val mh = TextDedup.signatureFrame(docs)
+    for (cap <- Seq(8, 128)) { // 8 => the 20-dup group degrades to a star
+      def norm(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Double]("jaccard"))).toSet
+      val grouped = norm(TextDedup.jaccardPairsGrouped(spark, docs, mh, cap))
+      val joined = norm(TextDedup.jaccardPairsJoined(spark, docs, mh, cap))
+      assert(grouped == joined, s"cap=$cap: grouped/joined diverge " +
+        s"(only-grouped=${grouped.diff(joined).take(3)}, " +
+        s"only-joined=${joined.diff(grouped).take(3)})")
+      assert(grouped.nonEmpty)
+      // bit-identical jaccard, not just approximately equal
+      assert(grouped.forall { case (_, _, j) => j >= 0.0 && j <= 1.0 })
+    }
+  }
+
   test("bandStarEdges is component-equivalent to lshPairs (mixed + hot-band corpora)") {
     import graft.operators.Dedup
     // mixed corpus: dup groups of several sizes + unique docs, plus a
