@@ -50,6 +50,21 @@ object Curation {
       .withColumn("_th", Text.tokenHashesFromText(col("text")))
       .select(col("doc_id"), Text.sortedShingleSet(col("_th")).as("sh"))
 
+  /** Write the corpus shingle-set table ONCE — the at-rest form of the
+    * [[cachedShingleSets]] session memo (what the memo's scaladoc calls
+    * "a written-once shingle table at a real lake"). An ingest job pays
+    * the tokenize+hash pass a single time; d8/x6/x8-shaped consumers then
+    * run their `*From(...)` variants against [[shingleSetsFromParquet]]
+    * without rescanning document text. CurationSpec proves the round trip
+    * frame-identical to the direct build (sorted sets are deterministic,
+    * so equality is exact). */
+  def shingleSetsToParquet(docs: DataFrame, path: String): Unit =
+    shingleSets(docs).write.mode("overwrite").parquet(path)
+
+  /** Read the artifact written by [[shingleSetsToParquet]]. */
+  def shingleSetsFromParquet(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+
   /** Session-scoped memo of the corpus shingle-set frame — the same
     * pattern (and the same production argument) as TextDedup.cachedMinhash
     * and Similarity.annIndex: d8 (hotspots), x6 (decontamination) and x8

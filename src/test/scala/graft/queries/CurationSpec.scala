@@ -161,4 +161,22 @@ class CurationSpec extends SparkSpec {
     assert(shard3.nonEmpty && shard3.sameElements(shard3.sorted),
       "shard file must come back in sortkey order")
   }
+
+  test("shingle-set artifact roundtrip: parquet == direct build, consumers identical") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shingles").toString
+    Curation.shingleSetsToParquet(docs, dir)
+    val back = Curation.shingleSetsFromParquet(spark, dir)
+    // sorted-distinct sets are deterministic per doc => EXACT frame equality
+    val direct = docs
+      .withColumn("_th", graft.functions.Text.tokenHashesFromText(col("text")))
+      .select(col("doc_id"), graft.functions.Text.sortedShingleSet(col("_th")).as("sh"))
+    assert(back.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(back).count() == 0)
+    // a d8-shaped consumer served from the ARTIFACT equals the direct run
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(norm(Curation.hotspotNgramsFrom(back)) ==
+      norm(Curation.hotspotNgramsFrom(direct)))
+  }
 }

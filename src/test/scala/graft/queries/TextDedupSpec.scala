@@ -359,4 +359,32 @@ class TextDedupSpec extends SparkSpec {
     val plan = back.filter(col("cid") === 0).queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") || back.filter(col("cid") === 0).count() > 0)
   }
+
+  test("ANN index artifact roundtrip: parquet == session memo, queries identical") {
+    val d = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft_annidx").toString
+    Similarity.writeAnnIndex(spark, d, dir)
+    val (mAssigned, mCodes, mCells) = Similarity.annIndex(spark, d)
+    val (pAssigned, pCodes, pCells) = Similarity.annIndexFromParquet(spark, dir)
+    assert(pCells == mCells)
+    // frame-identical both ways (partitioned write reorders columns —
+    // align by name before the except)
+    def diff(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame,
+             cols: Seq[String]) = {
+      val (x, y) = (a.select(cols.map(col): _*), b.select(cols.map(col): _*))
+      x.exceptAll(y).count() + y.exceptAll(x).count()
+    }
+    assert(diff(mAssigned.drop("v", "cv", "cnrm", "nrm"),
+      pAssigned.drop("v", "cv", "cnrm", "nrm"), Seq("vec_id", "cid")) == 0)
+    assert(diff(mCodes, pCodes, Seq("vec_id", "cid", "codes")) == 0)
+    // an e4-shaped query served from the ARTIFACT equals the memo-served one
+    val all = Similarity.vecs(spark, d)
+    val queries = all.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    def run(codes: org.apache.spark.sql.DataFrame, n: Long) =
+      Similarity.ivfPqSearchIndexed(all, codes.select("vec_id", "cid", "codes"),
+          queries, n)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(run(pCodes, pCells) == run(mCodes, mCells))
+  }
 }
