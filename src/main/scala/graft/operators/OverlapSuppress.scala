@@ -62,10 +62,15 @@ object OverlapSuppress {
     // stats, guard-window invalidation, the automaton itself); materialize
     // it ONCE so they scan the cache instead of re-deriving from source
     // each time (4 source scans -> 1). Local A/B at the 100x replica is
-    // NEUTRAL (cache build cost ~ 3 saved columnar parquet scans); the
-    // lever is priced for object-store sources where each scan is real
-    // I/O. Stays persisted for the consumer's action — Spark's LRU evicts
-    // under pressure; MEMORY_AND_DISK spills rather than recomputes.
+    // NEUTRAL (cache build cost ~ 3 saved columnar parquet scans). Under
+    // a measured object-store latency shim (ObjStoreProbe / OBJSTORE.json)
+    // the lever is REGIME-DEPENDENT: with files ≈ cores the per-open
+    // latency amortizes across parallel tasks and 4 scans beat the cache
+    // build (0.94 vs 2.56 s at 25 ms/open, 64 files/32 cores), while in
+    // the many-small-objects regime the materialize wins (11.5 vs 4.5 s
+    // at 80 ms/open, 1024 files) — which is the 100 TB lake shape, so the
+    // persist stays. Spark's LRU evicts under pressure; MEMORY_AND_DISK
+    // spills rather than recomputes.
     val cached = ds.persist()
     cached.count()
     // ONE per-chrom pass for both the split candidates and the max extent
