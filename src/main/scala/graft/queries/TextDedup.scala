@@ -187,21 +187,49 @@ object TextDedup {
     bands.join(multi, Seq("bid", "key")).select("doc_id").distinct()
   }
 
-  /** One banded row for the per-band Jaccard automaton. */
+  /** One banded row for the per-band pair automaton (`sh` is whichever
+    * payload the score consumes: sorted shingle set for d4, the K-long
+    * signature vector for d3). */
   private[queries] case class BandedDoc(bid: Int, key: String, docId: Long,
     sh: Array[Long])
 
-  /** Streaming per-band pair generator with Jaccard computed IN the band
-    * group — the d4 scale path. Input iterator must be sorted by
-    * (bid, key, docId). Cold bands (<= cap members) emit all pairs
+  /** Jaccard over sorted-distinct long arrays — alloc-free two-pointer
+    * merge, the exact-integer-double arithmetic of [[Text.jaccardSorted]]. */
+  private[queries] val jaccardScore: (Array[Long], Array[Long]) => Double =
+    (a, b) => {
+      var i = 0; var j = 0; var c = 0
+      while (i < a.length && j < b.length) {
+        val x = a(i); val y = b(j)
+        if (x == y) { c += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      val inter = c.toDouble
+      inter / (a.length + b.length - inter)
+    }
+
+  /** Matching-component fraction of two equal-length signature vectors —
+    * d3's estimated similarity (Σ[a_i == b_i] / K, exact-integer
+    * doubles). */
+  private[queries] val estSimScore: (Array[Long], Array[Long]) => Double =
+    (a, b) => {
+      var i = 0; var c = 0
+      while (i < a.length) { if (a(i) == b(i)) c += 1; i += 1 }
+      c.toDouble / a.length
+    }
+
+  /** Streaming per-band pair generator with the pair score computed IN
+    * the band group — the d3/d4 scale path. Input iterator must be sorted
+    * by (bid, key, docId). Cold bands (<= cap members) emit all pairs
     * (a < b); a band crossing the cap degrades to a star over its min doc
     * (= the first in sorted order) exactly like [[lshPairs]] — the buffer
-    * never holds more than cap+1 shingle sets, so one pathological band
-    * key cannot blow the task heap. Jaccard = |A∩B| / (|A|+|B|-|A∩B|)
-    * over the sorted-distinct sets via an alloc-free two-pointer merge —
-    * the same arithmetic as [[Text.jaccardSorted]] (exact-integer doubles,
-    * bit-identical). */
-  private final class BandJaccardIterator(iter: Iterator[BandedDoc], cap: Int)
+    * never holds more than cap+1 payload arrays, so one pathological band
+    * key cannot blow the task heap. `score` is evaluated per emitted
+    * pair: Jaccard over sorted-distinct shingle sets for d4 (the same
+    * exact-integer-double arithmetic as [[Text.jaccardSorted]]),
+    * matching-component fraction over signature vectors for d3. */
+  private final class BandPairIterator(iter: Iterator[BandedDoc], cap: Int,
+      score: (Array[Long], Array[Long]) => Double)
       extends Iterator[(Long, Long, Double)] {
     private val pending = scala.collection.mutable.Queue.empty[(Long, Long, Double)]
     private var curBid = Int.MinValue
@@ -210,22 +238,6 @@ object TextDedup {
     private var hot = false
     private var center: (Long, Array[Long]) = null
 
-    private def isect(a: Array[Long], b: Array[Long]): Int = {
-      var i = 0; var j = 0; var c = 0
-      while (i < a.length && j < b.length) {
-        val x = a(i); val y = b(j)
-        if (x == y) { c += 1; i += 1; j += 1 }
-        else if (x < y) i += 1
-        else j += 1
-      }
-      c
-    }
-
-    private def jac(a: Array[Long], b: Array[Long]): Double = {
-      val inter = isect(a, b).toDouble
-      inter / (a.length + b.length - inter)
-    }
-
     private def flushGroup(): Unit = {
       // cold group at end-of-group: all pairs (hot groups emitted on the fly)
       if (!hot && buf.length >= 2) {
@@ -233,7 +245,7 @@ object TextDedup {
         while (i < buf.length) {
           var j = i + 1
           while (j < buf.length) {
-            pending.enqueue((buf(i)._1, buf(j)._1, jac(buf(i)._2, buf(j)._2)))
+            pending.enqueue((buf(i)._1, buf(j)._1, score(buf(i)._2, buf(j)._2)))
             j += 1
           }
           i += 1
@@ -247,7 +259,7 @@ object TextDedup {
         flushGroup(); curBid = d.bid; curKey = d.key
       }
       if (hot) {
-        pending.enqueue((center._1, d.docId, jac(center._2, d.sh)))
+        pending.enqueue((center._1, d.docId, score(center._2, d.sh)))
       } else {
         buf.append((d.docId, d.sh))
         if (buf.length > cap) {
@@ -257,7 +269,7 @@ object TextDedup {
           center = buf.head
           var i = 1
           while (i < buf.length) {
-            pending.enqueue((center._1, buf(i)._1, jac(center._2, buf(i)._2)))
+            pending.enqueue((center._1, buf(i)._1, score(center._2, buf(i)._2)))
             i += 1
           }
           buf.clear()
@@ -310,8 +322,37 @@ object TextDedup {
       .as[BandedDoc]
       .repartition(parts, col("bid"), col("key"))
       .sortWithinPartitions("bid", "key", "docId")
-      .mapPartitions(it => new BandJaccardIterator(it, cap))
+      .mapPartitions(it => new BandPairIterator(it, cap, TextDedup.jaccardScore))
       .toDF("doc_a", "doc_b", "jaccard")
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** d3's candidate pairs + estimated similarity via the SAME band
+    * automaton as [[jaccardPairsGrouped]] — band rows AND the signature
+    * vector come out of one scan of the (persisted) signature frame, so
+    * the two 22.5 M-pair-row joins of the double-join form disappear
+    * entirely: one band shuffle of ~BANDS×N tiny rows, pairs scored
+    * in-group, dedup on the output rows. No multi-band prefilter: the
+    * payload is K longs, cheaper to ship than to semi-join away.
+    * TextDedupSpec pins it pair-for-pair equal to the join form. */
+  private[queries] def estSimPairsGrouped(s: SparkSession, mh: DataFrame,
+      cap: Int = HOT_BAND_CAP): DataFrame = {
+    import s.implicits._
+    val bandsArr = array((1 to BANDS).map { b =>
+      struct(lit(b).as("bid"),
+        concat_ws("_", col(s"mh${2 * b - 1}"), col(s"mh${2 * b}")).as("key"))
+    }: _*)
+    val sig = array((1 to K).map(i => col(s"mh$i")): _*)
+    val rows = mh.filter(col("mh1").isNotNull)
+      .select(col("doc_id"), sig.as("sig"), explode(bandsArr).as("band"))
+      .select(col("band.bid").as("bid"), col("band.key").as("key"),
+        col("doc_id").as("docId"), col("sig").as("sh"))
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    rows.as[BandedDoc]
+      .repartition(parts, col("bid"), col("key"))
+      .sortWithinPartitions("bid", "key", "docId")
+      .mapPartitions(it => new BandPairIterator(it, cap, TextDedup.estSimScore))
+      .toDF("doc_a", "doc_b", "est_sim")
       .dropDuplicates("doc_a", "doc_b")
   }
 
@@ -423,16 +464,12 @@ object TextDedup {
       withMinhash(Tables.documents(s, d))
         .select("doc_id", (1 to K).map(i => s"mh$i"): _*)
     },
-    // ----- D3: LSH candidate pairs + estimated similarity
+    // ----- D3: LSH candidate pairs + estimated similarity — the band
+    // automaton (one band shuffle, score in-group) instead of
+    // lshPairs + two signature joins; spec-pinned equal to the join form
     "d3_lsh_pairs" -> { (s, d) =>
-      val mh = cachedMinhash(s, d)
-      val est = (1 to K).map(i =>
-        when(col(s"a.mh$i") === col(s"b.mh$i"), 1.0).otherwise(0.0))
-        .reduce(_ + _) / K
-      lshPairs(mh)
-        .join(mh.as("a"), col("doc_a") === col("a.doc_id"))
-        .join(mh.as("b"), col("doc_b") === col("b.doc_id"))
-        .select(col("doc_a"), col("doc_b"), roundSim(est).as("est_sim"))
+      estSimPairsGrouped(s, cachedMinhash(s, d))
+        .select(col("doc_a"), col("doc_b"), roundSim(col("est_sim")).as("est_sim"))
     },
     // ----- D4: n-gram Jaccard over distinct shingle-hash sets, verified
     // only on LSH candidates. The banded-automaton path: shingle sets ship

@@ -212,6 +212,35 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("estSimPairsGrouped == lshPairs + signature joins pair-for-pair") {
+    val rnd = new scala.util.Random(0xd3)
+    val base = (1 to 20).map(i => s"c$i").mkString(" ")
+    val docs = (
+      (1L to 25L).map(i => (i,
+        Seq.fill(12)("q" + (i * 883 + rnd.nextInt(40000))).mkString(" "))) ++
+      (26L to 33L).map(i => (i, base + s" end${i % 3} z$i")) ++
+      (34L to 48L).map(i => (i, text))
+    ).toDF("doc_id", "text")
+    val mh = TextDedup.signatureFrame(docs)
+    for (cap <- Seq(6, 128)) {
+      val grouped = TextDedup.estSimPairsGrouped(spark, mh, cap)
+        .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Double]("est_sim"))).toSet
+      val est = (1 to 8).map(i =>
+        when(col(s"a.mh$i") === col(s"b.mh$i"), 1.0).otherwise(0.0))
+        .reduce(_ + _) / 8
+      val joined = TextDedup.lshPairs(mh, cap)
+        .join(mh.as("a"), col("doc_a") === col("a.doc_id"))
+        .join(mh.as("b"), col("doc_b") === col("b.doc_id"))
+        .select(col("doc_a"), col("doc_b"), est.as("est_sim"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(grouped == joined, s"cap=$cap: " +
+        s"only-grouped=${grouped.diff(joined).take(3)}, " +
+        s"only-joined=${joined.diff(grouped).take(3)}")
+      assert(grouped.nonEmpty)
+    }
+  }
+
   test("bandStarEdges is component-equivalent to lshPairs (mixed + hot-band corpora)") {
     import graft.operators.Dedup
     // mixed corpus: dup groups of several sizes + unique docs, plus a
