@@ -471,26 +471,18 @@ object Similarity {
     * contents are deterministic, so sharing cannot change any result. */
   private val annIndexCache = new java.util.concurrent.ConcurrentHashMap[
     (Int, String), (DataFrame, DataFrame, Long)]()
+  // recency order for true LRU eviction: past the cap, evict ONE eldest
+  // entry (the clear-all-but-current form unpersisted frames a concurrent
+  // query on another dir could be scanning and thrashed when >cap dirs
+  // alternated — the ADVICE r10 pattern, fixed like Curation's memo)
+  private val annIndexLru = new java.util.LinkedHashMap[
+    (Int, String), java.lang.Boolean](16, 0.75f, /*accessOrder=*/ true)
   private val AnnIndexCacheMax = 8
 
   private[queries] def annIndex(s: SparkSession, d: String)
       : (DataFrame, DataFrame, Long) = {
-    // a long-lived session scanning many corpora must not accumulate
-    // persisted index frames without bound: past the cap, evict (and
-    // unpersist) everything but the requested dir — recompute on a
-    // re-visit is correct, just cold
-    if (annIndexCache.size >= AnnIndexCacheMax) {
-      val it = annIndexCache.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        if (e.getKey != ((System.identityHashCode(s), d))) {
-          e.getValue._1.unpersist(false)
-          e.getValue._2.unpersist(false)
-          it.remove()
-        }
-      }
-    }
-    val entry = annIndexCache.computeIfAbsent((System.identityHashCode(s), d), _ => {
+    val key = (System.identityHashCode(s), d)
+    val entry = annIndexCache.computeIfAbsent(key, _ => {
       val nCells = cellCountForAnn(Tables.embeddings(s, d).count())
       val all = vecs(s, d)
       val cents = all.filter(col("vec_id") < nCells)
@@ -502,6 +494,17 @@ object Similarity {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (assigned, codes, nCells)
     })
+    annIndexLru.synchronized {
+      annIndexLru.put(key, java.lang.Boolean.TRUE)
+      while (annIndexLru.size > AnnIndexCacheMax) {
+        val eldest = annIndexLru.entrySet().iterator().next().getKey
+        annIndexLru.remove(eldest)
+        val evicted = annIndexCache.remove(eldest)
+        if (evicted != null) {
+          evicted._1.unpersist(false); evicted._2.unpersist(false)
+        }
+      }
+    }
     // re-persist if an external clearCache() dropped the memoized frames
     // (otherwise every ANN query recomputes assignment/encode)
     Seq(entry._1, entry._2).foreach { df =>

@@ -52,22 +52,16 @@ object TextDedup {
     * CacheManager's canonical-plan dedupe. */
   private val dedupFrameCache = new java.util.concurrent.ConcurrentHashMap[
     (Int, String, String), DataFrame]()
+  // recency order for true LRU eviction (one eldest entry, not a
+  // clear-all-but-current — the ADVICE r10 thrash pattern, fixed here the
+  // same way as Curation's shingle memo)
+  private val dedupLru = new java.util.LinkedHashMap[
+    (Int, String, String), java.lang.Boolean](16, 0.75f, /*accessOrder=*/ true)
   private val DedupCacheMax = 8
 
   private def cachedMinhash(s: SparkSession, d: String): DataFrame = {
-    // bounded like Similarity.annIndex: a session scanning many corpora
-    // evicts (and unpersists) other dirs' signature frames past the cap
-    if (dedupFrameCache.size >= DedupCacheMax) {
-      val it = dedupFrameCache.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        if (e.getKey != ((System.identityHashCode(s), d, "mh"))) {
-          e.getValue.unpersist(false)
-          it.remove()
-        }
-      }
-    }
-    val df = dedupFrameCache.computeIfAbsent((System.identityHashCode(s), d, "mh"), { _ =>
+    val key = (System.identityHashCode(s), d, "mh")
+    val df = dedupFrameCache.computeIfAbsent(key, { _ =>
       val fresh = signatureFrame(Tables.documents(s, d)).persist()
       // materialize NOW: LSH consumers scan this frame 3-5 times inside one
       // job, and parallel stages of a single action each recompute the
@@ -78,6 +72,15 @@ object TextDedup {
       fresh.count()
       fresh
     })
+    dedupLru.synchronized {
+      dedupLru.put(key, java.lang.Boolean.TRUE)
+      while (dedupLru.size > DedupCacheMax) {
+        val eldest = dedupLru.entrySet().iterator().next().getKey
+        dedupLru.remove(eldest)
+        val evicted = dedupFrameCache.remove(eldest)
+        if (evicted != null) evicted.unpersist(false)
+      }
+    }
     // re-persist if an external clearCache() dropped the memoized frame
     // (otherwise every LSH consumer recomputes the corpus hash pass)
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {

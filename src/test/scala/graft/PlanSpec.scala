@@ -61,6 +61,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("d3/d4 run the band automaton: MapPartitions present, no pair-row payload joins") {
+    // the r11 scale path: pairs are generated AND scored inside a
+    // (bid, key)-shuffled streaming iterator; a silent regression to the
+    // double-join form (pair rows re-joined against per-doc arrays/
+    // signatures) would re-introduce the pairs x payload shuffle term.
+    for (q <- Seq("d3_lsh_pairs", "d4_jaccard_verify")) {
+      val p = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("MapPartitions"), s"$q lost the band automaton")
+      assert(!p.contains("doc_a#") || !p.toLowerCase.contains("sortmergejoin"),
+        s"$q re-joins pair rows")
+    }
+  }
+
   test("j13 salted skew join shuffles on (key, salt), not broadcast") {
     val p = SparkEntry.queries("j13_skew_join")(spark, sfDir)
       .queryExecution.executedPlan.toString
