@@ -49,12 +49,165 @@ object ReportGrid {
         (col("l_partkey") % 5 === 0).as("ug_hcr"),
         (col("l_orderkey") % 100 === 0).as("exome"))
 
+  // ---- rg2: MRD tumor fraction over frames derived from supplier /
+  // lineitem / orders — gates the broadcast locus semi-join, the
+  // per-signature rollup, ceil(coverage x denom_ratio) and the 1e-7 floor
+  private def mrdSignatures(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d).select(
+      concat(lit("c"), (col("s_suppkey") % 5).cast("string")).as("chrom"),
+      col("s_suppkey").as("pos"),
+      concat(lit("S"), (col("s_suppkey") % 3).cast("string")).as("signature"),
+      when(col("s_suppkey") % 3 === 0, "matched").otherwise("control")
+        .as("signature_type"),
+      (col("s_suppkey") % 70 + 10).as("coverage"))
+
+  private def mrdFeatures(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
+      concat(lit("c"), (col("l_suppkey") % 5).cast("string")).as("chrom"),
+      col("l_suppkey").as("pos"),
+      concat(lit("S"), (col("l_suppkey") % 3).cast("string")).as("signature"),
+      when(col("l_suppkey") % 3 === 0, "matched").otherwise("control")
+        .as("signature_type"),
+      col("l_quantity").as("qual"))
+
+  private def mrdLabeled(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      (col("o_orderkey") % 3 === 0).as("label"),
+      (col("o_totalprice") % 100).as("qual"))
+
+  // ---- rg3: the joint-calling VariantEval pivot over three long frames
+  // aggregated from lineitem (annotation = l_linestatus, novelty =
+  // l_returnflag mapped A->all / N->novel / R->known)
+  private def jcNovelty =
+    when(col("l_returnflag") === "A", "all")
+      .when(col("l_returnflag") === "N", "novel").otherwise("known")
+
+  /** ONE aggregate scan carrying all seven metrics, persisted (6 rows),
+    * then sliced into the three GATK-shaped input frames — three separate
+    * derivations would each rescan lineitem for the same group keys. */
+  private def jcAgg(s: SparkSession, d: String): DataFrame = {
+    val agg = Tables.lineitem(s, d)
+      .groupBy(col("l_linestatus").as("JexlExpression"), jcNovelty.as("Novelty"))
+      .agg(count(lit(1)).as("nSNPs"),
+        sum(col("l_quantity").cast("long")).as("nIndels"),
+        avg("l_discount").as("TiTvRatio"),
+        avg("l_tax").as("insertion_to_deletion_ratio"),
+        min("l_partkey").as("n_singleton_SNPs"),
+        max("l_suppkey").as("n_singleton_indels"),
+        avg("l_discount").as("variantMultiSnpRatio"),
+        avg("l_tax").as("variantMultiIndelRatio"))
+      .persist()
+    agg.count()
+    agg
+  }
+
+  private def jcVs(agg: DataFrame): DataFrame =
+    agg.select("JexlExpression", "Novelty", "nSNPs", "nIndels", "TiTvRatio")
+
+  private def jcIs(agg: DataFrame): DataFrame =
+    agg.select("JexlExpression", "Novelty", "insertion_to_deletion_ratio",
+      "n_singleton_SNPs", "n_singleton_indels")
+
+  private def jcMs(agg: DataFrame): DataFrame =
+    agg.select("JexlExpression", "Novelty", "variantMultiSnpRatio",
+      "variantMultiIndelRatio")
+
   val queries: Map[String, Q] = Map(
     "rg1_detailed_grid" -> { (s, d) =>
       DetailedVarReport.detailedVars(source(s, d), Seq("Exome" -> col("exome")))
+    },
+    "rg2_mrd_tf" -> { (s, d) =>
+      graft.reports.MrdReport.tumorFraction(
+        mrdFeatures(s, d).filter(col("qual") >= 25),
+        mrdSignatures(s, d),
+        graft.reports.MrdReport.denomRatioFrame(mrdLabeled(s, d), col("qual") >= 25))
+    },
+    "rg3_jc_stats" -> { (s, d) =>
+      val agg = jcAgg(s, d)
+      graft.reports.JointCallingReport.variantStatistics(
+        jcIs(agg), jcVs(agg), jcMs(agg))
     })
 
   val oracles: Map[String, String] = Map(
+    "rg2_mrd_tf" ->
+      """WITH sig AS (
+           SELECT 'c' || CAST(s_suppkey % 5 AS VARCHAR) AS chrom,
+                  s_suppkey AS pos,
+                  'S' || CAST(s_suppkey % 3 AS VARCHAR) AS signature,
+                  CASE WHEN s_suppkey % 3 = 0 THEN 'matched' ELSE 'control' END AS signature_type,
+                  s_suppkey % 70 + 10 AS coverage
+           FROM supplier),
+         feat AS (
+           SELECT 'c' || CAST(l_suppkey % 5 AS VARCHAR) AS chrom,
+                  l_suppkey AS pos,
+                  'S' || CAST(l_suppkey % 3 AS VARCHAR) AS signature,
+                  CASE WHEN l_suppkey % 3 = 0 THEN 'matched' ELSE 'control' END AS signature_type
+           FROM lineitem WHERE l_quantity >= 25),
+         dn AS (
+           SELECT AVG(CASE WHEN (o_totalprice % 100) >= 25 THEN 1.0 ELSE 0.0 END) AS r
+           FROM orders WHERE o_orderkey % 3 = 0),
+         panel AS (
+           SELECT signature_type, signature, SUM(coverage) AS coverage
+           FROM sig GROUP BY 1, 2),
+         loci AS (SELECT DISTINCT chrom, pos FROM sig),
+         sup AS (
+           SELECT f.signature_type, f.signature, count(*) AS supporting_reads
+           FROM feat f JOIN loci USING (chrom, pos) GROUP BY 1, 2),
+         tf0 AS (
+           SELECT p.signature_type, p.signature,
+                  COALESCE(s.supporting_reads, 0) AS supporting_reads,
+                  p.coverage,
+                  CAST(ceil(p.coverage * dn.r) AS BIGINT) AS corrected_coverage
+           FROM panel p LEFT JOIN sup s USING (signature_type, signature)
+           CROSS JOIN dn)
+         SELECT signature_type, signature, supporting_reads, coverage,
+                corrected_coverage,
+                CASE WHEN (CASE WHEN corrected_coverage > 0
+                           THEN supporting_reads * 1.0 / corrected_coverage
+                           ELSE 0.0 END) = 0.0 THEN 0.0000001
+                     ELSE supporting_reads * 1.0 / corrected_coverage END AS tf
+         FROM tf0""",
+    "rg3_jc_stats" ->
+      """WITH nv AS (
+           SELECT l_linestatus AS annotation,
+                  CASE WHEN l_returnflag = 'A' THEN 'all'
+                       WHEN l_returnflag = 'N' THEN 'novel'
+                       ELSE 'known' END AS novelty,
+                  l_quantity, l_discount, l_tax, l_partkey, l_suppkey
+           FROM lineitem),
+         vs AS (
+           SELECT annotation, novelty, count(*) AS n_snps,
+                  SUM(CAST(l_quantity AS BIGINT)) AS n_indels,
+                  AVG(l_discount) AS titv_ratio
+           FROM nv GROUP BY 1, 2),
+         isx AS (
+           SELECT annotation, novelty,
+                  AVG(l_tax) AS insertion_deletion_ratio,
+                  MIN(l_partkey) AS n_singleton_snps,
+                  MAX(l_suppkey) AS n_singleton_indels
+           FROM nv GROUP BY 1, 2),
+         ms AS (
+           SELECT annotation, novelty,
+                  AVG(l_discount) AS multiallelic_snp_ratio,
+                  AVG(l_tax) AS multiallelic_indel_ratio
+           FROM nv GROUP BY 1, 2),
+         db AS (
+           SELECT annotation,
+             MAX(CASE WHEN novelty = 'known' THEN n_snps END) * 1.0 /
+               NULLIF(MAX(CASE WHEN novelty = 'all' THEN n_snps END), 0) AS dbr_s,
+             MAX(CASE WHEN novelty = 'known' THEN n_indels END) * 1.0 /
+               NULLIF(MAX(CASE WHEN novelty = 'all' THEN n_indels END), 0) AS dbr_i
+           FROM vs GROUP BY 1)
+         SELECT vs.annotation, vs.novelty, vs.n_snps, vs.n_indels,
+                vs.titv_ratio, isx.insertion_deletion_ratio,
+                CASE WHEN vs.novelty = 'all' THEN db.dbr_s END AS dbsnp_snps_ratio,
+                CASE WHEN vs.novelty = 'all' THEN db.dbr_i END AS dbsnp_indels_ratio,
+                ms.multiallelic_snp_ratio, ms.multiallelic_indel_ratio,
+                isx.n_singleton_snps, isx.n_singleton_indels
+         FROM vs
+         LEFT JOIN isx USING (annotation, novelty)
+         LEFT JOIN ms USING (annotation, novelty)
+         LEFT JOIN db USING (annotation)""",
     "rg1_detailed_grid" ->
       """WITH base AS (
            SELECT
