@@ -20,7 +20,8 @@ class PlanSpec extends SparkSpec {
     "a10_hist_percentiles", // crossJoin of 5 quantile constants with tiny hist
     "w1_pr_curve",          // single global window over small sweep
     "x7_mix_sample",        // crossJoin of the 1-row max(n_docs) aggregate
-    "x12_tfidf_topk")       // crossJoin of the 1-row corpus-count aggregate
+    "x12_tfidf_topk",       // crossJoin of the 1-row corpus-count aggregate
+    "rg2_mrd_tf")           // crossJoin of the 1-row denom_ratio aggregate
   // NOTE on the sanctioned global windows (a10, exact w1): they run over
   // tiny AGGREGATES (<= ~10^4 rows), never the fact table; the 100x-rated
   // forms are prCurveScalable / prCurveBucketed (w1_pr_curve_bucketed),
