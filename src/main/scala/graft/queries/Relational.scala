@@ -332,7 +332,11 @@ object Relational {
     },
     // ----- U2: intersect
     "u2_intersect" -> { (s, d) =>
-      val a = Tables.lineitem(s, d).select(col("l_partkey").as("k")).distinct()
+      // INTERSECT already dedups (it rewrites to Distinct over a semi
+      // join); a pre-.distinct() is redundant — Catalyst eliminates it
+      // (verified: identical plan, 4 exchanges either way), so the source
+      // states the minimal form
+      val a = Tables.lineitem(s, d).select(col("l_partkey").as("k"))
       val b = Tables.part(s, d).filter(col("p_size") > 25).select(col("p_partkey").as("k"))
       a.intersect(b)
     },
