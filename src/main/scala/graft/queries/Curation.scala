@@ -183,7 +183,12 @@ object Curation {
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),
         coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
-        r6(coalesce(col("n_boiler"), lit(0L)).cast("double") / col("n_shingles"))
+        // ANSI throws DIVIDE_BY_ZERO even for DOUBLE division (Spark 4),
+        // and a <3-token doc has zero shingles — its ratio is undefined,
+        // not an error (TextEdgeSpec pins totality; the driver corpus
+        // never hits this, which is why the oracle stayed green)
+        when(col("n_shingles") > 0,
+          r6(coalesce(col("n_boiler"), lit(0L)).cast("double") / col("n_shingles")))
           .as("boiler_ratio"))
   }
 
