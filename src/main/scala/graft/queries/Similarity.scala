@@ -102,6 +102,14 @@ object Similarity {
       col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", norm(col("v")))
+      // cosine similarity is UNDEFINED for a zero vector; under ANSI the
+      // norm division would throw DIVIDE_BY_ZERO (Spark 4 throws even for
+      // doubles) while DuckDB yields NULL — exclusion at ingest is the one
+      // semantics both engines express identically (the oracles carry the
+      // same predicate; the bandRows null-signature filter is the text-side
+      // precedent). The driver corpus has no zero vectors, so results are
+      // unchanged — this is a totality contract, not a behavior change.
+      .filter(col("nrm") > 0)
 
   /** Nearest-centroid assignment: every vector in `all` gains the `cid` of
     * its best centroid. The centroid matrix is collected and broadcast and
@@ -610,8 +618,9 @@ object Similarity {
   private val vecsCte =
     """vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
               FROM embeddings),
-       n AS (SELECT vec_id, v,
-               sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM vv)"""
+       n AS (SELECT * FROM (SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM vv)
+             WHERE nrm > 0)"""
   private val dotSql =
     "list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*q.qv[i]))"
 
@@ -629,8 +638,9 @@ object Similarity {
     "d6_cosine_dedup" ->
       s"""WITH vv AS (SELECT vec_id, label,
             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-          n AS (SELECT vec_id, label, v,
-            sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM vv),
+          n AS (SELECT * FROM (SELECT vec_id, label, v,
+            sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM vv)
+            WHERE nrm > 0),
           c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $dedupCellsSql),
           asg0 AS (SELECT a.vec_id, a.label, a.v, a.nrm, c.cid,
                      round(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*c.cv[i]))
