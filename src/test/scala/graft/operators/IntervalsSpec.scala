@@ -20,7 +20,12 @@ class IntervalsSpec extends SparkSpec {
       val chrom = s"chr${r.next() % 3 + 1}"
       val s0 = r.next()
       (chrom, s0, s0 + 1 + r.next() % 500)
-    }
+    } ++
+      // zero-length intervals: under the brute-force predicate
+      // (a.start < b.end && b.start < a.end) a point [p, p) overlaps
+      // exactly the intervals STRICTLY containing p and never another
+      // point — the binned path must agree in both directions
+      Seq(("chr1", 100L, 100L), ("chr2", 0L, 0L))
   }
   private lazy val bIv: Seq[(String, Long, Long)] = {
     val r = lcg(99).map(_ % 10000).buffered
@@ -28,7 +33,7 @@ class IntervalsSpec extends SparkSpec {
       val chrom = s"chr${r.next() % 3 + 1}"
       val s0 = r.next()
       (chrom, s0, s0 + 1 + r.next() % 800)
-    }
+    } ++ Seq(("chr1", 500L, 500L), ("chr3", 42L, 42L))
   }
 
   private lazy val aDf: DataFrame = aIv.toDF("chrom", "start", "end")
