@@ -62,6 +62,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("o5 stratified sample keeps the partial+final WindowGroupLimit pushdown") {
+    // row_number <= k over a 3-value group key would otherwise sort the
+    // whole fact table in 3 single-reducer window partitions; the group
+    // limit keeps k rows per group per MAP task before the exchange
+    val p = SparkEntry.queries("o5_stratified_sample")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), "o5 lost the group-limit pushdown")
+  }
+
   test("d3/d4 run the band automaton: MapPartitions present, no pair-row payload joins") {
     // the r11 scale path: pairs are generated AND scored inside a
     // (bid, key)-shuffled streaming iterator; a silent regression to the
