@@ -137,6 +137,19 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         RepetitionStats(exprs.head)
       }))
     e.injectFunction((
+      new FunctionIdentifier("graft_vocab_count"),
+      new ExpressionInfo(classOf[VocabCount].getName, "graft_vocab_count"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_vocab_count expects 2 arguments (text, vocab), got ${exprs.length}")
+        require(exprs(1).foldable, "graft_vocab_count vocab must be a literal array")
+        val arr = exprs(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(_.toString)
+        VocabCount(exprs.head, scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
+      }))
+    e.injectFunction((
       new FunctionIdentifier("graft_shingle_set"),
       new ExpressionInfo(classOf[SortedShingleSet].getName, "graft_shingle_set"),
       (exprs: Seq[Expression]) => {

@@ -199,6 +199,19 @@ object Text {
     inVocab.cast("double") / size(toks)
   }
 
+  /** [[vocabRatio]] straight from raw text: the fused native [[VocabCount]]
+    * byte-scan numerator when the session registered it (no token array,
+    * no interpreted filter HOF), else the composed form. Bit-identical
+    * (spec-gated); the denominator stays `size(split(text, " "))` in both
+    * paths. */
+  def vocabRatioFromText(text: Column, vocab: Seq[String]): Column = {
+    val active = org.apache.spark.sql.SparkSession.active
+    if (active.catalog.functionExists("graft_vocab_count"))
+      call_function("graft_vocab_count", text, array(vocab.map(lit): _*))
+        .cast("double") / size(split(text, " "))
+    else vocabRatio(tokens(text), vocab)
+  }
+
   /** Jaccard similarity of two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

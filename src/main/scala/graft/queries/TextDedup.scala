@@ -438,8 +438,8 @@ object TextDedup {
     },
     // ----- X3: language-ID heuristic (stopword-vocabulary ratio)
     "x3_langid" -> { (s, d) =>
-      val toks = Text.tokens(col("text"))
-      val enScore = Text.vocabRatio(toks, Seq("the", "a", "of", "and", "to"))
+      val enScore = Text.vocabRatioFromText(col("text"),
+        Seq("the", "a", "of", "and", "to"))
       Tables.documents(s, d)
         .withColumn("en_score", r6(enScore))
         .withColumn("pred", when(col("en_score") > 0.05, lit("en")).otherwise(lit("other")))

@@ -205,6 +205,27 @@ class TextSpec extends SparkSpec {
     assert(short.select(Text.minhashSigBuiltin(col("_th"), K)).head.isNullAt(0))
   }
 
+  test("native VocabCount == composed split+filter+isin ratio (adversarial fuzz)") {
+    val vocab = Seq("the", "a", "of", "and", "to")
+    val rnd = new scala.util.Random(0x0c4b)
+    val pool = vocab ++ Seq("", "thee", "an", "x", "THE", "too", "of") ++
+      (1 to 20).map(i => s"w$i")
+    val docs = (0 until 300).map { i =>
+      val n = rnd.nextInt(30)
+      (i.toLong, (0 until n).map(_ => pool(rnd.nextInt(pool.length))).mkString(" "))
+    } ++ Seq((900L, ""), (901L, " "), (902L, "the"), (903L, "the  the"),
+      (904L, " the"), (905L, "the "))
+    val df = spark.createDataFrame(docs).toDF("doc_id", "text")
+    val diff = df.select(
+        Text.vocabRatioFromText(col("text"), vocab).as("nat"),
+        Text.vocabRatio(Text.tokens(col("text")), vocab).as("cmp"))
+      .filter(not(col("nat") <=> col("cmp"))).count()
+    assert(diff == 0)
+    // null text propagates
+    assert(df.limit(1).select(Text.vocabRatioFromText(
+      lit(null).cast("string"), vocab)).head.isNullAt(0))
+  }
+
   test("shingle builders propagate null (null in => null out), short docs => empty") {
     // the short-doc guards must NOT turn a null array into an empty one
     // (ADVICE r10): null input means "no document", not "empty document"
