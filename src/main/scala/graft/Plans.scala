@@ -15,7 +15,7 @@ object Plans {
         "w2_block_compress", "x6_decontaminate", "x7_mix_sample",
         "j13_skew_join", "qc1_fold_penalty", "qc2_sub_error_rate",
         "d9_simhash_pairs", "x12_tfidf_topk", "j2_multikey_join",
-        "d4_jaccard_verify", "j8_exact_vs_loose_isec",
+        "d4_jaccard_verify", "j8_exact_vs_loose_isec", "rg1_detailed_grid",
         "x14_repetition")
     val spark = Spark.session("graft-plans")
     names.foreach { n =>
