@@ -21,6 +21,16 @@ object Dedup {
     * rounds it would save are cheaper than the jumps themselves. */
   val JumpMinNodes: Long = 1L << 18
 
+  /** Lineage-truncating checkpoint per round: RELIABLE `.checkpoint()`
+    * when the session has a checkpoint dir configured (cluster posture —
+    * localCheckpoint blocks die with their executor, and one lost block
+    * fails the job under dynamic allocation), else the fast
+    * executor-local form (the single-JVM default, where executor loss IS
+    * job loss anyway). DedupSpec runs CC under both modes. */
+  private def cp(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
   /** (id, component) for every id appearing in `pairs`; component = min id
     * reachable. Runs until fixpoint or `maxIter`. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
@@ -46,10 +56,9 @@ object Dedup {
     // viewed from dst or src.) localCheckpoint per round truncates lineage —
     // without it the nested plan grows with every iteration and planning
     // itself blows up.
-    var labels = edges.groupBy(col("dst"))
+    var labels = cp(edges.groupBy(col("dst"))
       .agg(min(col("src")).as("_nmin"))
-      .select(col("dst").as("id"), least(col("dst"), col("_nmin")).as("comp"))
-      .localCheckpoint()
+      .select(col("dst").as("id"), least(col("dst"), col("_nmin")).as("comp")))
     val jump = labels.count() >= JumpMinNodes // scan of the checkpoint — cheap
     var iter = 1 // round 1 already ran above
     var converged = false // round 1 always changes the larger end of some pair
@@ -58,10 +67,9 @@ object Dedup {
         .groupBy(col("src")).agg(min("comp").as("ncomp"))
       // carry the previous label through the checkpoint so convergence is
       // a scan of the materialized rows — not an extra join + shuffle
-      var updated = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+      var updated = cp(labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(col("id"), col("comp").as("_old"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .localCheckpoint()
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp")))
       // pointer jumping between the E-sized propagations: comp := comp(comp),
       // a LABEL-table self-join (V-sized — cheap relative to the edge
       // round). A label is always a reachable node's id, so following it
@@ -75,10 +83,9 @@ object Dedup {
       // fixed checkpoint latency outweighs whole saved rounds).
       if (jump) {
         val j = updated.select(col("id").as("_jid"), col("comp").as("_jcomp"))
-        updated = updated.join(j, updated("comp") === j("_jid"), "left")
+        updated = cp(updated.join(j, updated("comp") === j("_jid"), "left")
           .select(updated("id"), updated("_old"),
-            coalesce(col("_jcomp"), updated("comp")).as("comp"))
-          .localCheckpoint()
+            coalesce(col("_jcomp"), updated("comp")).as("comp")))
       }
       val changed = updated.filter(col("comp") =!= col("_old")).count()
       labels = updated.select("id", "comp")

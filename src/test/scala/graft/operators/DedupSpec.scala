@@ -65,4 +65,26 @@ class DedupSpec extends SparkSpec {
       assert(got == expected, s"trial $trial: CC disagrees with union-find")
     }
   }
+
+  test("CC under a RELIABLE checkpoint dir gives identical components") {
+    // cluster posture: with a checkpoint dir configured, the per-round
+    // lineage truncation uses reliable .checkpoint() instead of
+    // executor-local blocks (which die with their executor)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L),
+      (22L, 20L)).toDF("doc_a", "doc_b")
+    val base = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_ccckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val reliable = Dedup.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable == base)
+      // the reliable path actually wrote checkpoint data
+      assert(new java.io.File(dir).listFiles().nonEmpty, "no checkpoint written")
+    } finally {
+      // do not leak the dir into later suites (localCheckpoint default)
+      spark.sparkContext.setCheckpointDir(null)
+    }
+  }
 }
