@@ -88,8 +88,9 @@ object Streams {
   /** Streaming exact dedup — the continuous-ingest form of d1_exact_dedup:
     * `flatMapGroupsWithState` keyed on the content fingerprint; the first
     * document to arrive under a key becomes the canonical id (held in
-    * O(1) state per distinct key, forever — a real deployment would add a
-    * TTL timeout), every later arrival in ANY micro-batch is emitted
+    * O(1) state per distinct key, forever — the deployable
+    * bounded-state form is [[incrementalDedupTtl]]), every later arrival
+    * in ANY micro-batch is emitted
     * flagged as its duplicate. Runs identically on a batch Dataset
     * (unified semantics; state starts empty per group). */
   def incrementalDedup(docs: Dataset[KeyedDoc]): Dataset[DedupVerdict] = {
