@@ -87,7 +87,7 @@ object Curation {
     (Int, String), java.lang.Boolean](16, 0.75f, /*accessOrder=*/ true)
   private val ShingleCacheMax = 8
 
-  private def cachedShingleSets(s: SparkSession, d: String): DataFrame = {
+  private[queries] def cachedShingleSets(s: SparkSession, d: String): DataFrame = {
     val key = (System.identityHashCode(s), d)
     val df = shingleCache.computeIfAbsent(key, _ => {
       val fresh = shingleSets(Tables.documents(s, d)).persist()

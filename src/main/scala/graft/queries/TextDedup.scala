@@ -302,8 +302,15 @@ object TextDedup {
     * set-size term disappears from every shuffle. Dedup across bands
     * happens on the tiny (a, b, jac) rows. Same pair set as [[lshPairs]]
     * (cold all-pairs + hot-band stars, spec-pinned), same Jaccard
-    * arithmetic as [[Text.jaccardSorted]]. */
-  private[queries] def jaccardPairsGrouped(s: SparkSession, docs: DataFrame,
+    * arithmetic as [[Text.jaccardSorted]].
+    *
+    * `docsSh` is the (doc_id, sorted-distinct shingle set) frame — the
+    * declared query passes [[Curation.cachedShingleSets]], so d4 and
+    * d8/x6/x8 share ONE corpus tokenize+hash+shingle pass per session
+    * (the previous candidate-restricted private build had a different
+    * canonical plan the CacheManager could never share; the banded inner
+    * join below restricts to pair-capable docs anyway). */
+  private[queries] def jaccardPairsGrouped(s: SparkSession, docsSh: DataFrame,
       mh: DataFrame, cap: Int = HOT_BAND_CAP): DataFrame = {
     import s.implicits._
     val bands = bandRows(mh)
@@ -312,15 +319,14 @@ object TextDedup {
     // join-back lands on the aggregate's own key layout — no extra exchange
     val banded = bands.join(multi, Seq("bid", "key"))
       .select(col("doc_id"), col("bid"), col("key"))
-    // shingle sets ONLY for docs that can appear in a pair (the
-    // candidateDocIds restriction, fused into this path's semi-join)
-    val docsSh = docs
-      .join(banded.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
-      .withColumn("_th", Text.tokenHashesFromText(col("text")))
-      .select(col("doc_id"), Text.sortedShingleSet(col("_th")).as("sh"))
-      .filter(col("sh").isNotNull)
     val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
-    banded.join(docsSh, Seq("doc_id"))
+    // the inner join restricts to banded docs — no separate candidate
+    // semi-join needed; passing the SHARED corpus shingle frame
+    // (Curation.cachedShingleSets) means d4/d8/x6/x8 pay the
+    // tokenize+hash+shingle pass once per session instead of d4 building
+    // its own candidate-restricted copy (whose different canonical plan
+    // the CacheManager could never share)
+    banded.join(docsSh.filter(col("sh").isNotNull), Seq("doc_id"))
       .select(col("bid"), col("key"), col("doc_id").as("docId"), col("sh"))
       .as[BandedDoc]
       .repartition(parts, col("bid"), col("key"))
@@ -481,7 +487,7 @@ object TextDedup {
     // the double-join form (jaccardPairsJoined), which remains the
     // reference implementation.
     "d4_jaccard_verify" -> { (s, d) =>
-      jaccardPairsGrouped(s, Tables.documents(s, d), cachedMinhash(s, d))
+      jaccardPairsGrouped(s, Curation.cachedShingleSets(s, d), cachedMinhash(s, d))
         .select(col("doc_a"), col("doc_b"), r6(col("jaccard")).as("jaccard"))
     },
     // ----- D7: duplicate-cluster resolution — connected components over

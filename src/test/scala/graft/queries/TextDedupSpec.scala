@@ -201,7 +201,10 @@ class TextDedupSpec extends SparkSpec {
       def norm(df: org.apache.spark.sql.DataFrame) =
         df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
           r.getAs[Double]("jaccard"))).toSet
-      val grouped = norm(TextDedup.jaccardPairsGrouped(spark, docs, mh, cap))
+      val docsSh = docs
+        .withColumn("_th", graft.functions.Text.tokenHashesFromText(col("text")))
+        .select(col("doc_id"), graft.functions.Text.sortedShingleSet(col("_th")).as("sh"))
+      val grouped = norm(TextDedup.jaccardPairsGrouped(spark, docsSh, mh, cap))
       val joined = norm(TextDedup.jaccardPairsJoined(spark, docs, mh, cap))
       assert(grouped == joined, s"cap=$cap: grouped/joined diverge " +
         s"(only-grouped=${grouped.diff(joined).take(3)}, " +
