@@ -21,19 +21,47 @@ object Dedup {
     * rounds it would save are cheaper than the jumps themselves. */
   val JumpMinNodes: Long = 1L << 18
 
-  /** Lineage-truncating checkpoint per round: RELIABLE `.checkpoint()`
-    * when the session has a checkpoint dir configured (cluster posture —
-    * localCheckpoint blocks die with their executor, and one lost block
-    * fails the job under dynamic allocation), else the fast
-    * executor-local form (the single-JVM default, where executor loss IS
-    * job loss anyway). DedupSpec runs CC under both modes. */
-  private def cp(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint()
+  /** Lineage-truncating checkpoint per round: RELIABLE (checkpoint-dir
+    * parquet round-trip) when the session has a checkpoint dir configured
+    * (cluster posture — localCheckpoint blocks die with their executor,
+    * and one lost block fails the job under dynamic allocation), else the
+    * fast executor-local form (the single-JVM default, where executor
+    * loss IS job loss anyway). DedupSpec runs CC under both modes.
+    *
+    * The reliable arm writes each round to its own subdir and DELETES the
+    * previous round's subdir once the new one has materialized — Spark's
+    * own `.checkpoint()` never reclaims reliable files unless
+    * spark.cleaner.referenceTracking.cleanCheckpoints is on AND the RDD
+    * gets GC'd, so a long CC run accumulated one checkpoint per iteration
+    * on the reliable store (ADVICE r11). One chain per CC invocation;
+    * only the FINAL round's files survive the call (the returned frame
+    * reads from them — the caller owns that lifetime). */
+  private final class CkptChain(s: org.apache.spark.sql.SparkSession) {
+    private val base = s.sparkContext.getCheckpointDir
+    private val runId = java.util.UUID.randomUUID().toString.take(12)
+    private var n = 0
+    private var prev: Option[org.apache.hadoop.fs.Path] = None
+
+    def cp(df: DataFrame): DataFrame = base match {
+      case Some(dir) =>
+        n += 1
+        val p = new org.apache.hadoop.fs.Path(dir, s"graft-cc-$runId-$n")
+        df.write.mode("overwrite").parquet(p.toString)
+        val out = s.read.parquet(p.toString)
+        prev.foreach { old =>
+          old.getFileSystem(s.sparkContext.hadoopConfiguration).delete(old, true)
+        }
+        prev = Some(p)
+        out
+      case None => df.localCheckpoint()
+    }
+  }
 
   /** (id, component) for every id appearing in `pairs`; component = min id
     * reachable. Runs until fixpoint or `maxIter`. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val chain = new CkptChain(pairs.sparkSession)
+    def cp(df: DataFrame): DataFrame = chain.cp(df)
     // symmetrize with ONE pass over `pairs`: a two-branch union evaluates
     // the whole upstream pipeline (LSH band join + distinct at 100x) twice;
     // exploding both directions from each row reads it once.

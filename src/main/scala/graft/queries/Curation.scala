@@ -74,43 +74,29 @@ object Curation {
     * CacheManager sometimes — not deterministically — served one query's
     * plan to another. At a real lake this frame is a written-once shingle
     * table (cf. TextDedup.signaturesToParquet). */
-  // True LRU: past the bound we evict ONE least-recently-used entry, not
-  // every other key (the previous clear-all-but-current form unpersisted
-  // frames a concurrent query on another dataset could still be scanning,
-  // and thrashed when >8 datasets alternated — ADVICE r10). Storage is a
-  // CHM of lazy cells so the ~15 s corpus materialize runs under the
-  // per-KEY cell lock, never a global monitor; the access-ordered
-  // LinkedHashMap only tracks recency (cheap, synchronized).
-  private val shingleCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), DataFrame]()
-  private val shingleLru = new java.util.LinkedHashMap[
-    (Int, String), java.lang.Boolean](16, 0.75f, /*accessOrder=*/ true)
-  private val ShingleCacheMax = 8
+  // True LRU via the shared LruFrameMemo: past the bound evict ONE
+  // least-recently-used entry, not every other key (the clear-all thrash
+  // pattern, ADVICE r10); recency/evict/re-persist validated atomically
+  // against a racing eviction (ADVICE r11) — see LruFrameMemo's contract.
+  // The ~15 s corpus materialize runs under the CHM's per-KEY lock, never
+  // the global recency monitor. The re-persist arm covers an external
+  // spark.catalog.clearCache() (RunQuery, the bench's clear-cache mode)
+  // silently unpersisting the memoized frame — without it every consumer
+  // would recompute the full corpus pass.
+  private val shingleMemo = new LruFrameMemo[(Int, String), DataFrame](
+    max = 8,
+    ensurePersisted = df =>
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+        df.persist(); df.count()
+      },
+    unpersist = _.unpersist(false))
 
-  private[queries] def cachedShingleSets(s: SparkSession, d: String): DataFrame = {
-    val key = (System.identityHashCode(s), d)
-    val df = shingleCache.computeIfAbsent(key, _ => {
+  private[queries] def cachedShingleSets(s: SparkSession, d: String): DataFrame =
+    shingleMemo.getOrBuild((System.identityHashCode(s), d)) {
       val fresh = shingleSets(Tables.documents(s, d)).persist()
       fresh.count() // materialize eagerly: parallel consumers must not race
       fresh
-    })
-    shingleLru.synchronized {
-      shingleLru.put(key, java.lang.Boolean.TRUE)
-      while (shingleLru.size > ShingleCacheMax) {
-        val eldest = shingleLru.entrySet().iterator().next().getKey
-        shingleLru.remove(eldest)
-        val evicted = shingleCache.remove(eldest)
-        if (evicted != null) evicted.unpersist(false)
-      }
     }
-    // an external spark.catalog.clearCache() (RunQuery, the bench's
-    // clear-cache mode) silently unpersists the memoized frame; without
-    // re-persisting, every consumer would recompute the full corpus pass
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-      df.persist(); df.count()
-    }
-    df
-  }
 
   /** Explode an EXPENSIVE computed array without the optimizer's inferred
     * pre-Generate filter: plain `explode` makes Catalyst add

@@ -1,0 +1,55 @@
+package graft.queries
+
+/** Session-scoped memo of persisted frame artifacts with true-LRU
+  * eviction — the shared engine behind Curation.cachedShingleSets,
+  * TextDedup.cachedMinhash and Similarity.annIndex (one tokenize/hash/
+  * assignment pass per (session, dir), evict ONE eldest entry past the
+  * cap, never a concurrent reader's frame wholesale).
+  *
+  * Concurrency contract (closes the ADVICE r11 race): `build` runs under
+  * the ConcurrentHashMap's per-KEY lock, so the expensive corpus
+  * materialize never holds the global recency monitor. Recency recording,
+  * eviction AND the re-persist-if-externally-cleared step all run inside
+  * ONE `lru.synchronized` block that first validates the map still holds
+  * OUR entry. Without that validation, a thread racing an eviction of its
+  * key would (a) re-insert an orphan LRU key whose later eviction
+  * unpersists nothing, and (b) re-persist a frame no longer tracked by the
+  * map — a persisted-frame leak nothing ever reclaims. When validation
+  * fails (entry evicted in the gap) the loop simply re-runs
+  * computeIfAbsent: the rebuilt entry is fresh-persisted and tracked.
+  * `ensurePersisted` runs inside the lock for the same reason — only an
+  * entry the evictor can still see may be (re-)persisted, so every
+  * persisted frame has exactly one owner responsible for unpersisting it.
+  * The rare lock-held materialize (only after an external
+  * `spark.catalog.clearCache()`) serializes against other memo calls,
+  * which would otherwise be recomputing the same cleared state anyway. */
+private[queries] final class LruFrameMemo[K, V <: AnyRef](
+    max: Int,
+    ensurePersisted: V => Unit,
+    unpersist: V => Unit) {
+
+  private val entries = new java.util.concurrent.ConcurrentHashMap[K, V]()
+  private val lru = new java.util.LinkedHashMap[K, java.lang.Boolean](
+    16, 0.75f, /*accessOrder=*/ true)
+
+  def getOrBuild(key: K)(build: => V): V = {
+    while (true) {
+      val v = entries.computeIfAbsent(key, _ => build)
+      lru.synchronized {
+        if (entries.get(key) eq v) {
+          lru.put(key, java.lang.Boolean.TRUE)
+          while (lru.size > max) {
+            val eldest = lru.entrySet().iterator().next().getKey
+            lru.remove(eldest)
+            val evicted = entries.remove(eldest)
+            if (evicted != null) unpersist(evicted)
+          }
+          ensurePersisted(v)
+          return v
+        }
+        // else: evicted between computeIfAbsent and the lock — retry
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}

@@ -215,21 +215,23 @@ object Relational {
         .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
     },
     // ----- J2: multi-key equi-join (train_lib_prep_recalibration_model.py:95-97)
-    // ----- J2: multi-key equi-join (train_lib_prep_recalibration_model.py:95-97)
-    // "rows matching their group max" as ONE shuffle: a window max over
-    // the join keys replaces groupBy(keys)+self-join (two scans + a 60 M x
-    // 60 M-row shuffle join even with exchange reuse) — 24.9 -> 10.7 s at
-    // the uniform 100x replica, 19.9 -> 16.6 on the adversarial skew one.
-    // Skew note: window partitions can't AQE-split, but the hot key fans
-    // out over l_linenumber (7 sub-partitions), bounding the worst task;
-    // a genuinely unsplittable hot key would argue for the salted
-    // two-phase max (j13's lever) instead.
+    // "rows matching their group max, counted by flag" as ONE
+    // partial-aggregable shuffle: MaxTieCounts carries (max, flag->ties)
+    // per group, so map-side combine collapses a hot key inside each task
+    // BEFORE the exchange — the r10 window form (max().over + filter)
+    // shuffled every hot-key row into one unsplittable window partition
+    // (skew/uniform 1.57x at the 100x replica, the worst non-noise ratio
+    // left after r11). The final per-flag sum is a map-side-combined
+    // global aggregate over one tiny map per group. History: groupBy+
+    // self-join 24.9 s -> window 10.7 s (uniform 100x) -> this form, which
+    // drops the window's sort AND its indivisible hot partition.
     "j2_multikey_join" -> { (s, d) =>
-      val li = Tables.lineitem(s, d)
-      val w = Window.partitionBy("l_orderkey", "l_linenumber")
-      li.withColumn("max_qty", max("l_quantity").over(w))
-        .filter(col("l_quantity") === col("max_qty"))
-        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      val mtc = udaf(new graft.functions.MaxTieCounts)
+      Tables.lineitem(s, d)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(mtc(col("l_quantity"), col("l_returnflag")).as("mc"))
+        .select(explode(col("mc")).as(Seq("l_returnflag", "cnt")))
+        .groupBy("l_returnflag").agg(sum("cnt").as("n"))
     },
     // ----- J3: index-aligned outer column join (denovo_refinement.py:30-35)
     "j3_outer_align_join" -> { (s, d) =>

@@ -477,20 +477,24 @@ object Similarity {
     * e4. Persisted MEMORY_AND_DISK and keyed by session identity, so a
     * restarted session (or the clear-cache bench mode) re-derives cleanly;
     * contents are deterministic, so sharing cannot change any result. */
-  private val annIndexCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), (DataFrame, DataFrame, Long)]()
-  // recency order for true LRU eviction: past the cap, evict ONE eldest
-  // entry (the clear-all-but-current form unpersisted frames a concurrent
-  // query on another dir could be scanning and thrashed when >cap dirs
-  // alternated — the ADVICE r10 pattern, fixed like Curation's memo)
-  private val annIndexLru = new java.util.LinkedHashMap[
-    (Int, String), java.lang.Boolean](16, 0.75f, /*accessOrder=*/ true)
-  private val AnnIndexCacheMax = 8
+  // True LRU via the shared LruFrameMemo: past the cap, evict ONE eldest
+  // entry (the clear-all form unpersisted frames a concurrent query on
+  // another dir could be scanning — ADVICE r10); recency/evict/re-persist
+  // validated atomically against a racing eviction (ADVICE r11). The
+  // re-persist arm covers an external clearCache() dropping the memoized
+  // frames (otherwise every ANN query recomputes assignment/encode).
+  private val annIndexMemo =
+    new LruFrameMemo[(Int, String), (DataFrame, DataFrame, Long)](
+      max = 8,
+      ensurePersisted = e => Seq(e._1, e._2).foreach { df =>
+        if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      },
+      unpersist = e => { e._1.unpersist(false); e._2.unpersist(false) })
 
   private[queries] def annIndex(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, Long) = {
-    val key = (System.identityHashCode(s), d)
-    val entry = annIndexCache.computeIfAbsent(key, _ => {
+      : (DataFrame, DataFrame, Long) =
+    annIndexMemo.getOrBuild((System.identityHashCode(s), d)) {
       val nCells = cellCountForAnn(Tables.embeddings(s, d).count())
       val all = vecs(s, d)
       val cents = all.filter(col("vec_id") < nCells)
@@ -501,26 +505,7 @@ object Similarity {
         pqEncodeUdf(all, pqCodebook(all))(col("v")).as("codes"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (assigned, codes, nCells)
-    })
-    annIndexLru.synchronized {
-      annIndexLru.put(key, java.lang.Boolean.TRUE)
-      while (annIndexLru.size > AnnIndexCacheMax) {
-        val eldest = annIndexLru.entrySet().iterator().next().getKey
-        annIndexLru.remove(eldest)
-        val evicted = annIndexCache.remove(eldest)
-        if (evicted != null) {
-          evicted._1.unpersist(false); evicted._2.unpersist(false)
-        }
-      }
     }
-    // re-persist if an external clearCache() dropped the memoized frames
-    // (otherwise every ANN query recomputes assignment/encode)
-    Seq(entry._1, entry._2).foreach { df =>
-      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
-    entry
-  }
 
   val queries: Map[String, Q] = Map(
     // ----- E1: brute-force cosine top-k (exact baseline)

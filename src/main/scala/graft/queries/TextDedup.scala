@@ -50,18 +50,21 @@ object TextDedup {
     * (session, dir) — same pattern as Similarity.annIndex — instead of
     * re-persisting an equivalent plan per query and leaning on the
     * CacheManager's canonical-plan dedupe. */
-  private val dedupFrameCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String, String), DataFrame]()
-  // recency order for true LRU eviction (one eldest entry, not a
-  // clear-all-but-current — the ADVICE r10 thrash pattern, fixed here the
-  // same way as Curation's shingle memo)
-  private val dedupLru = new java.util.LinkedHashMap[
-    (Int, String, String), java.lang.Boolean](16, 0.75f, /*accessOrder=*/ true)
-  private val DedupCacheMax = 8
+  // True LRU via the shared LruFrameMemo (one eldest entry evicted past
+  // the cap, not a clear-all — ADVICE r10; recency/evict/re-persist
+  // validated atomically against a racing eviction — ADVICE r11). The
+  // re-persist arm covers an external clearCache() dropping the memoized
+  // frame (otherwise every LSH consumer recomputes the corpus hash pass).
+  private val dedupFrameMemo = new LruFrameMemo[(Int, String, String), DataFrame](
+    max = 8,
+    ensurePersisted = df =>
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+        df.persist(); df.count()
+      },
+    unpersist = _.unpersist(false))
 
-  private def cachedMinhash(s: SparkSession, d: String): DataFrame = {
-    val key = (System.identityHashCode(s), d, "mh")
-    val df = dedupFrameCache.computeIfAbsent(key, { _ =>
+  private def cachedMinhash(s: SparkSession, d: String): DataFrame =
+    dedupFrameMemo.getOrBuild((System.identityHashCode(s), d, "mh")) {
       val fresh = signatureFrame(Tables.documents(s, d)).persist()
       // materialize NOW: LSH consumers scan this frame 3-5 times inside one
       // job, and parallel stages of a single action each recompute the
@@ -71,23 +74,7 @@ object TextDedup {
       // on d4 standalone at the 100x replica.
       fresh.count()
       fresh
-    })
-    dedupLru.synchronized {
-      dedupLru.put(key, java.lang.Boolean.TRUE)
-      while (dedupLru.size > DedupCacheMax) {
-        val eldest = dedupLru.entrySet().iterator().next().getKey
-        dedupLru.remove(eldest)
-        val evicted = dedupFrameCache.remove(eldest)
-        if (evicted != null) evicted.unpersist(false)
-      }
     }
-    // re-persist if an external clearCache() dropped the memoized frame
-    // (otherwise every LSH consumer recomputes the corpus hash pass)
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-      df.persist(); df.count()
-    }
-    df
-  }
 
   // NOTE (round 10, tried and NOT adopted): persisting the LSH candidate
   // pairs per session (the annIndex pattern — d3 reports, d4 verifies,
@@ -196,6 +183,12 @@ object TextDedup {
   private[queries] case class BandedDoc(bid: Int, key: String, docId: Long,
     sh: Array[Long])
 
+  /** Banded row carrying BOTH payloads for the shared d3+d4 pass: the
+    * K-long signature vector (est-sim) and the sorted shingle set
+    * (Jaccard). */
+  private[queries] case class BandedDoc2(bid: Int, key: String, docId: Long,
+    sig: Array[Long], sh: Array[Long])
+
   /** Jaccard over sorted-distinct long arrays — alloc-free two-pointer
     * merge, the exact-integer-double arithmetic of [[Text.jaccardSorted]]. */
   private[queries] val jaccardScore: (Array[Long], Array[Long]) => Double =
@@ -231,15 +224,16 @@ object TextDedup {
     * pair: Jaccard over sorted-distinct shingle sets for d4 (the same
     * exact-integer-double arithmetic as [[Text.jaccardSorted]]),
     * matching-component fraction over signature vectors for d3. */
-  private final class BandPairIterator(iter: Iterator[BandedDoc], cap: Int,
-      score: (Array[Long], Array[Long]) => Double)
-      extends Iterator[(Long, Long, Double)] {
-    private val pending = scala.collection.mutable.Queue.empty[(Long, Long, Double)]
+  private final class BandPairIterator[P, R](
+      iter: Iterator[(Int, String, Long, P)], cap: Int,
+      score: (P, P) => R)
+      extends Iterator[(Long, Long, R)] {
+    private val pending = scala.collection.mutable.Queue.empty[(Long, Long, R)]
     private var curBid = Int.MinValue
     private var curKey: String = null
-    private val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, P)]
     private var hot = false
-    private var center: (Long, Array[Long]) = null
+    private var center: (Long, P) = null
 
     private def flushGroup(): Unit = {
       // cold group at end-of-group: all pairs (hot groups emitted on the fly)
@@ -257,14 +251,14 @@ object TextDedup {
       buf.clear(); hot = false; center = null
     }
 
-    private def accept(d: BandedDoc): Unit = {
-      if (d.bid != curBid || d.key != curKey) {
-        flushGroup(); curBid = d.bid; curKey = d.key
+    private def accept(d: (Int, String, Long, P)): Unit = {
+      if (d._1 != curBid || d._2 != curKey) {
+        flushGroup(); curBid = d._1; curKey = d._2
       }
       if (hot) {
-        pending.enqueue((center._1, d.docId, score(center._2, d.sh)))
+        pending.enqueue((center._1, d._3, score(center._2, d._4)))
       } else {
-        buf.append((d.docId, d.sh))
+        buf.append((d._3, d._4))
         if (buf.length > cap) {
           // band just went hot: degrade the whole buffer to a star over
           // the min doc (first in sorted order), then stream
@@ -285,7 +279,7 @@ object TextDedup {
       if (pending.isEmpty) flushGroup()
       pending.nonEmpty
     }
-    override def next(): (Long, Long, Double) = pending.dequeue()
+    override def next(): (Long, Long, R) = pending.dequeue()
   }
 
   /** d4's verified near-dup pairs with the Jaccard computed PER BAND GROUP
@@ -331,7 +325,8 @@ object TextDedup {
       .as[BandedDoc]
       .repartition(parts, col("bid"), col("key"))
       .sortWithinPartitions("bid", "key", "docId")
-      .mapPartitions(it => new BandPairIterator(it, cap, TextDedup.jaccardScore))
+      .mapPartitions(it => new BandPairIterator(
+        it.map(d => (d.bid, d.key, d.docId, d.sh)), cap, TextDedup.jaccardScore))
       .toDF("doc_a", "doc_b", "jaccard")
       .dropDuplicates("doc_a", "doc_b")
   }
@@ -360,10 +355,76 @@ object TextDedup {
     rows.as[BandedDoc]
       .repartition(parts, col("bid"), col("key"))
       .sortWithinPartitions("bid", "key", "docId")
-      .mapPartitions(it => new BandPairIterator(it, cap, TextDedup.estSimScore))
+      .mapPartitions(it => new BandPairIterator(
+        it.map(d => (d.bid, d.key, d.docId, d.sh)), cap, TextDedup.estSimScore))
       .toDF("doc_a", "doc_b", "est_sim")
       .dropDuplicates("doc_a", "doc_b")
   }
+
+  /** ONE band pass scoring BOTH d3's estimated similarity and d4's
+    * Jaccard — the shared form of [[estSimPairsGrouped]] and
+    * [[jaccardPairsGrouped]]. Those two build the IDENTICAL
+    * (bid, key)-shuffled band-row stream and run the same automaton over
+    * it, differing only in the payload the score consumes; running them
+    * separately pays the band shuffle (the largest single cost left in
+    * the d-family at the 100x replica) twice per session. Here each
+    * banded row carries the signature vector AND the sorted shingle set,
+    * the automaton emits (doc_a, doc_b, est_sim, jaccard) in one sweep,
+    * and [[cachedPairScores]] memoizes the tiny result frame (4 scalars
+    * per pair — no payload arrays) so whichever of d3/d4 runs second is a
+    * projection of a persisted frame. Keeps d4's >= 2-member band
+    * prefilter (the shingle payload is heavy; singleton bands emit
+    * nothing anyway). Pair set and per-pair arithmetic are pinned
+    * pair-for-pair equal to both single-score forms by TextDedupSpec. */
+  private[queries] def pairScoresGrouped(s: SparkSession, docsSh: DataFrame,
+      mh: DataFrame, cap: Int = HOT_BAND_CAP): DataFrame = {
+    import s.implicits._
+    val bandsArr = array((1 to BANDS).map { b =>
+      struct(lit(b).as("bid"),
+        concat_ws("_", col(s"mh${2 * b - 1}"), col(s"mh${2 * b}")).as("key"))
+    }: _*)
+    val sigArr = array((1 to K).map(i => col(s"mh$i")): _*)
+    val bands = mh.filter(col("mh1").isNotNull)
+      .select(col("doc_id"), sigArr.as("sig"), explode(bandsArr).as("band"))
+      .select(col("doc_id"), col("band.bid").as("bid"),
+        col("band.key").as("key"), col("sig"))
+    val multi = bands.groupBy("bid", "key").agg(count(lit(1)).as("bc"))
+      .filter(col("bc") >= 2)
+    // join-back lands on the aggregate's own key layout — no extra exchange
+    val banded = bands.join(multi, Seq("bid", "key"))
+      .select(col("doc_id"), col("bid"), col("key"), col("sig"))
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    banded.join(docsSh.filter(col("sh").isNotNull), Seq("doc_id"))
+      .select(col("bid"), col("key"), col("doc_id").as("docId"),
+        col("sig"), col("sh"))
+      .as[BandedDoc2]
+      .repartition(parts, col("bid"), col("key"))
+      .sortWithinPartitions("bid", "key", "docId")
+      .mapPartitions { it =>
+        new BandPairIterator[(Array[Long], Array[Long]), (Double, Double)](
+          it.map(d => (d.bid, d.key, d.docId, (d.sig, d.sh))), cap,
+          (x, y) => (TextDedup.estSimScore(x._1, y._1),
+            TextDedup.jaccardScore(x._2, y._2)))
+          .map { case (a, b, (e, j)) => (a, b, e, j) }
+      }
+      .toDF("doc_a", "doc_b", "est_sim", "jaccard")
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** Session memo of [[pairScoresGrouped]] over the shared corpus
+    * artifacts — d3 and d4 both resolve through this, so the band shuffle
+    * + automaton run once per (session, dir) and the second consumer
+    * projects a persisted (doc_a, doc_b, est_sim, jaccard) frame.
+    * Deterministic contents (both scores are pure functions of the two
+    * docs, identical across the bands a pair co-occurs in), so sharing
+    * cannot change any result. */
+  private def cachedPairScores(s: SparkSession, d: String): DataFrame =
+    dedupFrameMemo.getOrBuild((System.identityHashCode(s), d, "ps")) {
+      val fresh = pairScoresGrouped(s, Curation.cachedShingleSets(s, d),
+        cachedMinhash(s, d)).persist()
+      fresh.count()
+      fresh
+    }
 
   /** The double-join reference form of d4 (rounds 7-10's shipped shape):
     * lshPairs ⋈ docs ⋈ docs with a per-pair sorted-merge intersect.
@@ -475,19 +536,22 @@ object TextDedup {
     },
     // ----- D3: LSH candidate pairs + estimated similarity — the band
     // automaton (one band shuffle, score in-group) instead of
-    // lshPairs + two signature joins; spec-pinned equal to the join form
+    // lshPairs + two signature joins; spec-pinned equal to the join form.
+    // d3 and d4 share ONE pass (pairScoresGrouped) that scores both
+    // est-sim and Jaccard — whichever runs second projects the memoized
+    // pair frame instead of re-running the band shuffle.
     "d3_lsh_pairs" -> { (s, d) =>
-      estSimPairsGrouped(s, cachedMinhash(s, d))
+      cachedPairScores(s, d)
         .select(col("doc_a"), col("doc_b"), roundSim(col("est_sim")).as("est_sim"))
     },
     // ----- D4: n-gram Jaccard over distinct shingle-hash sets, verified
     // only on LSH candidates. The banded-automaton path: shingle sets ship
     // per BAND membership (<= BANDS copies each), never per pair — see
-    // jaccardPairsGrouped; TextDedupSpec pins it pair-for-pair equal to
-    // the double-join form (jaccardPairsJoined), which remains the
-    // reference implementation.
+    // pairScoresGrouped (the pass shared with d3); TextDedupSpec pins the
+    // pair set and arithmetic equal to the double-join form
+    // (jaccardPairsJoined), which remains the reference implementation.
     "d4_jaccard_verify" -> { (s, d) =>
-      jaccardPairsGrouped(s, Curation.cachedShingleSets(s, d), cachedMinhash(s, d))
+      cachedPairScores(s, d)
         .select(col("doc_a"), col("doc_b"), r6(col("jaccard")).as("jaccard"))
     },
     // ----- D7: duplicate-cluster resolution — connected components over

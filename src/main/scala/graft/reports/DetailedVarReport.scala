@@ -84,9 +84,20 @@ object DetailedVarReport {
   }
 
   /** Classified frame (notebook cell 2): adds label / filter-with-MISS /
-    * class. */
+    * class. Also applies the notebook's load-time coercion (cell 1):
+    * `tree_score = np.where(classify_gt=='fn', -1, tree_score)` — FN rows
+    * (ground-truth calls the caller missed entirely) carry no meaningful
+    * score, so they are pinned to -1, which (a) sorts them to the front of
+    * the optimized sweep so every operating point counts them as missed,
+    * and (b) keeps them out of the feasibility mask (tree_score >= 0) so
+    * an FN row can never be CHOSEN as the operating point. The resulting
+    * exact -1.0 ties are harmless: tied rows are all masked out, and the
+    * cumulative sums seen by any row at score >= 0 include the whole tie
+    * group regardless of intra-tie order. */
   def classify(data: DataFrame): DataFrame =
     data
+      .withColumn("tree_score",
+        when(col("classify_gt") === "fn", lit(-1.0)).otherwise(col("tree_score")))
       .withColumn("label", when(col("classify_gt") === "fp", 0).otherwise(1))
       .withColumn("filter",
         when(col("classify_gt") === "fn", lit("MISS")).otherwise(col("filter")))

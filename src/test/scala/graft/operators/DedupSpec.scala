@@ -68,7 +68,7 @@ class DedupSpec extends SparkSpec {
 
   test("CC under a RELIABLE checkpoint dir gives identical components") {
     // cluster posture: with a checkpoint dir configured, the per-round
-    // lineage truncation uses reliable .checkpoint() instead of
+    // lineage truncation goes through reliable storage instead of
     // executor-local blocks (which die with their executor)
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L),
       (22L, 20L)).toDF("doc_a", "doc_b")
@@ -80,8 +80,14 @@ class DedupSpec extends SparkSpec {
       val reliable = Dedup.connectedComponents(pairs)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(reliable == base)
-      // the reliable path actually wrote checkpoint data
-      assert(new java.io.File(dir).listFiles().nonEmpty, "no checkpoint written")
+      // checkpoint storage is BOUNDED (ADVICE r11): each round's files are
+      // deleted once the next round materializes, so a multi-round CC run
+      // leaves exactly the final round's subdir — not one per iteration
+      val ckptRoot = new java.io.File(spark.sparkContext.getCheckpointDir.get
+        .stripPrefix("file:"))
+      val chains = ckptRoot.listFiles().filter(_.getName.startsWith("graft-cc-"))
+      assert(chains.length == 1,
+        s"expected exactly the final round's checkpoint, got ${chains.toSeq}")
     } finally {
       // do not leak the dir into later suites (localCheckpoint default)
       spark.sparkContext.setCheckpointDir(null)

@@ -244,6 +244,37 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("pairScoresGrouped == {estSim, jaccard}PairsGrouped pair-for-pair (the shared d3+d4 pass)") {
+    val rnd = new scala.util.Random(0xbb2)
+    val base = (1 to 20).map(i => s"s$i").mkString(" ")
+    val docs = (
+      (1L to 25L).map(i => (i,
+        Seq.fill(12)("v" + (i * 769 + rnd.nextInt(40000))).mkString(" "))) ++
+      (26L to 34L).map(i => (i, base + s" tl${i % 3} y$i")) ++
+      (35L to 52L).map(i => (i, text))                     // 18 exact dups
+    ).toDF("doc_id", "text")
+    val mh = TextDedup.signatureFrame(docs)
+    val docsSh = docs
+      .withColumn("_th", graft.functions.Text.tokenHashesFromText(col("text")))
+      .select(col("doc_id"), graft.functions.Text.sortedShingleSet(col("_th")).as("sh"))
+    for (cap <- Seq(7, 128)) { // 7 => the 18-dup group degrades to a star
+      val combined = TextDedup.pairScoresGrouped(spark, docsSh, mh, cap).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Double]("est_sim"), r.getAs[Double]("jaccard"))).toSet
+      val est = TextDedup.estSimPairsGrouped(spark, mh, cap).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Double]("est_sim"))).toSet
+      val jac = TextDedup.jaccardPairsGrouped(spark, docsSh, mh, cap).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Double]("jaccard"))).toSet
+      assert(combined.map(t => (t._1, t._2, t._3)) == est,
+        s"cap=$cap: est_sim side diverges from estSimPairsGrouped")
+      assert(combined.map(t => (t._1, t._2, t._4)) == jac,
+        s"cap=$cap: jaccard side diverges from jaccardPairsGrouped")
+      assert(combined.nonEmpty)
+    }
+  }
+
   test("bandStarEdges is component-equivalent to lshPairs (mixed + hot-band corpora)") {
     import graft.operators.Dedup
     // mixed corpus: dup groups of several sizes + unique docs, plus a

@@ -51,7 +51,9 @@ class DetailedVarReportSpec extends SparkSpec {
       else if (label == 1) "FN"
       else if (filter != "PASS") "TN"
       else "FP"
-    C(label, filter, cls, v.treeScore, v.coverage, v.gcContent)
+    // notebook cell 1: tree_score = np.where(classify_gt=='fn', -1, score)
+    val score = if (v.classifyGt == "fn") -1.0 else v.treeScore
+    C(label, filter, cls, score, v.coverage, v.gcContent)
   }
 
   private def statRef(d: Seq[C]): Option[(Long, Long, Long, Double, Double, Double, Double)] = {

@@ -61,6 +61,25 @@ for name in sorted(oracle):
         print(f"FAIL {name}: rowcount spark={len(spark)} duck={len(duck)}")
         n_fail += 1
         continue
+    # Dtype-KIND gate, BEFORE normalize() erases it: the driver's hash is
+    # dtype-sensitive, so a Spark int64 column against a DuckDB float64
+    # (e.g. SUM(BIGINT) -> HUGEINT -> float64 in pandas) fails the driver
+    # even when every value matches. normalize() casts both to float64 and
+    # structurally cannot see this class (that's how rg1-rg3 shipped red in
+    # round 11). Integer-vs-floating is the only kind pair DuckDB/Spark
+    # legitimately disagree on; flag it as a hard FAIL here.
+    kind_bad = None
+    for c in sorted(spark.columns):
+        sk, dk = spark[c].dtype.kind, duck[c].dtype.kind
+        num = {"i", "u", "f"}
+        if sk in num and dk in num and ((sk == "f") != (dk == "f")):
+            kind_bad = f"col {c} dtype kind: spark={spark[c].dtype} duck={duck[c].dtype}"
+            break
+    if kind_bad:
+        print(f"FAIL {name}: {kind_bad} (driver hash would mismatch; "
+              f"CAST the oracle column to BIGINT/DOUBLE to match Spark)")
+        n_fail += 1
+        continue
     s, d = normalize(spark), normalize(duck)
     bad = None
     for c in s.columns:
