@@ -6,24 +6,36 @@ import org.apache.spark.sql.expressions.Aggregator
 import scala.collection.mutable
 
 /** "Rows tying the group maximum, counted per tag" as ONE partial-aggregable
-  * aggregate — the skew-flat form of `max().over(window) -> filter(v == max)
-  * -> count by tag`.
+  * aggregate — the skew-flat alternative to `max().over(window) ->
+  * filter(v == max) -> count by tag`.
   *
   * The window form shuffles EVERY row of a group into a single task and
-  * sorts it; a hot group key (the skew replica's one order key carrying 30%
-  * of lineitem) becomes one multi-million-row task no AQE split can touch —
-  * window partitions are indivisible. This aggregate carries only
-  * (current max, tag -> tie count) per group, so map-side partial
-  * aggregation collapses a hot key inside each input task before anything
-  * ships: the shuffle sees one tiny buffer per (task, group), hash-
-  * aggregated — no sort, no indivisible giant partition (the j8
-  * count-before-join argument, applied to group-max semantics).
+  * sorts it; a hot group key becomes one multi-million-row task no AQE
+  * split can touch — window partitions are indivisible. This aggregate
+  * carries only (current max, tag -> tie count) per group, so map-side
+  * partial aggregation collapses a hot key inside each input task before
+  * anything ships (the j8 count-before-join argument, applied to
+  * group-max semantics).
+  *
+  * WHEN TO USE (r12, measured at the 100x replicas, interleaved A/B
+  * against the window form on j2's lineitem shape): NOT when the group
+  * key is near-unique — there the per-group buffers gain nothing from
+  * combine and the kryo serialization + ObjectHashAggregate's sort-based
+  * fallback (past spark.sql.objectHashAggregate.sortBased.fallbackThreshold
+  * = 128 groups/partition) made this form 15.7-16.6 s vs the window's
+  * 5.1-6.3 s at uniform, and only neutral (12.1-12.7 vs 10.4-11.5 s) on
+  * the skew replica whose hot key the window already fans out over a
+  * second column. It wins when groups are LARGE and duplicate-dominated
+  * (dedup-shaped data: few distinct (value, tag) combos per group), where
+  * map-side combine collapses the hot key to one buffer per task and the
+  * window would sort millions of rows in one task. j2 therefore ships the
+  * window form; this stays as the library operator for the other regime.
   *
   * Buffer transitions are order-independent: a strictly larger value
   * resets the counts, an equal value increments its tag, a smaller one is
   * ignored; merge keeps the larger max or sums counts on a tie. So any
-  * partitioning/merge order yields the same result — the oracle replays
-  * it as the plain groupBy-max + equi-join SQL.
+  * partitioning/merge order yields the same result — replayable as plain
+  * groupBy-max + equi-join SQL.
   *
   * Contract: null-free inputs (the query layer's tables guarantee both
   * columns; doubles compare exactly, so `==` ties are well-defined on

@@ -215,23 +215,29 @@ object Relational {
         .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
     },
     // ----- J2: multi-key equi-join (train_lib_prep_recalibration_model.py:95-97)
-    // "rows matching their group max, counted by flag" as ONE
-    // partial-aggregable shuffle: MaxTieCounts carries (max, flag->ties)
-    // per group, so map-side combine collapses a hot key inside each task
-    // BEFORE the exchange — the r10 window form (max().over + filter)
-    // shuffled every hot-key row into one unsplittable window partition
-    // (skew/uniform 1.57x at the 100x replica, the worst non-noise ratio
-    // left after r11). The final per-flag sum is a map-side-combined
-    // global aggregate over one tiny map per group. History: groupBy+
-    // self-join 24.9 s -> window 10.7 s (uniform 100x) -> this form, which
-    // drops the window's sort AND its indivisible hot partition.
+    // "rows matching their group max" as ONE shuffle: a window max over
+    // the join keys replaces groupBy(keys)+self-join (two scans + a 60 M x
+    // 60 M-row shuffle join even with exchange reuse) — 24.9 -> 10.7 s at
+    // the uniform 100x replica, 19.9 -> 16.6 on the adversarial skew one.
+    // Skew note (r12, measured): window partitions can't AQE-split, but
+    // the hot key fans out over l_linenumber, bounding the worst task, and
+    // BOTH de-skew alternatives lost the interleaved 100x A/B because
+    // (l_orderkey, l_linenumber) is near-UNIQUE at uniform — any pre-pass
+    // costs a full 60 M-key aggregation that the bounded skew tail never
+    // repays: MaxTieCounts one-shuffle aggregate (kryo buffers +
+    // ObjectHashAggregate sort-fallback past 128 groups/partition) uniform
+    // 15.7-16.6 s vs window 5.1-6.3, skew 12.1-12.7 vs window 10.4-11.5;
+    // count-before-window (codegen groupBy(keys, flag, qty) then window)
+    // uniform 12.8-26.4, skew 11.3-16.7 — the near-unique cold keys, not
+    // the hot one, dominate the extra aggregation. MaxTieCounts stays in
+    // functions/ for the shape it DOES win: group-max-tie counting where
+    // groups are duplicate-dominated and map-side combine truly collapses.
     "j2_multikey_join" -> { (s, d) =>
-      val mtc = udaf(new graft.functions.MaxTieCounts)
-      Tables.lineitem(s, d)
-        .groupBy("l_orderkey", "l_linenumber")
-        .agg(mtc(col("l_quantity"), col("l_returnflag")).as("mc"))
-        .select(explode(col("mc")).as(Seq("l_returnflag", "cnt")))
-        .groupBy("l_returnflag").agg(sum("cnt").as("n"))
+      val li = Tables.lineitem(s, d)
+      val w = Window.partitionBy("l_orderkey", "l_linenumber")
+      li.withColumn("max_qty", max("l_quantity").over(w))
+        .filter(col("l_quantity") === col("max_qty"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
     },
     // ----- J3: index-aligned outer column join (denovo_refinement.py:30-35)
     "j3_outer_align_join" -> { (s, d) =>
