@@ -158,6 +158,14 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         SortedShingleSet(exprs.head)
       }))
     e.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[Shingles3].getName, "graft_shingles"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"graft_shingles expects 1 argument, got ${exprs.length}")
+        Shingles3(exprs.head)
+      }))
+    e.injectFunction((
       new FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
       (exprs: Seq[Expression]) => {

@@ -55,6 +55,43 @@ case class SortedShingleSet(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native ORDERED 3-gram shingle hashes over a token-hash array — the
+  * position-preserving sibling of [[SortedShingleSet]] (same combine
+  * arithmetic, no sort/dedup): element i is the shingle starting at token
+  * i, which is what positional consumers (x16's duplicate-span runs)
+  * explode. Replaces the interpreted `transform` HOF with one primitive
+  * pass; array-identical to [[Text.shingleHashes3]] (spec-pinned). Null
+  * array → null; <3 tokens → empty array. */
+case class Shingles3(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint>, got ${other.simpleString}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else ShingleUtil.ordered(v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.isNull} = ${c.isNull};
+      ArrayData ${ev.value} = ${ev.isNull} ? null :
+        graft.functions.ShingleUtil.ordered(${c.value});""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Shingles3 =
+    copy(child = newChild)
+}
+
 /** Native MinHash signature over a token-hash array: the K permutation
   * minima `min_j (hs[j]*(2i+1) + 97i) % 4294967291` for i = 1..K over the
   * 3-gram shingle hashes — ONE pass instead of K interpreted
@@ -118,6 +155,10 @@ object ShingleUtil {
     }
     out
   }
+
+  /** Position-preserving shingle array for [[Shingles3]]. */
+  def ordered(arr: ArrayData): ArrayData =
+    new GenericArrayData(shingles3(arr))
 
   def sortedSet(arr: ArrayData): ArrayData = {
     val s = shingles3(arr)

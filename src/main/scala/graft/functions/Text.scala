@@ -244,6 +244,18 @@ object Text {
     else sortedShingleSetBuiltin(tokHashes)
   }
 
+  /** ORDERED shingle hashes (element i = shingle starting at token i) —
+    * the native [[graft.functions.Shingles3]] when registered, else the
+    * composed interpreted transform. Array-identical (spec-gated). For
+    * positional consumers (x16's duplicate spans); set-semantics
+    * consumers want [[sortedShingleSet]]. */
+  def orderedShingles(tokHashes: Column): Column = {
+    val active = org.apache.spark.sql.SparkSession.active
+    if (active.catalog.functionExists("graft_shingles"))
+      call_function("graft_shingles", tokHashes)
+    else shingleHashes3(tokHashes)
+  }
+
   /** Built-in-only form of [[sortedShingleSet]]. */
   def sortedShingleSetBuiltin(tokHashes: Column): Column =
     array_sort(array_distinct(shingleHashes3(tokHashes)))

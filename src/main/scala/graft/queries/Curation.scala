@@ -147,6 +147,101 @@ object Curation {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** X15 — decontamination with a BLOOM prefilter, output exactly equal
+    * to [[decontaminateFrom]].
+    *
+    * The 100 TB problem with x6's shape: `broadcast(pool)` ships the FULL
+    * distinct eval-shingle set to every executor. A production eval suite
+    * (millions of held-out documents) makes that pool tens of GB — past
+    * any broadcast threshold — while the corpus side still explodes every
+    * shingle into the join. A Bloom filter over the pool is fixed-size
+    * (~9.6 bits/key at 1% FPR: a 10^9-shingle pool fits in ~1.2 GB where
+    * the exact set is ~8 GB of longs plus hash-set overhead), broadcast
+    * once, and the corpus-side `mightContain` scan discards ~(1-fpp) of
+    * non-matching shingles BEFORE the join — so the exact verify join
+    * (which removes the Bloom's false positives and keeps the output
+    * bit-identical to x6's) runs over the tiny candidate remainder, and
+    * at pool sizes where the exact broadcast still works the bloom keeps
+    * the JOIN's build side as the only large broadcast. Two-phase
+    * sketch-then-verify, same contract as x11's Misra-Gries: the sketch
+    * bounds work, the exact pass makes the result engine-reproducible
+    * (CurationSpec pins equality with the exact path; the driver oracle
+    * replays the exact SQL).
+    *
+    * The pool is scanned twice at build time (count for sizing + the
+    * filter aggregate) — at a real lake both are ingest artifacts written
+    * once next to the eval set, not per-query work. */
+  def decontaminateBloomFrom(sh: DataFrame, evalMod: Int = EVAL_MOD,
+                             minShared: Int = MIN_SHARED,
+                             fpp: Double = 0.01): DataFrame = {
+    val s = sh.sparkSession
+    val pool = evalPoolFrom(sh, evalMod)
+    val nPool = pool.count()
+    // an empty pool (every eval doc under 3 tokens) has nothing to match —
+    // and Spark's bloomFilter aggregate NPEs on an empty frame (null
+    // buffer into BloomFilter.readFrom); the exact path returns the same
+    // empty result totally (TextEdgeSpec's adversarial corpus hits this)
+    if (nPool == 0) return decontaminateFrom(sh, evalMod, minShared)
+    val bloom = pool.stat.bloomFilter("h", nPool, fpp)
+    val bloomB = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))
+    explodeShingles(sh.filter(col("doc_id") % evalMod =!= 0))
+      .filter(mightContain(col("h")))
+      .join(broadcast(pool), Seq("h"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** X16 — duplicate-SPAN detection: the exact-substring-dedup signal of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better") reduced to its Spark-shaped core. A token span is
+    * "duplicated" when every 3-token shingle inside it occurs in >= minDf
+    * documents; per document we report the longest such run of
+    * consecutive shingle positions and the covered fraction — the
+    * columns a curation pipeline thresholds to cut copied/boilerplate
+    * spans (vs x8, which scores membership in the global hotspot list
+    * with no position structure; a long verbatim copy and scattered
+    * common trigrams look alike to x8 but not to max_dup_run).
+    *
+    * Shape at 100 TB: one position-stamped shingle explode (~tokens/doc
+    * rows, like x12's term explode — posexplode_outer to dodge the
+    * inferred-filter O(tokens²) trap, see [[explodeShingles]]), the
+    * doc-frequency aggregate REUSED from the shared distinct-shingle
+    * frame, one AQE-splittable semi-join on the shingle hash (a hot
+    * shingle fans out across doc rows; no single-task partition), and
+    * one window per document (partition bounded by doc length — the same
+    * bound x12's top-k accepts). The run collapse is the classic
+    * pos - row_number() gap trick: consecutive shared positions map to
+    * one group key, so run stats are a groupBy, not an automaton.
+    *
+    * Docs with zero shingles (< 3 tokens) have no span semantics and are
+    * absent from the output (d1's exact-dedup territory, as with
+    * MinHash). */
+  def dupSpanStats(docs: DataFrame, sh: DataFrame, minDf: Int = 2): DataFrame = {
+    val pos = docs
+      .withColumn("_th", Text.tokenHashesFromText(col("text")))
+      .select(col("doc_id"),
+        posexplode_outer(Text.orderedShingles(col("_th"))).as(Seq("pos", "h")))
+      .filter(col("h").isNotNull)
+    val dfs = explodeShingles(sh)
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val shared = pos.join(dfs.select("h"), Seq("h"), "left_semi")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val runs = shared
+      .withColumn("_grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "_grp").agg(count(lit(1)).as("c"))
+    val agg = runs.groupBy("doc_id").agg(
+      max("c").as("max_dup_run"), sum("c").as("n_shared"))
+    pos.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"),
+        r6(coalesce(col("n_shared"), lit(0L)) / col("n_shingles"))
+          .as("dup_fraction"))
+  }
+
   /** Per-document boilerplate load: how many of its distinct shingles are
     * corpus hotspots, and the fraction (a standard quality-filter input). */
   def boilerFraction(docs: DataFrame, hotDf: Int = HOT_DF): DataFrame = {
@@ -339,6 +434,14 @@ object Curation {
     // ----- X6: train/test decontamination — n-gram containment of every
     // corpus doc against the broadcast eval pool
     "x6_decontaminate" -> { (s, d) => decontaminateFrom(cachedShingleSets(s, d)) },
+    // ----- X15: the Bloom-prefiltered form — fixed-size sketch broadcast,
+    // exact verify join over the candidate remainder; output == x6
+    "x15_bloom_decontaminate" -> { (s, d) =>
+      decontaminateBloomFrom(cachedShingleSets(s, d)) },
+    // ----- X16: duplicate-span detection (exact-substring-dedup signal):
+    // longest run of consecutive >=minDf-df shingle positions per doc
+    "x16_dup_spans" -> { (s, d) =>
+      dupSpanStats(Tables.documents(s, d), cachedShingleSets(s, d)) },
     // ----- D8: boilerplate n-gram detection — document frequency of every
     // 3-gram shingle, hotspots only
     "d8_ngram_hotspots" -> { (s, d) => hotspotNgramsFrom(cachedShingleSets(s, d)) },
@@ -371,6 +474,38 @@ object Curation {
            CAST(('0x'||substr(md5('ord42:'||CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) AS sortkey
          FROM documents""",
     "x6_decontaminate" ->
+      s"""$shCte,
+          pool AS (SELECT DISTINCT unnest(sh) AS h FROM ds WHERE doc_id % $EVAL_MOD = 0),
+          corpus AS (SELECT doc_id, unnest(sh) AS h FROM ds WHERE doc_id % $EVAL_MOD <> 0)
+          SELECT doc_id, count(*) AS n_shared
+          FROM corpus JOIN pool USING (h)
+          GROUP BY 1 HAVING count(*) >= $MIN_SHARED""",
+    // 0- vs 1-based shingle positions differ between engines but only the
+    // RUN STRUCTURE reaches the output (pos - row_number is base-invariant)
+    "x16_dup_spans" ->
+      s"""$shCte,
+          px AS (SELECT doc_id, pos, hs[pos] AS h
+                 FROM (SELECT doc_id, hs,
+                         unnest(range(1, len(hs)+1)) AS pos FROM hsh)),
+          dfs AS (SELECT h FROM (SELECT doc_id, unnest(sh) AS h FROM ds)
+                  GROUP BY 1 HAVING count(*) >= 2),
+          shared AS (SELECT doc_id, pos FROM px JOIN dfs USING (h)),
+          runs AS (SELECT doc_id,
+                     pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                   FROM shared),
+          rl AS (SELECT doc_id, grp, count(*) AS c FROM runs GROUP BY 1, 2),
+          ag AS (SELECT doc_id, max(c) AS max_dup_run,
+                   CAST(sum(c) AS BIGINT) AS n_shared FROM rl GROUP BY 1),
+          tot AS (SELECT doc_id, count(*) AS n_shingles FROM px GROUP BY 1)
+          SELECT t.doc_id, t.n_shingles,
+            coalesce(n_shared, 0) AS n_shared,
+            coalesce(max_dup_run, 0) AS max_dup_run,
+            floor(coalesce(n_shared, 0)*1.0/t.n_shingles*1000000 + 0.5)/1000000
+              AS dup_fraction
+          FROM tot t LEFT JOIN ag USING (doc_id)""",
+    // the Bloom prefilter is EXACT after the verify join, so the oracle is
+    // x6's plain containment SQL — the sketch must be invisible in the rows
+    "x15_bloom_decontaminate" ->
       s"""$shCte,
           pool AS (SELECT DISTINCT unnest(sh) AS h FROM ds WHERE doc_id % $EVAL_MOD = 0),
           corpus AS (SELECT doc_id, unnest(sh) AS h FROM ds WHERE doc_id % $EVAL_MOD <> 0)

@@ -19,10 +19,25 @@ package graft.queries
   * computeIfAbsent: the rebuilt entry is fresh-persisted and tracked.
   * `ensurePersisted` runs inside the lock for the same reason — only an
   * entry the evictor can still see may be (re-)persisted, so every
-  * persisted frame has exactly one owner responsible for unpersisting it.
-  * The rare lock-held materialize (only after an external
-  * `spark.catalog.clearCache()`) serializes against other memo calls,
-  * which would otherwise be recomputing the same cleared state anyway. */
+  * persisted frame has exactly one owner responsible for unpersisting it
+  * (MemoRaceSpec pins the persist/unpersist balance under an 8-thread
+  * eviction churn). The rare lock-held materialize (only after an
+  * external `spark.catalog.clearCache()`) serializes against other memo
+  * calls, which would otherwise be recomputing the same cleared state
+  * anyway.
+  *
+  * One residual the memo deliberately does NOT chase (found while
+  * stress-testing the fix): a CONSUMER action racing an eviction — a job
+  * scanning a memoized frame while another thread's eviction unpersists
+  * it — can re-materialize the already-planned InMemoryRelation after its
+  * cache entry was dropped, leaving an orphan persisted RDD. That is
+  * Spark-level behavior (the in-flight plan holds the relation node; its
+  * CachedRDDBuilder rebuilds on demand), it cannot corrupt results (the
+  * scan recomputes from source), and the ContextCleaner reclaims the
+  * orphan as soon as the frame object is unreachable — verified in
+  * MemoRaceSpec, where the persisted population settles to exactly the
+  * cap once GC runs. Chasing it would need reference-counted pins around
+  * every consumer action, a cost no read path here justifies. */
 private[queries] final class LruFrameMemo[K, V <: AnyRef](
     max: Int,
     ensurePersisted: V => Unit,

@@ -177,6 +177,24 @@ class TextSpec extends SparkSpec {
       lit(null).cast("array<bigint>"))).head.isNullAt(0))
   }
 
+  test("native Shingles3 == composed shingleHashes3 transform (fuzz incl. short/null)") {
+    val rnd = new scala.util.Random(0x33cc)
+    val docs = (0 until 300).map { i =>
+      val n = rnd.nextInt(40) // includes 0,1,2-token docs
+      (i.toLong, (0 until n).map(_ => s"s${rnd.nextInt(8)}").mkString(" "))
+    }
+    val df = spark.createDataFrame(docs).toDF("doc_id", "text")
+      .withColumn("_th", Text.tokenHashesFromText(col("text")))
+    // array-identical including ORDER (the positional contract x16 needs)
+    val diff = df.select(
+        call_function("graft_shingles", col("_th")).as("nat"),
+        Text.shingleHashes3(col("_th")).as("cmp"))
+      .filter(not(col("nat") <=> col("cmp"))).count()
+    assert(diff == 0)
+    assert(df.limit(1).select(call_function("graft_shingles",
+      lit(null).cast("array<bigint>"))).head.isNullAt(0))
+  }
+
   test("native MinHashSig == composed K-sweep minhashPerm (fuzz incl. short/null)") {
     val rnd = new scala.util.Random(0xbeef)
     val docs = (0 until 300).map { i =>

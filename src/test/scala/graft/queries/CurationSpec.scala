@@ -34,6 +34,75 @@ class CurationSpec extends SparkSpec {
     assert(Curation.decontaminate(docs, minShared = 7).isEmpty)
   }
 
+  test("bloom decontamination == exact decontamination (fuzz corpora, both fpp regimes)") {
+    val rnd = new scala.util.Random(0x15b)
+    for (trial <- 1 to 3) {
+      // mixed corpus: some docs copy eval docs verbatim, some share a
+      // partial prefix, most are disjoint noise — plus a sloppy-fpp run
+      // where the exact verify join must erase the bloom's false positives
+      val nDocs = 60 + rnd.nextInt(40)
+      val docs = (0L until nDocs.toLong).map { i =>
+        val text =
+          if (i % 17 == 0) evalText + s" tail$i"
+          else if (i % 5 == 0) evalText                 // contaminated copy
+          else if (i % 7 == 0) "alpha beta gamma delta epsilon qq" + i // partial
+          else Seq.fill(10)("n" + (i * 31 + rnd.nextInt(5000))).mkString(" ")
+        (i, text)
+      }.toDF("doc_id", "text")
+      val sh = docs
+        .withColumn("_th", graft.functions.Text.tokenHashesFromText(col("text")))
+        .select(col("doc_id"), graft.functions.Text.sortedShingleSet(col("_th")).as("sh"))
+      def norm(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = norm(Curation.decontaminateFrom(sh, minShared = 3))
+      for (fpp <- Seq(0.01, 0.3)) { // 0.3: bloom passes many FPs -> verify must hold
+        val bloomed = norm(Curation.decontaminateBloomFrom(sh, minShared = 3, fpp = fpp))
+        assert(bloomed == exact, s"trial $trial fpp=$fpp: bloom path diverges " +
+          s"(only-bloom=${bloomed.diff(exact).take(3)}, only-exact=${exact.diff(bloomed).take(3)})")
+      }
+      assert(exact.nonEmpty, s"trial $trial produced no contamination — corpus too thin")
+    }
+  }
+
+  test("dup-span stats: run lengths, multi-span docs, clean docs, verbatim pairs") {
+    // copy = a 10-token span shared by docs 1 and 2, embedded in per-doc
+    // unique noise; its 8 interior shingles are the only shared ones
+    // (boundary shingles mix unique+copy tokens, so they stay unique)
+    val copy = (1 to 10).map(i => s"c$i").mkString(" ")
+    val copyB = (1 to 6).map(i => s"k$i").mkString(" ") // 6-token second span
+    def noise(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${noise("a", 5)} $copy ${noise("b", 5)}"),
+      (2L, s"${noise("d", 5)} $copy ${noise("e", 5)}"),
+      // doc 3 carries BOTH spans, separated by unique noise: two runs
+      (3L, s"${noise("f", 4)} $copy ${noise("g", 4)} $copyB ${noise("h", 4)}"),
+      (4L, s"${noise("p", 4)} $copyB ${noise("q", 4)}"),
+      (5L, noise("z", 12)),                      // fully clean
+      (6L, "tiny doc"),                          // <3 tokens: no shingles
+      (7L, s"$copy"), (8L, s"$copy")             // verbatim pair: all shared
+    ).toDF("doc_id", "text")
+    val sh = docs
+      .withColumn("_th", graft.functions.Text.tokenHashesFromText(col("text")))
+      .select(col("doc_id"), graft.functions.Text.sortedShingleSet(col("_th")).as("sh"))
+    val out = Curation.dupSpanStats(docs, sh).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    // doc 1: 20 tokens -> 18 shingles; the copy's 8 interior shingles shared
+    val f18 = math.floor(8.0 / 18 * 1e6 + 0.5) / 1e6 // the r6 form
+    assert(out(1L) == ((18L, 8L, 8L, f18)))
+    assert(out(2L)._2 == 8L && out(2L)._3 == 8L)
+    // doc 3: two separated runs — 8 (copy) and 4 (copyB interior); the sum
+    // and the max must tell them apart
+    assert(out(3L)._2 == 12L && out(3L)._3 == 8L, s"doc3 = ${out(3L)}")
+    assert(out(4L)._3 == 4L)
+    // clean doc: zero shared, zero run
+    assert(out(5L) == ((10L, 0L, 0L, 0.0)))
+    // <3-token doc is absent (no span semantics)
+    assert(!out.contains(6L))
+    // verbatim pair: every shingle shared, run == n_shingles
+    assert(out(7L) == ((8L, 8L, 8L, 1.0)) && out(8L) == ((8L, 8L, 8L, 1.0)))
+  }
+
   test("hotspot n-grams find exactly the shingles crossing the df threshold") {
     // "x y z" appears in docs 1-4 (df=4); all other shingles are unique
     val boiler = "x y z"

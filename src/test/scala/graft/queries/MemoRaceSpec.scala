@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** LruFrameMemo under real concurrency — the ADVICE r11 race: a thread
+  * racing an eviction of its key must neither orphan an LRU entry nor
+  * re-persist a frame the map no longer tracks. This spec hammers one
+  * memo from many threads over more keys than the cap and asserts BOTH
+  * invariants the fix guarantees:
+  *
+  *  1. Ownership balance: every persist the memo performed (build or
+  *     ensure-re-persist) is matched by an eviction unpersist, except the
+  *     <= cap entries still tracked. Pre-fix, a thread losing the
+  *     computeIfAbsent -> lru.put race re-persisted an evicted frame
+  *     nothing would ever unpersist — an unmatched persist this counter
+  *     catches deterministically, no GC involved.
+  *  2. Bounded persisted population. One bounded TRANSIENT is expected
+  *     and distinct from the bug: an action racing an eviction (the
+  *     count() below vs another thread's unpersist) re-materializes the
+  *     already-planned InMemoryRelation AFTER its cache entry was
+  *     dropped — a Spark-level wart whose orphan the ContextCleaner
+  *     reclaims once the frame object is unreachable (verified: without
+  *     GC such orphans linger; with GC the population settles to exactly
+  *     the cap). So the population check provokes GC and polls. */
+class MemoRaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("concurrent getOrBuild across > cap keys leaks no persisted frames") {
+    val cap = 3
+    val persists = new java.util.concurrent.atomic.AtomicInteger()
+    val unpersists = new java.util.concurrent.atomic.AtomicInteger()
+    val memo = new LruFrameMemo[Int, org.apache.spark.sql.DataFrame](
+      max = cap,
+      ensurePersisted = df =>
+        if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+          persists.incrementAndGet()
+          df.persist(); df.count()
+        },
+      unpersist = df => { unpersists.incrementAndGet(); df.unpersist(false) })
+
+    val before = spark.sparkContext.getPersistentRDDs.size
+    def build(k: Int): org.apache.spark.sql.DataFrame = {
+      persists.incrementAndGet()
+      val df = (1L to 50L).map(i => (i, i * k)).toDF("a", "b").persist()
+      df.count()
+      df
+    }
+
+    val nThreads = 8
+    val iters = 40
+    val keys = 10 // > cap so evictions churn constantly
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until nThreads).map { t =>
+      new Thread(() => {
+        try {
+          val rnd = new scala.util.Random(t)
+          for (_ <- 1 to iters) {
+            val k = rnd.nextInt(keys)
+            val df = memo.getOrBuild(k)(build(k))
+            // the returned frame must answer correctly even when another
+            // thread concurrently evicts it (recompute, never corruption)
+            assert(df.count() == 50L)
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"worker failures: ${errs.peek()}")
+
+    // invariant 1: ownership balance — the deterministic race detector
+    val balance = persists.get() - unpersists.get()
+    assert(balance >= 0 && balance <= cap,
+      s"unmatched persists: ${persists.get()} persists vs " +
+        s"${unpersists.get()} eviction unpersists (cap $cap) — a frame was " +
+        "persisted that no eviction will ever reclaim")
+
+    // invariant 2: persisted population, after the ContextCleaner reaps
+    // read-vs-unpersist orphans (see scaladoc)
+    def extra = spark.sparkContext.getPersistentRDDs.size - before
+    val deadline = System.currentTimeMillis() + 30000
+    while (extra > cap && System.currentTimeMillis() < deadline) {
+      System.gc(); Thread.sleep(500)
+    }
+    if (extra > cap) {
+      val names = spark.sparkContext.getPersistentRDDs.values
+        .map(r => s"${r.id}:${r.name}:${r.getStorageLevel}").mkString("\n  ")
+      fail(s"persisted frames leaked past GC: $before -> ${before + extra} (cap $cap)\n  $names")
+    }
+  }
+}

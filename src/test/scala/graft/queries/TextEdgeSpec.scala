@@ -37,8 +37,8 @@ class TextEdgeSpec extends SparkSpec {
     "x1_token_stats", "x2_quality_score", "x3_langid", "x4_fingerprint",
     "x14_repetition", "d1_exact_dedup", "d2_minhash", "d3_lsh_pairs",
     "d4_jaccard_verify", "d5_simhash", "d7_dedup_resolve",
-    "d8_ngram_hotspots", "x6_decontaminate", "x8_boiler_fraction",
-    "x9_chunk_pack", "x13_shuffle_shard")
+    "d8_ngram_hotspots", "x6_decontaminate", "x15_bloom_decontaminate",
+    "x8_boiler_fraction", "x9_chunk_pack", "x13_shuffle_shard")
 
   test("every text query is total over adversarial documents (ANSI on)") {
     val all = TextDedup.queries ++ Curation.queries
