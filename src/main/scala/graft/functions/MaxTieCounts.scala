@@ -38,20 +38,35 @@ import scala.collection.mutable
   * groupBy-max + equi-join SQL.
   *
   * Contract: null-free inputs (the query layer's tables guarantee both
-  * columns; doubles compare exactly, so `==` ties are well-defined on
-  * parquet-roundtripped values). */
+  * columns; doubles compare exactly, so ties are well-defined on
+  * parquet-roundtripped values). Doubles order by Double.compare's total
+  * order (NaN above +Infinity — deterministic under any partitioning,
+  * spec-pinned) with -0.0 collapsed to 0.0 on entry for SQL `=` parity;
+  * note a SQL oracle's `MAX` puts NaN above +Inf too (both engines), so
+  * the replay stays exact even on NaN-bearing columns. */
 class MaxTieCounts
     extends Aggregator[(Double, String), MaxTieBuf, Map[String, Long]] {
 
   override def zero: MaxTieBuf = new MaxTieBuf(0.0, mutable.HashMap.empty)
 
+  // java.lang.Double.compare, not the IEEE operators: under > and ==, a
+  // NaN value fails BOTH branches, so a NaN-seeded buffer silently drops
+  // every later real maximum while a NaN arriving later is ignored — the
+  // result would depend on which partition saw the NaN first, breaking
+  // the order-invariance contract. compare's total order (NaN above
+  // +Infinity, consistently on update and merge) keeps any partitioning
+  // deterministic: NaN-bearing groups report their NaN tie counts.
   override def reduce(b: MaxTieBuf, a: (Double, String)): MaxTieBuf = {
-    val (v, tag) = a
-    if (b.counts.isEmpty || v > b.m) {
+    // collapse -0.0 to 0.0 first: Double.compare orders -0.0 BELOW 0.0,
+    // but SQL's = treats them equal — a mixed-zero group must tie
+    val v = if (a._1 == 0.0) 0.0 else a._1
+    val tag = a._2
+    val cmp = if (b.counts.isEmpty) 1 else java.lang.Double.compare(v, b.m)
+    if (cmp > 0) {
       b.m = v
       b.counts.clear()
       b.counts(tag) = 1L
-    } else if (v == b.m) {
+    } else if (cmp == 0) {
       b.counts(tag) = b.counts.getOrElse(tag, 0L) + 1L
     }
     b
@@ -60,13 +75,16 @@ class MaxTieCounts
   override def merge(x: MaxTieBuf, y: MaxTieBuf): MaxTieBuf = {
     if (x.counts.isEmpty) y
     else if (y.counts.isEmpty) x
-    else if (y.m > x.m) y
-    else if (x.m > y.m) x
     else {
-      y.counts.foreach { case (t, c) =>
-        x.counts(t) = x.counts.getOrElse(t, 0L) + c
+      val cmp = java.lang.Double.compare(y.m, x.m)
+      if (cmp > 0) y
+      else if (cmp < 0) x
+      else {
+        y.counts.foreach { case (t, c) =>
+          x.counts(t) = x.counts.getOrElse(t, 0L) + c
+        }
+        x
       }
-      x
     }
   }
 

@@ -35,7 +35,40 @@ object Dedup {
     * gets GC'd, so a long CC run accumulated one checkpoint per iteration
     * on the reliable store (ADVICE r11). One chain per CC invocation;
     * only the FINAL round's files survive the call (the returned frame
-    * reads from them — the caller owns that lifetime). */
+    * reads from them, so they must stay valid for the session) — and a
+    * session-end listener deletes those finals too, so repeated CC
+    * invocations in a long-lived application leave ZERO residue on the
+    * reliable store after shutdown (one live dir per un-dropped result
+    * during the session is the irreducible minimum: the caller's frame
+    * reads it lazily). */
+  private object CkptCleanup {
+    private val live = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    private val hooked = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+    def swap(s: org.apache.spark.sql.SparkSession,
+             add: org.apache.hadoop.fs.Path,
+             drop: Option[org.apache.hadoop.fs.Path]): Unit = {
+      live.add(add.toString)
+      drop.foreach(p => live.remove(p.toString))
+      val sc = s.sparkContext
+      if (hooked.add(System.identityHashCode(sc))) {
+        sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            val conf = sc.hadoopConfiguration
+            live.forEach { dir =>
+              try {
+                val p = new org.apache.hadoop.fs.Path(dir)
+                p.getFileSystem(conf).delete(p, true)
+              } catch { case _: Throwable => () } // best-effort at shutdown
+            }
+            live.clear()
+          }
+        })
+      }
+    }
+  }
+
   private final class CkptChain(s: org.apache.spark.sql.SparkSession) {
     private val base = s.sparkContext.getCheckpointDir
     private val runId = java.util.UUID.randomUUID().toString.take(12)
@@ -51,6 +84,7 @@ object Dedup {
         prev.foreach { old =>
           old.getFileSystem(s.sparkContext.hadoopConfiguration).delete(old, true)
         }
+        CkptCleanup.swap(s, p, prev)
         prev = Some(p)
         out
       case None => df.localCheckpoint()

@@ -160,9 +160,11 @@ object Curation {
     * once, and the corpus-side `mightContain` scan discards ~(1-fpp) of
     * non-matching shingles BEFORE the join — so the exact verify join
     * (which removes the Bloom's false positives and keeps the output
-    * bit-identical to x6's) runs over the tiny candidate remainder, and
-    * at pool sizes where the exact broadcast still works the bloom keeps
-    * the JOIN's build side as the only large broadcast. Two-phase
+    * bit-identical to x6's) runs over the tiny candidate remainder. The
+    * verify join is deliberately UNhinted: a small pool broadcasts by the
+    * optimizer's own sizing, a huge one becomes a shuffle join whose
+    * corpus side is only the bloom-surviving remainder — no path ships
+    * the exact pool to every executor. Two-phase
     * sketch-then-verify, same contract as x11's Misra-Gries: the sketch
     * bounds work, the exact pass makes the result engine-reproducible
     * (CurationSpec pins equality with the exact path; the driver oracle
@@ -185,9 +187,17 @@ object Curation {
     val bloom = pool.stat.bloomFilter("h", nPool, fpp)
     val bloomB = s.sparkContext.broadcast(bloom)
     val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))
+    // NO broadcast hint on the verify join — that would re-ship the full
+    // exact pool and forfeit the bloom's whole reason to exist (x6 already
+    // IS the broadcast-pool plan for pools that fit). Unhinted, the
+    // optimizer broadcasts a small pool on its own (AQE sizes it) and
+    // falls back to a shuffle join for the huge-pool regime, where both
+    // join inputs are small: the corpus side is the bloom-surviving
+    // remainder (~matches + fpp of the rest), the pool side a plain
+    // column shuffle.
     explodeShingles(sh.filter(col("doc_id") % evalMod =!= 0))
       .filter(mightContain(col("h")))
-      .join(broadcast(pool), Seq("h"))
+      .join(pool, Seq("h"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
@@ -207,7 +217,7 @@ object Curation {
     * rows, like x12's term explode — posexplode_outer to dodge the
     * inferred-filter O(tokens²) trap, see [[explodeShingles]]), the
     * doc-frequency aggregate REUSED from the shared distinct-shingle
-    * frame, one AQE-splittable semi-join on the shingle hash (a hot
+    * frame, one AQE-splittable flag join on the shingle hash (a hot
     * shingle fans out across doc rows; no single-task partition), and
     * one window per document (partition bounded by doc length — the same
     * bound x12's top-k accepts). The run collapse is the classic
@@ -226,14 +236,26 @@ object Curation {
     val dfs = explodeShingles(sh)
       .groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
-    val shared = pos.join(dfs.select("h"), Seq("h"), "left_semi")
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val runs = shared
-      .withColumn("_grp", col("pos") - row_number().over(w))
+    // ONE consumption of the expensive tokenize+shingle scan: a left join
+    // tags shared positions (instead of a semi-join that drops the rows
+    // the totals still need), and both downstream consumers — the run
+    // stats and the per-doc totals — branch ABOVE the window's doc_id
+    // exchange, so ReuseExchange serves them from one execution of the
+    // scan + join (the md5-per-token pass runs once, not once per branch).
+    // Run collapse: pos - running_shared_count is constant exactly along
+    // a run of consecutive shared positions (the cumulative-sum form of
+    // the gap trick; row_number over a filtered frame would need its own
+    // plan branch below the exchange).
+    val j = pos.join(dfs.select(col("h"), lit(1).as("_s")), Seq("h"), "left")
+    val wc = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val t = j.withColumn("_cs", sum(coalesce(col("_s"), lit(0))).over(wc))
+    val runs = t.filter(col("_s") === 1)
+      .withColumn("_grp", col("pos") - col("_cs"))
       .groupBy("doc_id", "_grp").agg(count(lit(1)).as("c"))
     val agg = runs.groupBy("doc_id").agg(
       max("c").as("max_dup_run"), sum("c").as("n_shared"))
-    pos.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    t.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
       .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),

@@ -95,19 +95,26 @@ object TextDedup {
     * connected components needs) is fully preserved. */
   val HOT_BAND_CAP = 128
 
-  /** doc_id + exploded (band_id, band_key) rows. */
-  private def bandRows(mh: DataFrame): DataFrame = {
-    val bands = array((1 to BANDS).map { b =>
+  /** The ONE definition of the banding scheme: an array of (bid, key)
+    * structs over a signature frame's mh columns — every band consumer
+    * (bandRows, the d3/d4 automata) explodes THIS, so band width and key
+    * format can never silently diverge between the shared pass and the
+    * spec-reference forms. */
+  private def bandStructs: Column =
+    array((1 to BANDS).map { b =>
       struct(lit(b).as("bid"),
         concat_ws("_", col(s"mh${2 * b - 1}"), col(s"mh${2 * b}")).as("key"))
     }: _*)
+
+  /** doc_id + exploded (band_id, band_key) rows. */
+  private def bandRows(mh: DataFrame): DataFrame = {
     // zero-shingle docs (< 3 tokens) minhash to all-null signatures, and
     // concat_ws SKIPS nulls — without the filter every such doc shares
     // band key "" and they all pair with each other (then d4 divides by
     // an empty union). Too-short docs are exact-dedup territory (d1),
     // not MinHash candidates.
     mh.filter(col("mh1").isNotNull)
-      .select(col("doc_id"), explode(bands).as("band"))
+      .select(col("doc_id"), explode(bandStructs).as("band"))
       .select(col("doc_id"), col("band.bid").as("bid"), col("band.key").as("key"))
   }
 
@@ -342,13 +349,9 @@ object TextDedup {
   private[queries] def estSimPairsGrouped(s: SparkSession, mh: DataFrame,
       cap: Int = HOT_BAND_CAP): DataFrame = {
     import s.implicits._
-    val bandsArr = array((1 to BANDS).map { b =>
-      struct(lit(b).as("bid"),
-        concat_ws("_", col(s"mh${2 * b - 1}"), col(s"mh${2 * b}")).as("key"))
-    }: _*)
     val sig = array((1 to K).map(i => col(s"mh$i")): _*)
     val rows = mh.filter(col("mh1").isNotNull)
-      .select(col("doc_id"), sig.as("sig"), explode(bandsArr).as("band"))
+      .select(col("doc_id"), sig.as("sig"), explode(bandStructs).as("band"))
       .select(col("band.bid").as("bid"), col("band.key").as("key"),
         col("doc_id").as("docId"), col("sig").as("sh"))
     val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
@@ -379,13 +382,9 @@ object TextDedup {
   private[queries] def pairScoresGrouped(s: SparkSession, docsSh: DataFrame,
       mh: DataFrame, cap: Int = HOT_BAND_CAP): DataFrame = {
     import s.implicits._
-    val bandsArr = array((1 to BANDS).map { b =>
-      struct(lit(b).as("bid"),
-        concat_ws("_", col(s"mh${2 * b - 1}"), col(s"mh${2 * b}")).as("key"))
-    }: _*)
     val sigArr = array((1 to K).map(i => col(s"mh$i")): _*)
     val bands = mh.filter(col("mh1").isNotNull)
-      .select(col("doc_id"), sigArr.as("sig"), explode(bandsArr).as("band"))
+      .select(col("doc_id"), sigArr.as("sig"), explode(bandStructs).as("band"))
       .select(col("doc_id"), col("band.bid").as("bid"),
         col("band.key").as("key"), col("sig"))
     val multi = bands.groupBy("bid", "key").agg(count(lit(1)).as("bc"))
@@ -418,13 +417,22 @@ object TextDedup {
     * Deterministic contents (both scores are pure functions of the two
     * docs, identical across the bands a pair co-occurs in), so sharing
     * cannot change any result. */
-  private def cachedPairScores(s: SparkSession, d: String): DataFrame =
+  private def cachedPairScores(s: SparkSession, d: String): DataFrame = {
+    // resolve BOTH input memos BEFORE entering getOrBuild: cachedMinhash
+    // lives in the SAME ConcurrentHashMap as the "ps" entry, and a nested
+    // computeIfAbsent from inside a mapping function violates the CHM
+    // contract (recursive-update exception or a lost insert when the two
+    // tuple keys collide on a bin — which would leak the minhash frame
+    // exactly like the ADVICE r11 race). Hoisting makes the "ps" build
+    // closure CHM-free: it only composes two already-memoized frames.
+    val sh = Curation.cachedShingleSets(s, d)
+    val mh = cachedMinhash(s, d)
     dedupFrameMemo.getOrBuild((System.identityHashCode(s), d, "ps")) {
-      val fresh = pairScoresGrouped(s, Curation.cachedShingleSets(s, d),
-        cachedMinhash(s, d)).persist()
+      val fresh = pairScoresGrouped(s, sh, mh).persist()
       fresh.count()
       fresh
     }
+  }
 
   /** The double-join reference form of d4 (rounds 7-10's shipped shape):
     * lshPairs ⋈ docs ⋈ docs with a per-pair sorted-merge intersect.

@@ -53,4 +53,18 @@ class MaxTieCountsSpec extends SparkSpec {
     val rows = Seq((1L, 1.0, "R"), (1L, 1.0, "R"), (1L, 2.0, "A"))
     assert(run(rows, 2) == Map("A" -> 1L))
   }
+
+  test("NaN orders above +Infinity deterministically; -0.0 ties 0.0") {
+    // NaN must win the group under ANY partitioning (Double.compare total
+    // order) — under IEEE > / == it would silently drop whichever side
+    // arrived second, partitioning-dependently
+    val nan = Seq((1L, Double.NaN, "R"), (1L, 5.0, "A"),
+      (1L, Double.PositiveInfinity, "N"), (1L, Double.NaN, "A"))
+    for (parts <- Seq(1, 2, 7))
+      assert(run(nan, parts) == Map("R" -> 1L, "A" -> 1L), s"parts=$parts")
+    // mixed zeros are one tie group (SQL = semantics), not two levels
+    val zeros = Seq((1L, 0.0, "R"), (1L, -0.0, "A"), (1L, -1.0, "N"))
+    for (parts <- Seq(1, 3))
+      assert(run(zeros, parts) == Map("R" -> 1L, "A" -> 1L), s"parts=$parts")
+  }
 }

@@ -103,6 +103,56 @@ class CurationSpec extends SparkSpec {
     assert(out(7L) == ((8L, 8L, 8L, 1.0)) && out(8L) == ((8L, 8L, 8L, 1.0)))
   }
 
+  test("dup-span stats match a driver brute force (fuzz, small vocab forces in-doc repeats)") {
+    val rnd = new scala.util.Random(0x16f)
+    for (trial <- 1 to 3) {
+      // vocab of 8 tokens: shingles repeat within AND across docs, so the
+      // df-is-distinct-docs contract is exercised (an in-doc repeat alone
+      // must NOT make a shingle 'shared')
+      val docs = (0L until 40L).map { i =>
+        val n = rnd.nextInt(25) // includes <3-token docs
+        (i, (0 until n).map(_ => s"v${rnd.nextInt(8)}").mkString(" "))
+      }
+      // driver-side replica of tokenize -> shingle -> df -> runs
+      def tokHashes(text: String): Seq[Long] =
+        text.split(" ").filter(_.nonEmpty).toSeq.map { t =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(t.getBytes("UTF-8"))
+          ((md(0) & 0xffL) << 24) | ((md(1) & 0xffL) << 16) |
+            ((md(2) & 0xffL) << 8) | (md(3) & 0xffL)
+        }
+      def shingles(h: Seq[Long]): Seq[Long] =
+        if (h.length < 3) Seq.empty
+        else (0 until h.length - 2).map(i =>
+          (h(i) * 299L + h(i + 1) * 991L + h(i + 2)) % 4294967291L)
+      val perDoc = docs.map { case (id, t) => id -> shingles(tokHashes(t)) }
+      val df = perDoc.flatMap { case (id, sh) => sh.distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (h, xs) => h -> xs.map(_._2).distinct.size }
+      val expected = perDoc.filter(_._2.nonEmpty).map { case (id, sh) =>
+        val shared = sh.map(h => df(h) >= 2)
+        // run lengths of consecutive true flags
+        var runs = List.empty[Long]; var cur = 0L
+        shared.foreach { s =>
+          if (s) cur += 1 else { if (cur > 0) runs ::= cur; cur = 0 }
+        }
+        if (cur > 0) runs ::= cur
+        val nShared = shared.count(identity).toLong
+        id -> (sh.length.toLong, nShared, if (runs.isEmpty) 0L else runs.max,
+          math.floor(nShared.toDouble / sh.length * 1e6 + 0.5) / 1e6)
+      }.toMap
+      val ddf = docs.toDF("doc_id", "text")
+      val sh = ddf
+        .withColumn("_th", graft.functions.Text.tokenHashesFromText(col("text")))
+        .select(col("doc_id"), graft.functions.Text.sortedShingleSet(col("_th")).as("sh"))
+      val got = Curation.dupSpanStats(ddf, sh).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toMap
+      assert(got == expected, s"trial $trial: " +
+        s"only-got=${(got.toSet diff expected.toSet).take(3)}, " +
+        s"only-exp=${(expected.toSet diff got.toSet).take(3)}")
+    }
+  }
+
   test("hotspot n-grams find exactly the shingles crossing the df threshold") {
     // "x y z" appears in docs 1-4 (df=4); all other shingles are unique
     val boiler = "x y z"

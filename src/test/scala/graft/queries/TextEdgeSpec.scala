@@ -38,7 +38,7 @@ class TextEdgeSpec extends SparkSpec {
     "x14_repetition", "d1_exact_dedup", "d2_minhash", "d3_lsh_pairs",
     "d4_jaccard_verify", "d5_simhash", "d7_dedup_resolve",
     "d8_ngram_hotspots", "x6_decontaminate", "x15_bloom_decontaminate",
-    "x8_boiler_fraction", "x9_chunk_pack", "x13_shuffle_shard")
+    "x16_dup_spans", "x8_boiler_fraction", "x9_chunk_pack", "x13_shuffle_shard")
 
   test("every text query is total over adversarial documents (ANSI on)") {
     val all = TextDedup.queries ++ Curation.queries
