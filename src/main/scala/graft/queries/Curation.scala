@@ -217,7 +217,7 @@ object Curation {
     * rows, like x12's term explode — posexplode_outer to dodge the
     * inferred-filter O(tokens²) trap, see [[explodeShingles]]), the
     * doc-frequency aggregate REUSED from the shared distinct-shingle
-    * frame, one AQE-splittable flag join on the shingle hash (a hot
+    * frame, one AQE-splittable semi-join on the shingle hash (a hot
     * shingle fans out across doc rows; no single-task partition), and
     * one window per document (partition bounded by doc length — the same
     * bound x12's top-k accepts). The run collapse is the classic
@@ -236,26 +236,25 @@ object Curation {
     val dfs = explodeShingles(sh)
       .groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
-    // ONE consumption of the expensive tokenize+shingle scan: a left join
-    // tags shared positions (instead of a semi-join that drops the rows
-    // the totals still need), and both downstream consumers — the run
-    // stats and the per-doc totals — branch ABOVE the window's doc_id
-    // exchange, so ReuseExchange serves them from one execution of the
-    // scan + join (the md5-per-token pass runs once, not once per branch).
-    // Run collapse: pos - running_shared_count is constant exactly along
-    // a run of consecutive shared positions (the cumulative-sum form of
-    // the gap trick; row_number over a filtered frame would need its own
-    // plan branch below the exchange).
-    val j = pos.join(dfs.select(col("h"), lit(1).as("_s")), Seq("h"), "left")
-    val wc = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val t = j.withColumn("_cs", sum(coalesce(col("_s"), lit(0))).over(wc))
-    val runs = t.filter(col("_s") === 1)
-      .withColumn("_grp", col("pos") - col("_cs"))
+    // The md5-per-token pass runs ONCE (the runs path): the totals branch
+    // needs only the shingle COUNT, which is size(tokens) - 2 — a pure
+    // split+size scan with no hashing at all. (A shared-subtree form with
+    // one scan feeding both branches was tried and defeated by the
+    // optimizer itself: column pruning strips the window from the totals
+    // branch, the canonicalized exchanges diverge, and ReuseExchange
+    // never fires — two md5 scans. Decoupling makes the second scan
+    // hash-free instead.)
+    val shared = pos.join(dfs.select("h"), Seq("h"), "left_semi")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val runs = shared
+      .withColumn("_grp", col("pos") - row_number().over(w))
       .groupBy("doc_id", "_grp").agg(count(lit(1)).as("c"))
     val agg = runs.groupBy("doc_id").agg(
       max("c").as("max_dup_run"), sum("c").as("n_shared"))
-    t.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    docs
+      .select(col("doc_id"),
+        (size(Text.tokens(col("text"))) - 2).cast("long").as("n_shingles"))
+      .filter(col("n_shingles") >= 1)
       .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
