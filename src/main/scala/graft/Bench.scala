@@ -103,17 +103,43 @@ object Bench {
   }
 
   /** Re-run each flagged query once via `rerun`, keep the per-query
-    * minimum. Returns the healed map and the list actually re-run.
-    */
+    * minimum. Returns the healed map, the list actually re-run, and the
+    * `heal_floor` list: queries whose kept minimum is more than
+    * `floorRatio` below the first run. With a genuinely COLD rerun
+    * (caller's `rerun` must clear caches/memos first — see `coldReset`)
+    * a >10x drop is real contention healing and the min is correct, but
+    * it is the same numeric signature as the round-12 warm-cache
+    * pollution, so it is never published silently: the annotation makes
+    * the artifact self-describing and lets a reader demand the cold
+    * protocol evidence. */
   def heal(
       results: ListMap[String, Double],
       toHeal: Seq[String],
-      rerun: String => Double): (ListMap[String, Double], Seq[String]) = {
+      rerun: String => Double,
+      floorRatio: Double = 10.0): (ListMap[String, Double], Seq[String], Seq[String]) = {
     val set = toHeal.toSet
+    val floored = Seq.newBuilder[String]
     val healed = results.map { case (n, t) =>
-      n -> (if (set(n)) math.min(t, rerun(n)) else t)
+      if (set(n)) {
+        val r = rerun(n)
+        val kept = math.min(t, r)
+        if (kept > 0 && t / math.max(kept, 1e-9) > floorRatio) floored += n
+        n -> kept
+      } else n -> t
     }
-    (healed, toHeal.sorted)
+    (healed, toHeal.sorted, floored.result().sorted)
+  }
+
+  /** Drop EVERY source of cross-run warmth before a heal rerun or a
+    * standalone cold probe: Spark's cache manager (operators like
+    * OverlapSuppress persist internally and never unpersist) AND the
+    * session memos (shingle/minhash/pair-scores/ANN/jcAgg), whose
+    * re-persist arm would otherwise resurrect the frame right through a
+    * clearCache(). Without BOTH, a rerun of w3/d3/rg3 measures cache
+    * projection, not the query — the BENCH_SKEW100 r12 defect. */
+  def coldReset(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.catalog.clearCache()
+    graft.queries.FrameMemos.clearAll()
   }
 
   def main(args: Array[String]): Unit = {
@@ -161,7 +187,11 @@ object Bench {
         case _ => Map.empty
       }
     val toHeal = suspicious(results, profile).filterNot(errors.contains)
-    val (healed, reran) = heal(results, toHeal, n => time(n, byName(n)))
+    // each heal rerun is COLD: clear the catalog cache AND evict the session
+    // memos first, so a query that persists internally (w3) or resolves via
+    // a memoized frame (d3/d4/rg3) cannot publish a warm-projection minimum
+    val (healed, reran, healFloor) =
+      heal(results, toHeal, { n => coldReset(spark); time(n, byName(n)) })
     results = healed
 
     def jmap(m: Iterable[(String, String)]): String =
@@ -170,10 +200,11 @@ object Bench {
     val errJson = jmap(errors.map { case (k, v) => k -> ("\"" + escapeJson(v) + "\"") })
     val loadJson = jmap(loadAt.map { case (k, v) => k -> f"$v%.2f" })
     val reranJson = reran.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val floorJson = healFloor.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,""" +
       s""""load":$loadJson,"load_before":$loadBefore,"load_after":$loadAfter,"cores":$cores,""" +
-      s""""profile_used":${profile.nonEmpty},"reran":$reranJson,"sf":"$sfDir"}"""
+      s""""profile_used":${profile.nonEmpty},"reran":$reranJson,"heal_floor":$floorJson,"sf":"$sfDir"}"""
     println(json)
     // the stdout line is the driver contract, but tail-capture can truncate
     // it (BENCH_r03 lost half its per-query map) — persist the complete

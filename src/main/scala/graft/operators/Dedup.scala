@@ -43,15 +43,20 @@ object Dedup {
     * reads it lazily). */
   private object CkptCleanup {
     private val live = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-    private val hooked = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    // keyed by applicationId, not System.identityHashCode(sc): an identity
+    // hash can collide with a previous (GC'd) context's, silently skipping
+    // listener registration for the new context (ADVICE r12)
+    private val hooked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-    def swap(s: org.apache.spark.sql.SparkSession,
-             add: org.apache.hadoop.fs.Path,
-             drop: Option[org.apache.hadoop.fs.Path]): Unit = {
-      live.add(add.toString)
-      drop.foreach(p => live.remove(p.toString))
+    /** Track `p` for shutdown deletion. MUST be called BEFORE the dir is
+      * written: `sweepStale` treats any graft-cc-* dir not in `live` as a
+      * dead chain's leftover, so registering after the write would race a
+      * concurrent chain's construction-time sweep. */
+    def register(s: org.apache.spark.sql.SparkSession,
+                 p: org.apache.hadoop.fs.Path): Unit = {
+      live.add(p.toString)
       val sc = s.sparkContext
-      if (hooked.add(System.identityHashCode(sc))) {
+      if (hooked.add(sc.applicationId)) {
         sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
           override def onApplicationEnd(
               e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
@@ -67,6 +72,31 @@ object Dedup {
         })
       }
     }
+
+    def deregister(p: org.apache.hadoop.fs.Path): Unit = live.remove(p.toString)
+
+    /** Delete graft-cc-* dirs under this app's checkpoint dir that no live
+      * chain owns — leftovers from a chain whose JVM died before its
+      * onApplicationEnd hook ran (the hook is only best-effort; a SIGKILL
+      * skips it). Scope note: `setCheckpointDir` nests a per-application
+      * UUID dir, so this sweep can only see THIS application's leftovers
+      * (same long-lived session, earlier failed chain). A previous killed
+      * JVM's dirs sit under a sibling UUID we deliberately do not touch —
+      * a sibling could equally be a concurrently RUNNING application's
+      * live chain, and deleting it would corrupt that job. Cross-app
+      * reclamation is the store's retention policy's job. */
+    def sweepStale(s: org.apache.spark.sql.SparkSession): Unit =
+      s.sparkContext.getCheckpointDir.foreach { dir =>
+        try {
+          val root = new org.apache.hadoop.fs.Path(dir)
+          val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+            val p = st.getPath
+            if (p.getName.startsWith("graft-cc-") && !live.contains(p.toString))
+              try fs.delete(p, true) catch { case _: Throwable => () }
+          }
+        } catch { case _: Throwable => () } // sweep is best-effort hygiene
+      }
   }
 
   private final class CkptChain(s: org.apache.spark.sql.SparkSession) {
@@ -74,17 +104,19 @@ object Dedup {
     private val runId = java.util.UUID.randomUUID().toString.take(12)
     private var n = 0
     private var prev: Option[org.apache.hadoop.fs.Path] = None
+    CkptCleanup.sweepStale(s)
 
     def cp(df: DataFrame): DataFrame = base match {
       case Some(dir) =>
         n += 1
         val p = new org.apache.hadoop.fs.Path(dir, s"graft-cc-$runId-$n")
+        CkptCleanup.register(s, p) // before the write — see register's contract
         df.write.mode("overwrite").parquet(p.toString)
         val out = s.read.parquet(p.toString)
         prev.foreach { old =>
           old.getFileSystem(s.sparkContext.hadoopConfiguration).delete(old, true)
+          CkptCleanup.deregister(old)
         }
-        CkptCleanup.swap(s, p, prev)
         prev = Some(p)
         out
       case None => df.localCheckpoint()

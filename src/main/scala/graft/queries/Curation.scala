@@ -91,12 +91,48 @@ object Curation {
       },
     unpersist = _.unpersist(false))
 
-  private[queries] def cachedShingleSets(s: SparkSession, d: String): DataFrame =
-    shingleMemo.getOrBuild((System.identityHashCode(s), d)) {
-      val fresh = shingleSets(Tables.documents(s, d)).persist()
+  /** Session memo of the ONE md5-per-token pass (doc_id, th) every derived
+    * corpus artifact starts from — the shingle-set memo's build derives
+    * `sortedShingleSet(th)` from it and x16's runs path derives the
+    * ORDERED shingles (position-preserving, which the sorted-distinct sh
+    * frame cannot reconstruct). Before this memo (VERDICT r12 #7), x16
+    * re-hashed the whole corpus even in a session whose shingle memo
+    * already held a frame derived from the identical pass. ~8 bytes x
+    * tokens/doc persisted (2x the sh frame's footprint at the 100x
+    * replica: ~240 MB for 500k docs — MEMORY_AND_DISK spills, never
+    * recomputes); at a real lake this is the written-once token-hash
+    * column of the shingle table, not executor cache. */
+  private val thMemo = new LruFrameMemo[(Int, String), DataFrame](
+    max = 8,
+    ensurePersisted = df =>
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.count()
+      },
+    unpersist = _.unpersist(false))
+
+  private[queries] def cachedTokenHashes(s: SparkSession, d: String): DataFrame =
+    thMemo.getOrBuild((System.identityHashCode(s), d)) {
+      val fresh = Tables.documents(s, d)
+        .select(col("doc_id"), Text.tokenHashesFromText(col("text")).as("th"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       fresh.count() // materialize eagerly: parallel consumers must not race
       fresh
     }
+
+  private[queries] def cachedShingleSets(s: SparkSession, d: String): DataFrame = {
+    // hoisted OUTSIDE getOrBuild: thMemo is a different CHM so nesting is
+    // legal, but keeping every build closure CHM-free is the convention
+    // that closed the r12 self-review reentrancy hole (cachedPairScores)
+    val th = cachedTokenHashes(s, d)
+    shingleMemo.getOrBuild((System.identityHashCode(s), d)) {
+      val fresh = th
+        .select(col("doc_id"), Text.sortedShingleSet(col("th")).as("sh"))
+        .persist()
+      fresh.count() // materialize eagerly: parallel consumers must not race
+      fresh
+    }
+  }
 
   /** Explode an EXPENSIVE computed array without the optimizer's inferred
     * pre-Generate filter: plain `explode` makes Catalyst add
@@ -172,10 +208,45 @@ object Curation {
     *
     * The pool is scanned twice at build time (count for sizing + the
     * filter aggregate) — at a real lake both are ingest artifacts written
-    * once next to the eval set, not per-query work. */
+    * once next to the eval set, not per-query work.
+    *
+    * Broadcast lifetime (ADVICE r12): the returned frame is LAZY and its
+    * plan references the Bloom broadcast, so this method cannot destroy
+    * it — the broadcast lives until the frame object becomes unreachable
+    * and the ContextCleaner reclaims it (standard Spark UDF-closure
+    * lifetime; one ~`9.6 * nPool / 8e9` GB blob per call). A caller
+    * looping over many large pools should use
+    * [[decontaminateBloomBounded]], which materializes the (tiny) result
+    * and destroys the broadcast deterministically before returning. */
   def decontaminateBloomFrom(sh: DataFrame, evalMod: Int = EVAL_MOD,
                              minShared: Int = MIN_SHARED,
-                             fpp: Double = 0.01): DataFrame = {
+                             fpp: Double = 0.01): DataFrame =
+    bloomDecontamPlan(sh, evalMod, minShared, fpp)._1
+
+  /** [[decontaminateBloomFrom]] with a DETERMINISTIC broadcast bound: the
+    * result (a few rows per contaminated doc) is materialized via an eager
+    * `localCheckpoint` — which truncates lineage, so no later recompute can
+    * reference the Bloom — and the broadcast is destroyed before returning.
+    * Repeated large-pool invocations then hold at most ONE sketch's memory
+    * at a time instead of accumulating blobs until the ContextCleaner
+    * happens to GC the frames. */
+  def decontaminateBloomBounded(sh: DataFrame, evalMod: Int = EVAL_MOD,
+                                minShared: Int = MIN_SHARED,
+                                fpp: Double = 0.01): DataFrame = {
+    val (df, bloomB) = bloomDecontamPlan(sh, evalMod, minShared, fpp)
+    bloomB match {
+      case None => df // empty-pool exact path: no broadcast to bound
+      case Some(b) =>
+        val out = df.localCheckpoint(true)
+        b.destroy()
+        out
+    }
+  }
+
+  private def bloomDecontamPlan(
+      sh: DataFrame, evalMod: Int, minShared: Int, fpp: Double)
+      : (DataFrame, Option[org.apache.spark.broadcast.Broadcast[
+          org.apache.spark.util.sketch.BloomFilter]]) = {
     val s = sh.sparkSession
     val pool = evalPoolFrom(sh, evalMod)
     val nPool = pool.count()
@@ -183,7 +254,7 @@ object Curation {
     // and Spark's bloomFilter aggregate NPEs on an empty frame (null
     // buffer into BloomFilter.readFrom); the exact path returns the same
     // empty result totally (TextEdgeSpec's adversarial corpus hits this)
-    if (nPool == 0) return decontaminateFrom(sh, evalMod, minShared)
+    if (nPool == 0) return (decontaminateFrom(sh, evalMod, minShared), None)
     val bloom = pool.stat.bloomFilter("h", nPool, fpp)
     val bloomB = s.sparkContext.broadcast(bloom)
     val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))
@@ -195,11 +266,12 @@ object Curation {
     // join inputs are small: the corpus side is the bloom-surviving
     // remainder (~matches + fpp of the rest), the pool side a plain
     // column shuffle.
-    explodeShingles(sh.filter(col("doc_id") % evalMod =!= 0))
+    val out = explodeShingles(sh.filter(col("doc_id") % evalMod =!= 0))
       .filter(mightContain(col("h")))
       .join(pool, Seq("h"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+    (out, Some(bloomB))
   }
 
   /** X16 — duplicate-SPAN detection: the exact-substring-dedup signal of
@@ -228,22 +300,44 @@ object Curation {
     * absent from the output (d1's exact-dedup territory, as with
     * MinHash). */
   def dupSpanStats(docs: DataFrame, sh: DataFrame, minDf: Int = 2): DataFrame = {
-    val pos = docs
-      .withColumn("_th", Text.tokenHashesFromText(col("text")))
+    // Standalone (no-memo) form: the md5-per-token pass runs ONCE (the
+    // runs path); the totals branch needs only the shingle COUNT, which is
+    // size(tokens) - 2 — a pure split+size scan with no hashing at all.
+    // (A shared-subtree form with one scan feeding both branches was tried
+    // and defeated by the optimizer itself: column pruning strips the
+    // window from the totals branch, the canonicalized exchanges diverge,
+    // and ReuseExchange never fires — two md5 scans. Decoupling makes the
+    // second scan hash-free instead. The registered x16 goes further and
+    // resolves through [[dupSpanStatsFromTh]] over the memoized token-hash
+    // frame — zero md5 in either branch once the memo is warm.)
+    spanStats(
+      docs.select(col("doc_id"),
+        Text.tokenHashesFromText(col("text")).as("th")),
+      docs.select(col("doc_id"),
+        (size(Text.tokens(col("text"))) - 2).cast("long").as("n_shingles")),
+      sh, minDf)
+  }
+
+  /** [[dupSpanStats]] over a prebuilt (doc_id, th) token-hash frame — the
+    * memoized path ([[cachedTokenHashes]]): both the ordered-shingle runs
+    * branch and the totals branch scan the persisted th frame, so the
+    * registered x16 re-hashes nothing. CurationSpec pins it
+    * frame-identical to the docs form. */
+  def dupSpanStatsFromTh(th: DataFrame, sh: DataFrame, minDf: Int = 2): DataFrame =
+    spanStats(th,
+      th.select(col("doc_id"),
+        (size(col("th")) - 2).cast("long").as("n_shingles")),
+      sh, minDf)
+
+  private def spanStats(th: DataFrame, totals: DataFrame, sh: DataFrame,
+                        minDf: Int): DataFrame = {
+    val pos = th
       .select(col("doc_id"),
-        posexplode_outer(Text.orderedShingles(col("_th"))).as(Seq("pos", "h")))
+        posexplode_outer(Text.orderedShingles(col("th"))).as(Seq("pos", "h")))
       .filter(col("h").isNotNull)
     val dfs = explodeShingles(sh)
       .groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
-    // The md5-per-token pass runs ONCE (the runs path): the totals branch
-    // needs only the shingle COUNT, which is size(tokens) - 2 — a pure
-    // split+size scan with no hashing at all. (A shared-subtree form with
-    // one scan feeding both branches was tried and defeated by the
-    // optimizer itself: column pruning strips the window from the totals
-    // branch, the canonicalized exchanges diverge, and ReuseExchange
-    // never fires — two md5 scans. Decoupling makes the second scan
-    // hash-free instead.)
     val shared = pos.join(dfs.select("h"), Seq("h"), "left_semi")
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val runs = shared
@@ -251,9 +345,7 @@ object Curation {
       .groupBy("doc_id", "_grp").agg(count(lit(1)).as("c"))
     val agg = runs.groupBy("doc_id").agg(
       max("c").as("max_dup_run"), sum("c").as("n_shared"))
-    docs
-      .select(col("doc_id"),
-        (size(Text.tokens(col("text"))) - 2).cast("long").as("n_shingles"))
+    totals
       .filter(col("n_shingles") >= 1)
       .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),
@@ -462,7 +554,7 @@ object Curation {
     // ----- X16: duplicate-span detection (exact-substring-dedup signal):
     // longest run of consecutive >=minDf-df shingle positions per doc
     "x16_dup_spans" -> { (s, d) =>
-      dupSpanStats(Tables.documents(s, d), cachedShingleSets(s, d)) },
+      dupSpanStatsFromTh(cachedTokenHashes(s, d), cachedShingleSets(s, d)) },
     // ----- D8: boilerplate n-gram detection — document frequency of every
     // 3-gram shingle, hotspots only
     "d8_ngram_hotspots" -> { (s, d) => hotspotNgramsFrom(cachedShingleSets(s, d)) },

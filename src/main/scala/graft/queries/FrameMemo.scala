@@ -46,6 +46,23 @@ private[queries] final class LruFrameMemo[K, V <: AnyRef](
   private val entries = new java.util.concurrent.ConcurrentHashMap[K, V]()
   private val lru = new java.util.LinkedHashMap[K, java.lang.Boolean](
     16, 0.75f, /*accessOrder=*/ true)
+  FrameMemos.register(this)
+
+  /** Evict EVERY entry (unpersisting each frame). For cold-isolation
+    * harnesses only (Bench's heal rerun, standalone cost probes): a memo
+    * surviving `spark.catalog.clearCache()` would re-persist itself via
+    * the validation arm and silently warm-subsidize the "cold" rerun —
+    * the BENCH_SKEW100 r12 pollution mode. Runs under the same recency
+    * monitor as getOrBuild, so a concurrent builder either completes
+    * before the sweep (and is evicted here) or revalidates after it
+    * (finds its entry gone, rebuilds fresh). Returns entries evicted. */
+  def clearAll(): Int = lru.synchronized {
+    val n = entries.size()
+    val it = entries.entrySet().iterator()
+    while (it.hasNext) { unpersist(it.next().getValue); it.remove() }
+    lru.clear()
+    n
+  }
 
   def getOrBuild(key: K)(build: => V): V = {
     while (true) {
@@ -66,5 +83,28 @@ private[queries] final class LruFrameMemo[K, V <: AnyRef](
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+}
+
+/** Process-wide registry of every LruFrameMemo instance (shingle, minhash,
+  * pair-scores, ANN index, jcAgg — each registers itself at construction).
+  * `clearAll()` is Bench's cold-isolation hook: `spark.catalog.clearCache()`
+  * alone is NOT enough to make a heal rerun cold, because each memo's
+  * re-persist arm detects the cleared frame and re-persists it on the next
+  * access — the exact mechanism that published 0.0067 s "heal minima" into
+  * BENCH_SKEW100 in round 12. Public (not `private[queries]`) so graft.Bench
+  * and graft.RunQuery can call it. */
+object FrameMemos {
+  private val all =
+    new java.util.concurrent.CopyOnWriteArrayList[LruFrameMemo[_, _]]()
+
+  private[queries] def register(m: LruFrameMemo[_, _]): Unit = all.add(m)
+
+  /** Evict every entry of every memo; returns total entries evicted. */
+  def clearAll(): Int = {
+    var n = 0
+    val it = all.iterator()
+    while (it.hasNext) n += it.next().clearAll()
+    n
   }
 }

@@ -434,6 +434,21 @@ object TextDedup {
     }
   }
 
+  /** d3-ONLY entry point (ADVICE r12): candidate pairs + est_sim WITHOUT
+    * the corpus shingle-set build. The registered d3 resolves through
+    * [[cachedPairScores]], which additionally builds and ships the shingle
+    * payload so a following d4 is a free projection — measured net win
+    * when both run (d3 2.14 -> 2.35 s, d4 2.3 -> 0.13 s at the 100x
+    * replica), but a session that only ever wants LSH candidates pays
+    * ~0.2 s/100x plus a full shingle memo slot for nothing. That caller
+    * uses this method; the registered query stays on the shared pass
+    * because making its plan depend on memo state would make d3's cost
+    * non-deterministic w.r.t. session history (and pessimize the common
+    * d3+d4 pipeline). */
+  def lshCandidatesEstSim(s: SparkSession, d: String): DataFrame =
+    estSimPairsGrouped(s, cachedMinhash(s, d))
+      .select(col("doc_a"), col("doc_b"), roundSim(col("est_sim")).as("est_sim"))
+
   /** The double-join reference form of d4 (rounds 7-10's shipped shape):
     * lshPairs ⋈ docs ⋈ docs with a per-pair sorted-merge intersect.
     * Adaptive candidate restriction: shingle sets are built only for docs

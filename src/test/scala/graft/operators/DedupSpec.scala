@@ -88,6 +88,24 @@ class DedupSpec extends SparkSpec {
       val chains = ckptRoot.listFiles().filter(_.getName.startsWith("graft-cc-"))
       assert(chains.length == 1,
         s"expected exactly the final round's checkpoint, got ${chains.toSeq}")
+
+      // a chain whose JVM was SIGKILLed never runs its shutdown hook; its
+      // leftover dirs are reclaimed by the NEXT chain's construction-time
+      // sweep (ADVICE r12) — while the live chain's final dir is untouched
+      val dead = new java.io.File(ckptRoot, "graft-cc-deadbeef0000-3")
+      assert(dead.mkdirs())
+      val survivor = chains.head.getName
+      val again = Dedup.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(again == base)
+      val after = ckptRoot.listFiles().filter(_.getName.startsWith("graft-cc-"))
+        .map(_.getName).toSet
+      assert(!after.contains("graft-cc-deadbeef0000-3"),
+        "stale dir from a dead chain must be swept at chain construction")
+      assert(after.contains(survivor),
+        "the previous CC result's final dir is LIVE (its frame reads it " +
+          "lazily) and must survive the sweep until application end")
+      assert(after.size == 2, s"previous final + new final, nothing else: $after")
     } finally {
       // do not leak the dir into later suites (localCheckpoint default)
       spark.sparkContext.setCheckpointDir(null)

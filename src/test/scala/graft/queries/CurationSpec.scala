@@ -101,6 +101,15 @@ class CurationSpec extends SparkSpec {
     assert(!out.contains(6L))
     // verbatim pair: every shingle shared, run == n_shingles
     assert(out(7L) == ((8L, 8L, 8L, 1.0)) && out(8L) == ((8L, 8L, 8L, 1.0)))
+
+    // the memoized-path form (registered x16: prebuilt token-hash frame,
+    // both branches hash-free) is frame-identical to the docs form
+    val th = docs.select(col("doc_id"),
+      graft.functions.Text.tokenHashesFromText(col("text")).as("th"))
+    val fromTh = Curation.dupSpanStatsFromTh(th, sh).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    assert(fromTh == out, "dupSpanStatsFromTh must equal dupSpanStats")
   }
 
   test("dup-span stats match a driver brute force (fuzz, small vocab forces in-doc repeats)") {

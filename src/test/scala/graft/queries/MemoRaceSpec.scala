@@ -76,7 +76,15 @@ class MemoRaceSpec extends SparkSpec {
         "persisted that no eviction will ever reclaim")
 
     // invariant 2: persisted population, after the ContextCleaner reaps
-    // read-vs-unpersist orphans (see scaladoc)
+    // read-vs-unpersist orphans (see scaladoc). GC/cleaner timing is not
+    // deterministic (ADVICE r12), so this arm is tiered: a REAL ownership
+    // leak (the pre-fix bug) grows with iterations — hundreds of builds
+    // here — while the benign read-vs-eviction orphans are bounded by the
+    // number of in-flight actions (<= nThreads). Population past
+    // cap + nThreads after the GC poll is therefore a hard failure even
+    // under slow cleaning; a residue within that band is GC-timing noise
+    // and only alerts (invariant 1 above already proved ownership balance
+    // deterministically).
     def extra = spark.sparkContext.getPersistentRDDs.size - before
     val deadline = System.currentTimeMillis() + 30000
     while (extra > cap && System.currentTimeMillis() < deadline) {
@@ -85,7 +93,12 @@ class MemoRaceSpec extends SparkSpec {
     if (extra > cap) {
       val names = spark.sparkContext.getPersistentRDDs.values
         .map(r => s"${r.id}:${r.name}:${r.getStorageLevel}").mkString("\n  ")
-      fail(s"persisted frames leaked past GC: $before -> ${before + extra} (cap $cap)\n  $names")
+      if (extra > cap + nThreads)
+        fail(s"persisted frames leaked past GC: $before -> ${before + extra} (cap $cap)\n  $names")
+      else
+        alert(s"ContextCleaner did not reap $extra transient orphans within " +
+          s"30s (cap $cap, bound cap+$nThreads) — GC-timing noise, not an " +
+          s"ownership leak (invariant 1 passed):\n  $names")
     }
   }
 }
