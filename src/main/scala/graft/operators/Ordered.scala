@@ -217,6 +217,37 @@ object Ordered {
     val probs = (1 until n).map(_.toDouble / n).toArray
     val bounds = df.stat.approxQuantile(rangeCol, probs, 0.001)
       .map(math.floor(_)).distinct.sorted
+    everyKthWithBounds(df, partCol, orderCols, k, bounds)
+  }
+
+  /** [[everyKthScalable]] with UNIFORM-width buckets from one min/max agg
+    * instead of the approxQuantile sketch — bucket boundaries only steer
+    * load BALANCE (ranks come from exact per-bucket counts, and ties on
+    * the bucketing key land in one bucket under any deterministic
+    * boundary set), so exactness is identical; 4x the partition count in
+    * buckets absorbs moderate key skew. Wins when the bucketing key is
+    * near-uniform (TPC-H orderkeys): the min/max scan is a plain codegen
+    * aggregate where the quantile sketch pays per-row QuantileSummaries
+    * updates. Heavily skewed keys should keep the quantile form. */
+  def everyKthScalableUniform(df: DataFrame, partCol: String,
+                              orderCols: Seq[String], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val rangeCol = orderCols.head
+    val r = df.agg(min(col(rangeCol)).cast("double"),
+      max(col(rangeCol)).cast("double")).head()
+    if (r.isNullAt(0)) return df.filter(lit(false)) // empty input: no ranks
+    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    val buckets = 4 * n
+    val width = math.max(1.0, math.ceil((hi - lo + 1) / buckets))
+    val bounds = (1 until buckets).map(i => math.floor(lo + i * width))
+      .filter(_ <= hi).distinct.sorted.toArray
+    everyKthWithBounds(df, partCol, orderCols, k, bounds)
+  }
+
+  private def everyKthWithBounds(df: DataFrame, partCol: String,
+      orderCols: Seq[String], k: Int, bounds: Array[Double]): DataFrame = {
+    val rangeCol = orderCols.head
     // native binary-search bucket tag (exact for keys < 2^53 — the floor'd
     // quantile bounds and the cast key compare identically in double space).
     // NOT persisted: caching the wide tagged frame for the count + rank

@@ -35,6 +35,31 @@ object OverlapSuppress {
       .mapPartitions(iter => new SuppressIterator(iter))
   }
 
+  /** Dispatch between [[suppress]] and [[suppressSegmented]] on the actual
+    * key distribution — the round-13 W3Probe finding: at the 100x events
+    * replica (150k chroms, ~67 rows each) the segmented path cost 14-29 s
+    * where plain hash-partitioning ran the same automaton in 1.5 s,
+    * because segmentation's anchor machinery (63 candidates x EVERY
+    * chrom = 4.4 M anchors collected to the driver) only repays itself
+    * when single chroms dominate whole partitions. The decision pass is
+    * one partial-aggregated per-chrom count (output = #chroms rows, a
+    * metadata-scale shuffle even at 100 TB): segment only if the largest
+    * chrom exceeds half a balanced partition's share — i.e. hash
+    * placement alone CANNOT level it — which is exactly the genomics
+    * regime (24 chroms, millions of records each) the segmented form was
+    * built for. */
+  def suppressAuto(ds: Dataset[SuppressRecord], targetSegments: Int = 64)
+                  (implicit spark: SparkSession): Dataset[SuppressRecord] = {
+    import org.apache.spark.sql.functions._
+    val parts = ds.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val row = ds.groupBy(col("chrom")).count()
+      .agg(sum(col("count")).as("total"), max(col("count")).as("mx")).head()
+    if (row.isNullAt(0)) return suppress(ds) // empty input
+    val (total, mx) = (row.getLong(0), row.getLong(1))
+    if (mx <= math.max(1L, total / parts / 2)) suppress(ds)
+    else suppressSegmented(ds, targetSegments)
+  }
+
   /** Intra-chromosome parallel suppression — EXACT, no stitching.
     *
     * An overlap group can only chain through records whose deletion span
@@ -73,18 +98,30 @@ object OverlapSuppress {
     // spills rather than recomputes.
     val cached = ds.persist()
     cached.count()
-    // ONE per-chrom pass for both the split candidates and the max extent
-    // (the global D is the max of the per-chrom maxima)
+    // ONE per-chrom pass for the split candidates, the max extent (the
+    // global D is the max of the per-chrom maxima) AND the per-chrom row
+    // counts that gate which chroms get anchors at all
     val qs = (1 until targetSegments).map(_.toDouble / targetSegments).toArray
     val stats = cached.groupBy(col("chrom"))
       .agg(percentile_approx(col("pos"), lit(qs), lit(1000)).as("arr"),
-        max(greatest(col("delLen"), lit(1L))).as("mx"))
+        max(greatest(col("delLen"), lit(1L))).as("mx"),
+        count(lit(1)).as("cnt"))
       .persist()
-    val maxExtent = stats.agg(max(col("mx"))).head() match {
+    val (maxExtent, total) = stats.agg(max(col("mx")), sum(col("cnt"))).head() match {
       case r if r.isNullAt(0) => stats.unpersist(); return suppress(cached)
-      case r                  => r.getLong(0)
+      case r                  => (r.getLong(0), r.getLong(1))
     }
-    val cand = stats.select(col("chrom"), explode(col("arr")).as("a"))
+    // Anchors only for chroms a hash partition cannot level on its own
+    // (> half a balanced partition's share): in a mixed regime (many tiny
+    // chroms + a few giants) the tiny ones ride plain hash placement while
+    // only the giants pay the split machinery. Without this filter the
+    // candidate set is 63 x #chroms rows, all broadcast, all collected —
+    // 4.4 M driver-side anchors at the 100x events replica for zero
+    // balancing benefit (W3Probe, round 13).
+    val parts0 = ds.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val hotMin = math.max(1L, total / parts0 / 2)
+    val cand = stats.filter(col("cnt") > hotMin)
+      .select(col("chrom"), explode(col("arr")).as("a"))
       .distinct()
     // a candidate fails if any record sits inside its guard window
     val invalid = cached.join(broadcast(cand.withColumnRenamed("chrom", "c")),

@@ -150,8 +150,11 @@ object DomainMath {
         ((col("value").cast("long") % 10) * 200000000000L).as("delLen"),
         (col("value") > 250).as("called"),
         (col("value").cast("long") % 3 === 0).as("uncalledGt")).as[SuppressRecord]
-      // segmented path declared: exact (spec-proven) + intra-chrom parallel
-      OverlapSuppress.suppressSegmented(recs)(s)
+      // auto dispatch: plain hash partitioning when the chrom count already
+      // levels the load (this table: 150k chroms), the exact segmented
+      // intra-chrom parallel path when single chroms dominate (W3Probe r13:
+      // segmented cost 14-29 s here vs plain 1.5 s at the 100x replica)
+      OverlapSuppress.suppressAuto(recs)(s)
         .toDF()
         .select("chrom", "pos", "called", "uncalledGt")
     },

@@ -25,14 +25,21 @@ class BenchColdResetSpec extends SparkSpec {
   private def persistedIds: Set[Int] =
     spark.sparkContext.getPersistentRDDs.keySet.toSet
 
-  test("coldReset drops an internally-persisting query's cache (w3 shape)") {
+  test("coldReset drops an internally-persisting operator's cache (w3 shape)") {
+    import spark.implicits._
     Bench.coldReset(spark)
     val baseline = persistedIds
-    // w3 persists its input inside suppressSegmented and leaves it cached
-    SparkEntry.queries("w3_overlap_suppress")(spark, sfDir)
+    // the segmented suppression operator persists its input and leaves it
+    // cached (the registered w3 reaches it through suppressAuto only when
+    // single chroms dominate, so drive the persisting path directly)
+    val rs = (0 until 500).map(i => graft.operators.SuppressRecord(
+      s"c${i % 2}", i.toLong * 7, if (i % 4 == 0) 20L else 0L,
+      called = i % 5 == 0, uncalledGt = i % 3 == 0))
+    graft.operators.OverlapSuppress.suppressSegmented(rs.toDS())(spark)
       .queryExecution.toRdd.count()
     assert(persistedIds.diff(baseline).nonEmpty,
-      "precondition: w3 must leave frames persisted (else this spec tests nothing)")
+      "precondition: suppressSegmented must leave frames persisted " +
+        "(else this spec tests nothing)")
     Bench.coldReset(spark)
     assert(persistedIds == baseline,
       "after coldReset no frame from the first run may subsidize a rerun")

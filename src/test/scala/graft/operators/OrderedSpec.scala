@@ -91,6 +91,17 @@ class OrderedSpec extends SparkSpec {
     val windowed = collect(Ordered.everyKth(df, "g", Seq("o"), 7))
     val scalable = collect(Ordered.everyKthScalable(df, "g", Seq("o"), 7))
     assert(scalable == windowed && windowed.nonEmpty)
+    // the uniform-bucket form (one min/max agg instead of the quantile
+    // sketch; boundaries steer only balance, never ranks) is exact too
+    val uniform = collect(Ordered.everyKthScalableUniform(df, "g", Seq("o"), 7))
+    assert(uniform == windowed)
+    // skewed key mass (80% of rows on ONE bucketing-key value, which no
+    // boundary set may split): both scalable forms stay exact
+    val skewed = ((1 to 4000).map(i => (s"g${i % 3}", 5000000 * 10 + i % 7)) ++
+      (1 to 1000).map(i => (s"g${i % 3}", rnd.nextInt(1000000) * 10))).toDF("g", "o")
+    val wSkew = collect(Ordered.everyKth(skewed, "g", Seq("o"), 7))
+    assert(collect(Ordered.everyKthScalable(skewed, "g", Seq("o"), 7)) == wSkew)
+    assert(collect(Ordered.everyKthScalableUniform(skewed, "g", Seq("o"), 7)) == wSkew)
   }
 
   test("asofJoin picks the latest build row at or before each probe time") {

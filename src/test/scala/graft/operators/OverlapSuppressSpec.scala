@@ -60,4 +60,34 @@ class OverlapSuppressSpec extends SparkSpec {
       assert(seg == sequential, s"targetSegments=$segs")
     }
   }
+
+  test("auto dispatch is exact in both regimes (many small chroms, few hot chroms)") {
+    val rnd = new scala.util.Random(71)
+    def rec(chrom: String, i: Int) = SuppressRecord(chrom,
+      pos = i.toLong * 7 + rnd.nextInt(5),
+      delLen = if (rnd.nextInt(4) == 0) rnd.nextInt(40).toLong else 0L,
+      called = rnd.nextInt(5) == 0,
+      uncalledGt = rnd.nextInt(3) == 0)
+    def key(r: SuppressRecord) = (r.chrom, r.pos, r.delLen, r.called, r.uncalledGt)
+    // regime 1: 400 chroms x 6 rows — hash placement levels it, plain path
+    val many = (for (c <- 0 until 400; i <- 0 until 6) yield rec(s"c$c", i)).toDS()
+    // regime 2: 2 chroms x 1500 rows — single chroms dominate, segmented path
+    val hot = (for (c <- Seq("a", "b"); i <- 0 until 1500) yield rec(c, i)).toDS()
+    for (ds <- Seq(many, hot)) {
+      val expected = OverlapSuppress.suppress(ds).collect().map(key)
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val auto = OverlapSuppress.suppressAuto(ds).collect().map(key)
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(auto == expected)
+    }
+    // mixed regime: one giant chrom + many tiny ones — only the giant may
+    // receive anchors (the hot-chrom candidate filter), result still exact
+    val mixed = ((0 until 3000).map(i => rec("giant", i)) ++
+      (for (c <- 0 until 200; i <- 0 until 3) yield rec(s"t$c", i))).toDS()
+    val expectedM = OverlapSuppress.suppress(mixed).collect().map(key)
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val segM = OverlapSuppress.suppressSegmented(mixed).collect().map(key)
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(segM == expectedM)
+  }
 }
