@@ -2,24 +2,45 @@ import org.apache.spark.sql.functions._
 
 /** X15's reason to exist, MEASURED (round-13 verdict task 8): the Bloom
   * prefilter pays off when the eval pool is too big to broadcast exactly.
-  * The registered x15 runs at evalMod=17 where the pool is tiny and the
-  * A/B is neutral; here we shrink evalMod so the pool becomes a large
-  * fraction of the corpus (evalMod=2 at the 100x replica: ~250k eval docs,
-  * ~14M distinct shingle hashes — >100 MB as an exact broadcast against
-  * the 10 MB autoBroadcast default), the regime the operator is FOR.
-  * Each variant runs cold (coldReset), equality of outputs is asserted.
-  * Usage: runMain X15Probe /tmp/sf100 [evalMod] [reps]
+  * The 100x replica cannot produce that pool organically — its 500k docs
+  * are 100 text-copies of 5k originals, so the DISTINCT shingle pool
+  * stays ~27k rows at any evalMod. Here the pool is the real corpus eval
+  * pool UNIONed with N synthetic hashes in the same 32-bit shingle-hash
+  * space (the external-benchmark-suite shape served by
+  * decontaminateAgainstPool): both variants see the IDENTICAL pool, so
+  * output equality still gates the A/B, and pool size becomes a free
+  * axis. Each run cold (coldReset). Usage:
+  *   runMain X15Probe /tmp/sf100 [poolMillions] [reps]
   */
 object X15Probe {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/tmp/sf100")
-    val evalMod = if (args.length > 1) args(1).toInt else 2
+    val poolM = if (args.length > 1) args(1).toDouble else 30.0
     val reps = if (args.length > 2) args(2).toInt else 2
     val spark = graft.Spark.session("x15-probe")
 
     def sh = graft.Tables.documents(spark, d)
       .withColumn("_th", graft.functions.Text.tokenHashesFromText(col("text")))
       .select(col("doc_id"), graft.functions.Text.sortedShingleSet(col("_th")).as("sh"))
+
+    // corpus = non-eval docs; pool = real eval shingles + synthetic mass.
+    // Synthetic values use the shingle-hash modulus space, xor-scrambled
+    // from a seeded range — deterministic, collision-realistic.
+    // The pool is written ONCE to parquet and read back — the production
+    // shape (an eval suite's ingest artifact), and it keeps the 30M-row
+    // distinct/union out of the timed region, which otherwise dominates
+    // BOTH variants identically and masks the A/B.
+    val P = 4294967291L
+    def corpus = sh.filter(col("doc_id") % 17 =!= 0)
+    val poolPath = s"/tmp/x15probe_pool_${poolM.toLong}m.parquet"
+    if (!new java.io.File(poolPath).exists()) {
+      graft.queries.Curation.evalPoolFrom(sh, 17)
+        .union(spark.range((poolM * 1e6).toLong)
+          .select((((col("id") * 2654435761L + 987654321L) % P + P) % P).as("h")))
+        .distinct()
+        .write.mode("overwrite").parquet(poolPath)
+    }
+    def pool = spark.read.parquet(poolPath)
 
     def timed(name: String)(f: => Long): Long = {
       graft.Bench.coldReset(spark)
@@ -30,18 +51,18 @@ object X15Probe {
     }
 
     sh.limit(100).count() // warm-up
-
-    val poolN = graft.queries.Curation.evalPoolFrom(sh, evalMod).count()
-    println(s"[x15probe] evalMod=$evalMod pool=$poolN distinct shingles " +
-      f"(~${poolN * 8.0 / (1 << 20)}%.0f MB of raw longs as an exact broadcast)")
+    val nPool = pool.count()
+    println(f"[x15probe] pool=$nPool%d distinct hashes " +
+      f"(~${nPool * 8.0 / (1 << 20)}%.0f MB of raw longs; exact broadcast " +
+      f"builds a hashed relation several x that)")
 
     for (rep <- 1 to reps) {
       println(s"[x15probe] --- rep $rep ---")
       val a = timed("exact(broadcast pool)") {
-        graft.queries.Curation.decontaminateFrom(sh, evalMod).count()
+        graft.queries.Curation.decontaminateAgainstPool(corpus, pool).count()
       }
       val b = timed("bloom(prefilter)") {
-        graft.queries.Curation.decontaminateBloomFrom(sh, evalMod).count()
+        graft.queries.Curation.decontaminateBloomAgainstPool(corpus, pool).count()
       }
       assert(a == b, s"bloom output diverges: exact=$a bloom=$b")
     }

@@ -43,6 +43,20 @@ object TextDedup {
   def signatureFrame(docs: DataFrame): DataFrame =
     withMinhash(docs).select("doc_id", (1 to K).map(i => s"mh$i"): _*)
 
+  /** [[signatureFrame]] over a prebuilt (doc_id, th) token-hash frame —
+    * the memoized path: [[cachedMinhash]] consumes the session token-hash
+    * memo (Curation.cachedTokenHashes), so a session building both the
+    * shingle-set and signature artifacts pays the md5-per-token corpus
+    * pass ONCE, not once per artifact (round-13: the d3 cold build's two
+    * biggest stages were two identical md5 scans). Bit-identical to
+    * [[signatureFrame]]: same _th values, same native MinHashSig. */
+  def signatureFrameFromTh(th: DataFrame): DataFrame = {
+    val base = th.withColumn("_sig", Text.minhashSig(col("th"), K))
+    (1 to K).foldLeft(base) { (df, i) =>
+      df.withColumn(s"mh$i", element_at(col("_sig"), i))
+    }.select("doc_id", (1 to K).map(i => s"mh$i"): _*)
+  }
+
   /** Signature frame, persisted: it is tiny (doc_id + K longs) and
     * every LSH consumer scans it from both sides of a self-join — caching
     * turns 2-4 full shingle+md5 passes into one. (At 100 TB the same role
@@ -63,9 +77,12 @@ object TextDedup {
       },
     unpersist = _.unpersist(false))
 
-  private def cachedMinhash(s: SparkSession, d: String): DataFrame =
+  private def cachedMinhash(s: SparkSession, d: String): DataFrame = {
+    // resolve the token-hash memo BEFORE entering getOrBuild (the build
+    // closure stays CHM-free — the convention from cachedPairScores)
+    val th = Curation.cachedTokenHashes(s, d)
     dedupFrameMemo.getOrBuild((System.identityHashCode(s), d, "mh")) {
-      val fresh = signatureFrame(Tables.documents(s, d)).persist()
+      val fresh = signatureFrameFromTh(th).persist()
       // materialize NOW: LSH consumers scan this frame 3-5 times inside one
       // job, and parallel stages of a single action each recompute the
       // unmaterialized plan instead of sharing in-flight cache population.
@@ -75,6 +92,7 @@ object TextDedup {
       fresh.count()
       fresh
     }
+  }
 
   // NOTE (round 10, tried and NOT adopted): persisting the LSH candidate
   // pairs per session (the annIndex pattern — d3 reports, d4 verifies,

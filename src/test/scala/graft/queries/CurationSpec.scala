@@ -61,6 +61,26 @@ class CurationSpec extends SparkSpec {
           s"(only-bloom=${bloomed.diff(exact).take(3)}, only-exact=${exact.diff(bloomed).take(3)})")
       }
       assert(exact.nonEmpty, s"trial $trial produced no contamination — corpus too thin")
+
+      // external-pool forms (the production shape: the pool is the eval
+      // suite's own ingest artifact, not a doc_id modulus): against the
+      // corpus-derived pool they must reproduce the modulus forms exactly,
+      // and bloom == exact must hold with synthetic non-matching pool mass
+      val corpus = sh.filter(col("doc_id") % 17 =!= 0)
+      val pool = Curation.evalPoolFrom(sh)
+        .union(spark.range(5000).select((col("id") * 7919 + 13).as("h")))
+        .distinct()
+      val exactPool = norm(Curation.decontaminateAgainstPool(corpus, pool, minShared = 3))
+      assert(norm(Curation.decontaminateAgainstPool(corpus,
+        Curation.evalPoolFrom(sh), minShared = 3)) == exact)
+      for (fpp <- Seq(0.01, 0.3)) {
+        assert(norm(Curation.decontaminateBloomAgainstPool(
+          corpus, pool, minShared = 3, fpp = fpp)) == exactPool,
+          s"trial $trial fpp=$fpp: external-pool bloom diverges")
+      }
+      // empty external pool: bloom path falls back to exact, returns empty
+      val empty = Curation.evalPoolFrom(sh).filter(lit(false))
+      assert(Curation.decontaminateBloomAgainstPool(corpus, empty).isEmpty)
     }
   }
 
