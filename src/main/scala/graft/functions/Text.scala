@@ -148,6 +148,19 @@ object Text {
                 element_at(tokHashes, i + 1)) % MinhashP))
         .otherwise(array().cast("array<bigint>")))
 
+  /** Per-document term frequencies — `array<struct<term, tf>>` over a
+    * token array, term-sorted: the native [[TermCounts]] expression (one
+    * codegen hash-map pass per row) when the session registered it, else
+    * an equivalent explode-free composed form does not exist without an
+    * interpreted HOF, so the fallback is null (callers requiring the
+    * builtin path use explode+groupBy instead — see x12's scaladoc). */
+  def termCounts(toks: Column): Column = {
+    val active = org.apache.spark.sql.SparkSession.active
+    require(active.catalog.functionExists("graft_term_counts"),
+      "graft_term_counts requires GraftExtensions (Spark.session)")
+    call_function("graft_term_counts", toks)
+  }
+
   /** Repetition counts for x14 — `struct(n_tokens, top_tok, top_big)` over
     * a token-hash array: the fused native [[RepetitionStats]] expression
     * (one codegen call: sort + run-scan twice on primitive long[]) when

@@ -651,6 +651,13 @@ object TextDedup {
       // (sharp edge #16; same fix as cachedMinhash — measured 38 -> 25 s
       // at the 100x replica). At a real lake this is the write-once
       // term-frequency table every TF-IDF consumer scans.
+      // Round-13 probe note (X12Probe): the dominant stage is the 28M-row
+      // CACHE BUILD (~12 s of ~17 at 100x), not the groupBy shuffle — the
+      // shuffle-free native graft_term_counts alternative measured
+      // equal-or-WORSE locally (boxing cost real, NVMe shuffle ~free) and
+      // stays a library expression for network-shuffle clusters; the
+      // no-persist recompute forms measured 25+ s. This shape stands on
+      // evidence.
       val tf = docs
         .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
