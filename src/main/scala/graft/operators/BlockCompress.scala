@@ -80,7 +80,16 @@ object BlockCompress {
     * segment's leading solo record forces the break the sequential run
     * would have made there. Requires positions unique per chromosome (gVCF
     * records are). Degenerate inputs with no solo records simply yield one
-    * segment per chromosome — same plan as [[compress]]. */
+    * segment per chromosome — same plan as [[compress]].
+    *
+    * Anchors are generated ONLY for chroms a hash partition cannot level
+    * on its own (> half a balanced partition's share) — same hot-chrom
+    * filter as `OverlapSuppress.suppressSegmented` (W3Probe, round 13):
+    * with many tiny chroms (the events replica has 150k) the per-chrom
+    * sample rate bottoms out at 1 and EVERY solo record would be
+    * collected to the driver for zero balancing benefit. Tiny chroms ride
+    * plain hash placement; at most ~2×partitions chroms can be hot, so
+    * the anchor collect is bounded. */
   def compressSegmented(ds: Dataset[GvcfRecord], mergeGqThreshold: Int,
                         refcallGqThreshold: Int = 22, targetSegments: Int = 64)
                        (implicit spark: SparkSession): Dataset[GvcfBlock] = {
@@ -88,10 +97,20 @@ object BlockCompress {
     import org.apache.spark.sql.functions._
     if (targetSegments <= 1)
       return compress(ds, mergeGqThreshold, refcallGqThreshold)
+    val parts0 = ds.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val recCounts = ds.groupBy(col("chrom")).count()
+    val totRow = recCounts.agg(sum(col("count")).as("t"), max(col("count")).as("m")).head()
+    if (totRow.isNullAt(0)) return compress(ds, mergeGqThreshold, refcallGqThreshold)
+    val hotMin = math.max(1L, totRow.getLong(0) / parts0 / 2)
+    // bounded collect: count > hotMin can hold for at most 2*parts0 chroms
+    val hotChroms = recCounts.filter(col("count") > hotMin)
+      .select("chrom").collect().map(_.getString(0))
+    if (hotChroms.isEmpty) return compress(ds, mergeGqThreshold, refcallGqThreshold)
     val solos = ds
       .filter(r => r.pass || (r.isRefCall && r.gq <= refcallGqThreshold))
       .map(r => (r.chrom, r.pos))
       .toDF("chrom", "pos")
+      .filter(col("chrom").isin(hotChroms.toSeq: _*))
     val counts: Map[String, Long] = solos.groupBy("chrom").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     if (counts.isEmpty) return compress(ds, mergeGqThreshold, refcallGqThreshold)
@@ -119,6 +138,28 @@ object BlockCompress {
       .drop("_seg")
       .as[GvcfRecord]
       .mapPartitions(iter => new BlockIterator(iter, mergeGqThreshold, refcallGqThreshold))
+  }
+
+  /** Regime dispatch from ONE partial-aggregated per-chrom count — the
+    * mirror of `OverlapSuppress.suppressAuto` (W3Probe, round 13): when no
+    * chrom exceeds half a balanced partition's share, plain hash
+    * partitioning already levels the automaton and the segmented path's
+    * anchor machinery is pure overhead (at the 100x events replica — 150k
+    * user-id chroms — the sample rate bottoms out at 1 and millions of
+    * solo anchors ride a driver collect for nothing). The genomics regime
+    * (~25 contigs, millions of records each) keeps the segmented path. */
+  def compressAuto(ds: Dataset[GvcfRecord], mergeGqThreshold: Int,
+                   refcallGqThreshold: Int = 22, targetSegments: Int = 64)
+                  (implicit spark: SparkSession): Dataset[GvcfBlock] = {
+    import org.apache.spark.sql.functions._
+    val parts = ds.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val row = ds.groupBy(col("chrom")).count()
+      .agg(sum(col("count")).as("total"), max(col("count")).as("mx")).head()
+    if (row.isNullAt(0)) return compress(ds, mergeGqThreshold, refcallGqThreshold)
+    val (total, mx) = (row.getLong(0), row.getLong(1))
+    if (mx <= math.max(1L, total / parts / 2))
+      compress(ds, mergeGqThreshold, refcallGqThreshold)
+    else compressSegmented(ds, mergeGqThreshold, refcallGqThreshold, targetSegments)
   }
 
   /** Open-block automaton state as a plain value — the exact fields

@@ -138,9 +138,13 @@ object IntervalOps {
         array(lit(0), lit(10), lit(100)).as("pl"),
         (col("value") > 450).as("pass"),
         (col("value") < 50).as("isRefCall")).as[graft.operators.GvcfRecord]
-      // the SEGMENTED path is declared: exact (spec-proven identical to the
-      // sequential automaton) and parallel within chromosomes at scale
-      graft.operators.BlockCompress.compressSegmented(recs, mergeGqThreshold = 10)(s)
+      // AUTO dispatch (round 13, mirror of w3's): this corpus has one
+      // chrom per user_id — hash placement levels it and the segmented
+      // path's anchor machinery is overhead (W2Probe: segmented collects
+      // every solo record at rate 1 across 150k chroms); the genomics
+      // regime (few giant contigs) still takes the segmented path, which
+      // stays spec-proven identical to the sequential automaton
+      graft.operators.BlockCompress.compressAuto(recs, mergeGqThreshold = 10)(s)
         .groupBy("chrom")
         .agg(count(lit(1)).as("n_blocks"), sum("nRecords").as("n_records"),
           min("minGq").as("min_gq"), sum("minGq").as("sum_block_min_gq"),

@@ -111,6 +111,33 @@ class BlockCompressSpec extends SparkSpec {
     }
   }
 
+  test("auto dispatch is exact in both regimes (many small chroms, few hot chroms)") {
+    val rnd = new scala.util.Random(29)
+    def rrec(chrom: String, i: Int): GvcfRecord = {
+      val gq = rnd.nextInt(60)
+      rec(chrom, 1704000000000000000L + i.toLong * 1001L, gq,
+        pass = rnd.nextInt(12) == 0, refcall = rnd.nextInt(10) == 0,
+        pl = Seq(0, 10 + gq, 100))
+    }
+    def key(b: GvcfBlock) = (b.chrom, b.pos, b.end, b.minGq, b.minDp, b.pl, b.nRecords)
+    // regime 1: 400 chroms x 6 rows — hash placement levels it, plain path
+    val many = (for (c <- 0 until 400; i <- 0 until 6) yield rrec(s"c$c", i)).toDS()
+    // regime 2: 2 chroms x 1500 rows — single chroms dominate, segmented path
+    val hot = (for (c <- Seq("a", "b"); i <- 0 until 1500) yield rrec(c, i)).toDS()
+    for (ds <- Seq(many, hot)) {
+      val expected = BlockCompress.compress(ds, 10).collect().map(key).toSet
+      val auto = BlockCompress.compressAuto(ds, 10).collect().map(key).toSet
+      assert(auto == expected)
+    }
+    // mixed regime: one giant chrom + many tiny ones — only the giant may
+    // receive anchors (the hot-chrom candidate filter), result still exact
+    val mixed = ((0 until 3000).map(i => rrec("giant", i)) ++
+      (for (c <- 0 until 200; i <- 0 until 3) yield rrec(s"t$c", i))).toDS()
+    val expectedM = BlockCompress.compress(mixed, 10).collect().map(key).toSet
+    val segM = BlockCompress.compressSegmented(mixed, 10).collect().map(key).toSet
+    assert(segM == expectedM)
+  }
+
   test("pure step fold equals the partition automaton on a randomized stream") {
     val rnd = new scala.util.Random(17)
     val recs = (1 to 400).map { i =>
