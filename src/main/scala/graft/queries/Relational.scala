@@ -274,6 +274,13 @@ object Relational {
       // uniform data too. Σ cnt over matching keys == the semi-join count.
       // (The exact side keys on (orderkey, partkey): the hot order fans
       // out over partkeys, so it needs no such routing.)
+      // Round-13 probe note (J8Probe): the broadcast alternative (distinct
+      // probe keys hinted broadcast on both sides) measured WORSE at the
+      // 100x replica — exact 4-6 -> 8-9 s — because the probe side is
+      // DATA-SCALED there (l_suppkey <= 50 selects ~5% of every copy,
+      // 3M pairs; the hashed-relation build dominates). The unhinted SMJ
+      // + AQE shape stands on evidence; raw scans are 0.2-0.4 s, so the
+      // cost IS the one unavoidable 60M-row pair-key exchange.
       val loose = li.groupBy("l_orderkey").agg(count(lit(1)).as("cnt"))
         .join(probe.select("l_orderkey").distinct(), Seq("l_orderkey"), "left_semi")
         .agg(sum("cnt").as("n")).select(lit("loose").as("mode"), col("n"))
