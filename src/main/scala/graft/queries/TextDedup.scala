@@ -614,7 +614,16 @@ object TextDedup {
     // ----- X5: the end-to-end curation pipeline — quality score, language
     // gate, and exact-dedup survivorship composed in one job (what a real
     // training-data run executes: scalar scoring in codegen, then ONE
-    // groupBy + join on the dedup key)
+    // groupBy + join on the dedup key).
+    // Round-13 probe note (X5Probe): the min-over-pkey WINDOW alternative
+    // measured ~15% faster at both 100x replicas (7.0-7.3 -> 6.0-6.1 s,
+    // equal output) — and is rejected anyway: survivorship keys are
+    // content hashes, so a mass-duplicated document IS the hot-key case
+    // this query exists for, and a WindowExec partition cannot be split
+    // (one task sorts the whole duplicate group) while the join form's
+    // hot partitions ride AQE's skew-join split. The skew replica's 50k-row
+    // hot group is too small to show the cliff; at lake scale it's the
+    // difference between a task and an OOM.
     "x5_curation_pipeline" -> { (s, d) =>
       val toks = Text.tokens(col("text"))
       val scored = Tables.documents(s, d)
