@@ -71,14 +71,19 @@ object TermCountsUtil {
 
   def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
-    val counts = new java.util.TreeMap[UTF8String, Long]() // term-sorted
+    // value type must be the BOXED java.lang.Long: with scala.Long the
+    // compiler unboxes get()'s null to 0, `prev == null` is always false,
+    // and the t.copy() branch goes dead — leaving output keys aliased to
+    // the row's transient backing buffer (the exact hazard the contract
+    // above names)
+    val counts = new java.util.TreeMap[UTF8String, java.lang.Long]() // term-sorted
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val t = arr.getUTF8String(i)
         val prev = counts.get(t)
-        if (prev == null) counts.put(t.copy(), 1L)
-        else counts.put(t, prev + 1L) // key already a copy
+        if (prev == null) counts.put(t.copy(), java.lang.Long.valueOf(1L))
+        else counts.put(t, java.lang.Long.valueOf(prev.longValue + 1L)) // key already a copy
       }
       i += 1
     }
@@ -87,7 +92,7 @@ object TermCountsUtil {
     var j = 0
     while (it.hasNext) {
       val e = it.next()
-      out(j) = new GenericInternalRow(Array[Any](e.getKey, e.getValue))
+      out(j) = new GenericInternalRow(Array[Any](e.getKey, e.getValue.longValue))
       j += 1
     }
     new GenericArrayData(out)
