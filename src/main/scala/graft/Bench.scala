@@ -189,9 +189,20 @@ object Bench {
     val toHeal = suspicious(results, profile).filterNot(errors.contains)
     // each heal rerun is COLD: clear the catalog cache AND evict the session
     // memos first, so a query that persists internally (w3) or resolves via
-    // a memoized frame (d3/d4/rg3) cannot publish a warm-projection minimum
+    // a memoized frame (d3/d4/rg3) cannot publish a warm-projection minimum.
+    // A rerun that THROWS must not publish its elapsed-to-failure time as
+    // the minimum (time() swallows the exception and returns the partial
+    // elapsed): the first completed run's number stands, the failure is
+    // annotated in errors, and +Inf makes heal's min() a no-op.
     val (healed, reran, healFloor) =
-      heal(results, toHeal, { n => coldReset(spark); time(n, byName(n)) })
+      heal(results, toHeal, { n =>
+        coldReset(spark)
+        val r = time(n, byName(n))
+        if (errors.contains(n)) {
+          errors(n) = "heal-rerun failed (first-run time kept): " + errors(n)
+          Double.PositiveInfinity
+        } else r
+      })
     results = healed
 
     def jmap(m: Iterable[(String, String)]): String =

@@ -150,10 +150,12 @@ object Text {
 
   /** Per-document term frequencies — `array<struct<term, tf>>` over a
     * token array, term-sorted: the native [[TermCounts]] expression (one
-    * codegen hash-map pass per row) when the session registered it, else
-    * an equivalent explode-free composed form does not exist without an
-    * interpreted HOF, so the fallback is null (callers requiring the
-    * builtin path use explode+groupBy instead — see x12's scaladoc). */
+    * codegen hash-map pass per row). REQUIRES GraftExtensions
+    * (`graft.Spark.session`) and THROWS on a vanilla session — unlike the
+    * other wrappers here there is no composed fallback (an equivalent
+    * explode-free form needs an interpreted HOF and is O(tokens²));
+    * callers without the extension use explode+groupBy instead, see
+    * x12's scaladoc. */
   def termCounts(toks: Column): Column = {
     val active = org.apache.spark.sql.SparkSession.active
     require(active.catalog.functionExists("graft_term_counts"),

@@ -93,19 +93,24 @@ object BlockCompress {
   def compressSegmented(ds: Dataset[GvcfRecord], mergeGqThreshold: Int,
                         refcallGqThreshold: Int = 22, targetSegments: Int = 64)
                        (implicit spark: SparkSession): Dataset[GvcfBlock] = {
-    import spark.implicits._
-    import org.apache.spark.sql.functions._
     if (targetSegments <= 1)
       return compress(ds, mergeGqThreshold, refcallGqThreshold)
     val parts0 = ds.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val recCounts = ds.groupBy(col("chrom")).count()
-    val totRow = recCounts.agg(sum(col("count")).as("t"), max(col("count")).as("m")).head()
-    if (totRow.isNullAt(0)) return compress(ds, mergeGqThreshold, refcallGqThreshold)
-    val hotMin = math.max(1L, totRow.getLong(0) / parts0 / 2)
-    // bounded collect: count > hotMin can hold for at most 2*parts0 chroms
-    val hotChroms = recCounts.filter(col("count") > hotMin)
-      .select("chrom").collect().map(_.getString(0))
-    if (hotChroms.isEmpty) return compress(ds, mergeGqThreshold, refcallGqThreshold)
+    val hot = ChromDispatch.hotChroms(ds.toDF(), parts0)
+    if (hot.isEmpty) return compress(ds, mergeGqThreshold, refcallGqThreshold)
+    compressSegmentedHot(ds, hot, mergeGqThreshold, refcallGqThreshold, targetSegments)
+  }
+
+  /** The segmented machinery proper, with the hot-chrom set already
+    * resolved (one count pass, shared with [[compressAuto]]'s dispatch). */
+  private def compressSegmentedHot(ds: Dataset[GvcfRecord],
+                                   hotChroms: Array[String],
+                                   mergeGqThreshold: Int,
+                                   refcallGqThreshold: Int,
+                                   targetSegments: Int)
+                                  (implicit spark: SparkSession): Dataset[GvcfBlock] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
     val solos = ds
       .filter(r => r.pass || (r.isRefCall && r.gq <= refcallGqThreshold))
       .map(r => (r.chrom, r.pos))
@@ -151,15 +156,14 @@ object BlockCompress {
   def compressAuto(ds: Dataset[GvcfRecord], mergeGqThreshold: Int,
                    refcallGqThreshold: Int = 22, targetSegments: Int = 64)
                   (implicit spark: SparkSession): Dataset[GvcfBlock] = {
-    import org.apache.spark.sql.functions._
     val parts = ds.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val row = ds.groupBy(col("chrom")).count()
-      .agg(sum(col("count")).as("total"), max(col("count")).as("mx")).head()
-    if (row.isNullAt(0)) return compress(ds, mergeGqThreshold, refcallGqThreshold)
-    val (total, mx) = (row.getLong(0), row.getLong(1))
-    if (mx <= math.max(1L, total / parts / 2))
+    // ONE count pass decides the regime AND yields the hot set the
+    // segmented path anchors — no re-scan on dispatch (r13 review)
+    val hot = ChromDispatch.hotChroms(ds.toDF(), parts)
+    if (hot.isEmpty || targetSegments <= 1)
       compress(ds, mergeGqThreshold, refcallGqThreshold)
-    else compressSegmented(ds, mergeGqThreshold, refcallGqThreshold, targetSegments)
+    else compressSegmentedHot(ds, hot, mergeGqThreshold, refcallGqThreshold,
+      targetSegments)
   }
 
   /** Open-block automaton state as a plain value — the exact fields

@@ -236,12 +236,18 @@ object Ordered {
     val rangeCol = orderCols.head
     val r = df.agg(min(col(rangeCol)).cast("double"),
       max(col(rangeCol)).cast("double")).head()
-    if (r.isNullAt(0)) return df.filter(lit(false)) // empty input: no ranks
-    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
-    val buckets = 4 * n
-    val width = math.max(1.0, math.ceil((hi - lo + 1) / buckets))
-    val bounds = (1 until buckets).map(i => math.floor(lo + i * width))
-      .filter(_ <= hi).distinct.sorted.toArray
+    // min == null covers BOTH empty input and an all-NULL bucketing key;
+    // empty bounds sends every row through the single-bucket path (null
+    // keys ride bucket -1), matching everyKth instead of dropping rows
+    val bounds =
+      if (r.isNullAt(0)) Array.empty[Double]
+      else {
+        val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+        val buckets = 4 * n
+        val width = math.max(1.0, math.ceil((hi - lo + 1) / buckets))
+        (1 until buckets).map(i => math.floor(lo + i * width))
+          .filter(_ <= hi).distinct.sorted.toArray
+      }
     everyKthWithBounds(df, partCol, orderCols, k, bounds)
   }
 
@@ -254,8 +260,13 @@ object Ordered {
     // passes was measured 3x WORSE at the 100x replica (60.5 s vs 19.6 —
     // the columnar cache build of 60M wide rows costs more than two extra
     // pruned parquet scans)
+    // NULL bucketing keys land in bucket -1, which sorts before every real
+    // bucket — exactly the ascending window's NULLS FIRST placement — and
+    // all null-key rows tie there, so ties still never split across buckets
     val tagged = df.withColumn("_b",
-      graft.functions.BucketBinUtil.bucketCol(col(rangeCol).cast("double"), bounds))
+      coalesce(
+        graft.functions.BucketBinUtil.bucketCol(col(rangeCol).cast("double"), bounds),
+        lit(-1)))
     val counts = tagged
       .groupBy(col(partCol).cast("string").as("_g"), col("_b"))
       .count().collect()
@@ -272,12 +283,12 @@ object Ordered {
     // stays inside codegen; absent cells (no rows) coalesce to 0
     val offMap: Map[String, Seq[Long]] = offsets.keys.map(_._1).toSeq.distinct
       .map { g =>
-        g -> (0 to bounds.length).map(b => offsets.getOrElse((g, b), 0L))
+        g -> (-1 to bounds.length).map(b => offsets.getOrElse((g, b), 0L))
       }.toMap
     val offExpr = coalesce(
       element_at(
         element_at(typedlit(offMap), col(partCol).cast("string")),
-        col("_b") + 1),
+        col("_b") + 2), // arrays start at the -1 (null-key) bucket
       lit(0L))
     // window cells are (group, bucket) — sized by the quantile grid,
     // never by group cardinality

@@ -56,7 +56,7 @@ object OverlapSuppress {
       .agg(sum(col("count")).as("total"), max(col("count")).as("mx")).head()
     if (row.isNullAt(0)) return suppress(ds) // empty input
     val (total, mx) = (row.getLong(0), row.getLong(1))
-    if (mx <= math.max(1L, total / parts / 2)) suppress(ds)
+    if (mx <= ChromDispatch.hotMin(total, parts)) suppress(ds)
     else suppressSegmented(ds, targetSegments)
   }
 
@@ -119,7 +119,7 @@ object OverlapSuppress {
     // 4.4 M driver-side anchors at the 100x events replica for zero
     // balancing benefit (W3Probe, round 13).
     val parts0 = ds.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val hotMin = math.max(1L, total / parts0 / 2)
+    val hotMin = ChromDispatch.hotMin(total, parts0)
     val cand = stats.filter(col("cnt") > hotMin)
       .select(col("chrom"), explode(col("arr")).as("a"))
       .distinct()

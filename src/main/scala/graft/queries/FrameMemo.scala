@@ -46,6 +46,7 @@ private[queries] final class LruFrameMemo[K, V <: AnyRef](
   private val entries = new java.util.concurrent.ConcurrentHashMap[K, V]()
   private val lru = new java.util.LinkedHashMap[K, java.lang.Boolean](
     16, 0.75f, /*accessOrder=*/ true)
+  private var gen = 0L // sweep generation; guarded by lru's monitor
   FrameMemos.register(this)
 
   /** Evict EVERY entry (unpersisting each frame). For cold-isolation
@@ -53,10 +54,14 @@ private[queries] final class LruFrameMemo[K, V <: AnyRef](
     * surviving `spark.catalog.clearCache()` would re-persist itself via
     * the validation arm and silently warm-subsidize the "cold" rerun —
     * the BENCH_SKEW100 r12 pollution mode. Runs under the same recency
-    * monitor as getOrBuild, so a concurrent builder either completes
-    * before the sweep (and is evicted here) or revalidates after it
-    * (finds its entry gone, rebuilds fresh). Returns entries evicted. */
+    * monitor as getOrBuild; the generation bump closes the third
+    * interleaving (r13 review): a build IN FLIGHT inside computeIfAbsent
+    * is invisible to this sweep and would otherwise insert-and-survive —
+    * its getOrBuild now sees the generation change at validation, drops
+    * its own entry (unpersisting the frame the build materialized) and
+    * rebuilds cold. Returns entries evicted. */
   def clearAll(): Int = lru.synchronized {
+    gen += 1
     val n = entries.size()
     val it = entries.entrySet().iterator()
     while (it.hasNext) { unpersist(it.next().getValue); it.remove() }
@@ -66,9 +71,10 @@ private[queries] final class LruFrameMemo[K, V <: AnyRef](
 
   def getOrBuild(key: K)(build: => V): V = {
     while (true) {
+      val g0 = lru.synchronized(gen)
       val v = entries.computeIfAbsent(key, _ => build)
       lru.synchronized {
-        if (entries.get(key) eq v) {
+        if ((entries.get(key) eq v) && gen == g0) {
           lru.put(key, java.lang.Boolean.TRUE)
           while (lru.size > max) {
             val eldest = lru.entrySet().iterator().next().getKey
@@ -78,6 +84,14 @@ private[queries] final class LruFrameMemo[K, V <: AnyRef](
           }
           ensurePersisted(v)
           return v
+        }
+        // a sweep ran while our build was in flight: the entry (ours or a
+        // successor's warm rebuild seeded by ours) must not survive a
+        // clearAll whose caller was promised cold state — drop and retry
+        if ((entries.get(key) eq v) && gen != g0) {
+          entries.remove(key, v)
+          lru.remove(key)
+          unpersist(v)
         }
         // else: evicted between computeIfAbsent and the lock — retry
       }

@@ -104,6 +104,28 @@ class OrderedSpec extends SparkSpec {
     assert(collect(Ordered.everyKthScalableUniform(skewed, "g", Seq("o"), 7)) == wSkew)
   }
 
+  test("scalable every-kth handles NULL bucketing keys like the window (mixed and all-null)") {
+    def collect(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => (r.getString(0), r.getInt(2))).toSet
+    // mixed: every 5th key null — nulls sort first in the window; the
+    // scalable forms route them to the dedicated -1 bucket
+    val mixed = (1 to 300).map(i =>
+      (s"g${i % 3}", if (i % 5 == 0) None else Some(i * 37 % 997), i))
+      .toDF("g", "o", "t")
+    val wMixed = collect(Ordered.everyKth(mixed, "g", Seq("o", "t"), 7))
+    assert(collect(Ordered.everyKthScalable(mixed, "g", Seq("o", "t"), 7)) == wMixed)
+    assert(collect(Ordered.everyKthScalableUniform(mixed, "g", Seq("o", "t"), 7)) == wMixed)
+    assert(wMixed.nonEmpty)
+    // all-null bucketing key: min/max agg sees null — must DEGRADE to the
+    // single-bucket path, not drop rows (the r13 review catch)
+    val allNull = (1 to 40).map(i => (s"g${i % 2}", None: Option[Int], i))
+      .toDF("g", "o", "t")
+    val wNull = collect(Ordered.everyKth(allNull, "g", Seq("o", "t"), 3))
+    assert(collect(Ordered.everyKthScalableUniform(allNull, "g", Seq("o", "t"), 3)) == wNull)
+    assert(collect(Ordered.everyKthScalable(allNull, "g", Seq("o", "t"), 3)) == wNull)
+    assert(wNull.nonEmpty)
+  }
+
   test("asofJoin picks the latest build row at or before each probe time") {
     val probe = Seq(("u1", 10L), ("u1", 20L), ("u1", 5L), ("u2", 50L))
       .toDF("k", "t")

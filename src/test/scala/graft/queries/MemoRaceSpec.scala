@@ -101,4 +101,43 @@ class MemoRaceSpec extends SparkSpec {
           s"ownership leak (invariant 1 passed):\n  $names")
     }
   }
+
+  test("a build in flight through clearAll does not survive the sweep (r13 review)") {
+    val builds = new java.util.concurrent.atomic.AtomicInteger()
+    val unpersists = new java.util.concurrent.atomic.AtomicInteger()
+    val memo = new LruFrameMemo[Int, org.apache.spark.sql.DataFrame](
+      max = 4,
+      ensurePersisted = df =>
+        if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+          df.persist(); df.count()
+        },
+      unpersist = df => { unpersists.incrementAndGet(); df.unpersist(false) })
+    val inBuild = new java.util.concurrent.CountDownLatch(1)
+    val sweepDone = new java.util.concurrent.CountDownLatch(1)
+    @volatile var result: org.apache.spark.sql.DataFrame = null
+    val t = new Thread(() => {
+      result = memo.getOrBuild(7) {
+        val n = builds.incrementAndGet()
+        if (n == 1) { // first build straddles the sweep
+          inBuild.countDown()
+          sweepDone.await()
+        }
+        val df = (1L to 20L).map(i => (i, i)).toDF("a", "b").persist()
+        df.count()
+        df
+      }
+    })
+    t.start()
+    inBuild.await()
+    memo.clearAll() // completes while the build is still in flight
+    sweepDone.countDown()
+    t.join(30000)
+    assert(!t.isAlive)
+    // the straddling build's frame was dropped (unpersisted) and the
+    // caller got a POST-sweep rebuild — cold state, as clearAll promised
+    assert(builds.get() == 2, s"expected a cold rebuild, builds=${builds.get()}")
+    assert(unpersists.get() >= 1)
+    assert(result != null && result.count() == 20)
+    memo.clearAll()
+  }
 }
