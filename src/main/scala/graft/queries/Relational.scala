@@ -330,12 +330,28 @@ object Relational {
         .select("o_orderkey", "o_totalprice", "o_orderpriority")
     },
     // ----- O5: deterministic stratified sample-k per group (collect_hpol_table.py:105-115)
+    // Round 13: the rank<=5 window DID get WindowGroupLimit's map-side
+    // pruning, but its Partial mode still SORTS every input partition
+    // (n log n over the whole fact table) before keeping 5 per
+    // (partition, stratum); the TopKBySim partial aggregate keeps a
+    // 5-slot heap instead (n log k) — 6.6-6.9 -> 1.2-1.6 s at the 100x
+    // replica, bit-identical (O5Probe pin). The composite order
+    // (rnd ASC, okey ASC, linenum ASC) packs losslessly into the
+    // aggregate's (sim DESC, id ASC): sim = -rnd, id = okey*8+linenum
+    // (l_linenumber in 1..7; both < 2^53 so the doubles are exact).
     "o5_stratified_sample" -> { (s, d) =>
       val rnd = (col("l_orderkey") * lit(2654435761L) + col("l_linenumber") * lit(97L)) % lit(999999937L)
-      val w = Window.partitionBy("l_returnflag").orderBy(rnd.asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      val topk = udaf(new graft.functions.TopKBySim(5))
       Tables.lineitem(s, d)
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
+        .select(col("l_returnflag").as("qid"),
+          (-rnd).cast("double").as("sim"),
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("vec_id"))
+        .groupBy("qid").agg(topk(col("sim"), col("vec_id")).as("tk"))
+        .select(col("qid"), posexplode(col("tk")))
+        .select(col("qid").as("l_returnflag"),
+          (col("col._2") / 8).cast("long").as("l_orderkey"),
+          (col("col._2") % 8).cast("int").as("l_linenumber"),
+          (col("pos") + 1).as("rk"))
         .select("l_returnflag", "l_orderkey", "l_linenumber", "rk")
     },
 

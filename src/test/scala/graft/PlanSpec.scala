@@ -62,13 +62,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("o5 stratified sample keeps the partial+final WindowGroupLimit pushdown") {
-    // row_number <= k over a 3-value group key would otherwise sort the
-    // whole fact table in 3 single-reducer window partitions; the group
-    // limit keeps k rows per group per MAP task before the exchange
+  test("o5 stratified sample ranks via the partial top-k aggregate, no window sort") {
+    // round 13: row_number <= k over a 3-value group key rode
+    // WindowGroupLimit, whose Partial mode still SORTS every input
+    // partition; the TopKBySim aggregate keeps a bounded heap map-side —
+    // the plan must show the partial+final ObjectHashAggregate pair and
+    // no window machinery at all
     val p = SparkEntry.queries("o5_stratified_sample")(spark, sfDir)
       .queryExecution.executedPlan.toString
-    assert(p.contains("WindowGroupLimit"), "o5 lost the group-limit pushdown")
+    assert(p.contains("ObjectHashAggregate"), "o5 lost the top-k aggregate")
+    assert(!p.contains("WindowGroupLimit") && !p.contains("RunningWindowFunction"),
+      "o5 regressed to a window rank")
   }
 
   test("d3/d4 run the band automaton: MapPartitions present, no pair-row payload joins") {
