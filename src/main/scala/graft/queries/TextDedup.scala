@@ -214,6 +214,14 @@ object TextDedup {
   private[queries] case class BandedDoc2(bid: Int, key: String, docId: Long,
     sig: Array[Long], sh: Array[Long])
 
+  /** Banded row with a per-doc batch-membership flag for the INCREMENTAL
+    * pass ([[incrementalEstSimPairs]]): `isNew` rides the automaton
+    * payload so the emitted pair knows whether either side belongs to the
+    * new batch without re-evaluating an arbitrary predicate on pair rows
+    * (the predicate may reference any doc column, not just doc_id). */
+  private[queries] case class BandedDocN(bid: Int, key: String, docId: Long,
+    sh: Array[Long], isNew: Boolean)
+
   /** Jaccard over sorted-distinct long arrays — alloc-free two-pointer
     * merge, the exact-integer-double arithmetic of [[Text.jaccardSorted]]. */
   private[queries] val jaccardScore: (Array[Long], Array[Long]) => Double =
@@ -466,6 +474,68 @@ object TextDedup {
   def lshCandidatesEstSim(s: SparkSession, d: String): DataFrame =
     estSimPairsGrouped(s, cachedMinhash(s, d))
       .select(col("doc_a"), col("doc_b"), roundSim(col("est_sim")).as("est_sim"))
+
+  /** INCREMENTAL batch near-dup detection (x17) — the shape a continuous
+    * ingestion pipeline runs per crawl batch: candidate pairs + estimated
+    * similarity restricted to pairs involving at least one NEW document,
+    * computed WITHOUT re-pairing the whole corpus.
+    *
+    * `mh` is the full signature frame — at a real lake the at-rest
+    * signature table ([[signaturesToParquet]]) that the ingest job appends
+    * the new batch's signatures to; `isNew` is the batch-membership
+    * predicate evaluated on `mh`'s columns (a batch_id comparison in
+    * production; a doc_id residue in the registered query).
+    *
+    * Scale shape — why this is cheaper than filter(full-pairs):
+    * the band shuffle, the automaton, and the pair dedup all run over
+    * TOUCHED bands only (bands containing >= 1 new doc), selected by a
+    * left-semi join of the full band-row stream on the new batch's
+    * distinct (bid, key) set — a frame proportional to the BATCH, not the
+    * corpus, so AQE broadcasts it and the corpus-side band rows never
+    * shuffle unless a new doc collides with them. Per touched band the
+    * FULL membership is retained, so the hot-band cap (bc > cap => star
+    * over the band min) fires exactly as in the full pass and the output
+    * equals `filter(estSimPairsGrouped, doc_a new OR doc_b new)`
+    * pair-for-pair — TextDedupSpec pins that equality on mixed/hot-band
+    * corpora. At the synthetic 100x replica every band is touched (every
+    * doc has 99 verbatim copies, and 20% of ids are "new"), so the
+    * semi-join is measured-neutral there; the lever is production dup
+    * density, where a daily batch touches a small fraction of the at-rest
+    * band space. Streaming sibling: [[bandKeyedDocs]] +
+    * Streams.incrementalDedup (per-arrival verdicts, not batch pairs). */
+  def incrementalEstSimPairs(s: SparkSession, mh: DataFrame, isNew: Column,
+      cap: Int = HOT_BAND_CAP): DataFrame = {
+    import s.implicits._
+    val sigArr = array((1 to K).map(i => col(s"mh$i")): _*)
+    val rows = mh.filter(col("mh1").isNotNull)
+      .select(col("doc_id"), sigArr.as("sig"), isNew.as("is_new"),
+        explode(bandStructs).as("band"))
+      .select(col("band.bid").as("bid"), col("band.key").as("key"),
+        col("doc_id").as("docId"), col("sig").as("sh"),
+        col("is_new").as("isNew"))
+    // distinct (bid, key) of the new batch: proportional to batch size;
+    // unhinted — AQE broadcasts it when it is small (the production case)
+    val newKeys = rows.filter(col("isNew")).select("bid", "key").distinct()
+    val touched = rows.join(newKeys, Seq("bid", "key"), "left_semi")
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    touched.as[BandedDocN]
+      .repartition(parts, col("bid"), col("key"))
+      .sortWithinPartitions("bid", "key", "docId")
+      .mapPartitions { it =>
+        new BandPairIterator[(Array[Long], Boolean), (Double, Boolean)](
+          it.map(d => (d.bid, d.key, d.docId, (d.sh, d.isNew))), cap,
+          (x, y) => (TextDedup.estSimScore(x._1, y._1), x._2 || y._2))
+          .map { case (a, b, (e, keep)) => (a, b, e, keep) }
+      }
+      .toDF("doc_a", "doc_b", "est_sim", "keep")
+      // old-old pairs surface inside touched bands (the band was touched
+      // by a DIFFERENT new doc) — drop them BEFORE the cross-band dedup
+      // so the distinct's input shrinks; `keep` is a per-doc-constant
+      // disjunction, identical in every band a pair co-occurs in
+      .filter(col("keep"))
+      .select("doc_a", "doc_b", "est_sim")
+      .dropDuplicates("doc_a", "doc_b")
+  }
 
   /** The double-join reference form of d4 (rounds 7-10's shipped shape):
     * lshPairs ⋈ docs ⋈ docs with a per-pair sorted-merge intersect.
@@ -739,6 +809,19 @@ object TextDedup {
         // rows, so neither side should invent a value)
         when(n >= 2, r6(col("_r.top_big").cast("double") / (n - 1)))
           .when(n.isNotNull, lit(0.0)).as("top_bigram_frac"))
+    },
+    // ----- X17: incremental batch dedup — candidate pairs involving the
+    // NEW batch (doc_id % 5 == 0 stands in for batch membership), band
+    // work restricted to touched bands via a batch-sized semi-join. The
+    // continuous-ingestion form of d3: a daily crawl batch near-dups
+    // against the at-rest corpus without re-pairing it. Semantics ==
+    // filter(d3, a new OR b new), spec-pinned; see incrementalEstSimPairs
+    // for the scale argument.
+    "x17_incremental_dedup" -> { (s, d) =>
+      incrementalEstSimPairs(s, cachedMinhash(s, d),
+        pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_a"), col("doc_b"),
+          roundSim(col("est_sim")).as("est_sim"))
     }
   )
 
@@ -814,6 +897,16 @@ object TextDedup {
             round((${(1 to K).map(i =>
               s"CASE WHEN a.mh$i = b.mh$i THEN 1.0 ELSE 0.0 END").mkString(" + ")})/$K, 6) AS est_sim
           FROM pairs JOIN mh a ON doc_a = a.doc_id JOIN mh b ON doc_b = b.doc_id""",
+    // x17 = d3's pair set filtered to new-batch involvement: the oracle
+    // replays the full band/cap/star pipeline, then applies the same
+    // residue predicate the Spark side evaluates per doc
+    "x17_incremental_dedup" ->
+      s"""$mhCte, $pairsCte
+          SELECT doc_a, doc_b,
+            round((${(1 to K).map(i =>
+              s"CASE WHEN a.mh$i = b.mh$i THEN 1.0 ELSE 0.0 END").mkString(" + ")})/$K, 6) AS est_sim
+          FROM pairs JOIN mh a ON doc_a = a.doc_id JOIN mh b ON doc_b = b.doc_id
+          WHERE doc_a % 5 = 0 OR doc_b % 5 = 0""",
     "d4_jaccard_verify" ->
       s"""$mhCte, $pairsCte,
           ds AS (SELECT doc_id, list_distinct(hs) AS sh FROM hsh)

@@ -306,6 +306,41 @@ class TextDedupSpec extends SparkSpec {
       s"stars=$nStars pairs=$nPairs")
   }
 
+  test("incrementalEstSimPairs == filter(estSimPairsGrouped, a new OR b new) (mixed + hot-band)") {
+    // mixed corpus: near-dup family, exact-dup groups (one larger than the
+    // test cap => hot band, star semantics), unique noise. "new" = doc_id
+    // % 5 == 0, interleaving old/new inside every dup group so the filter
+    // exercises new-new, new-old AND old-old (dropped) pairs, including a
+    // hot band whose star center (the band min) is an OLD doc.
+    val rnd = new scala.util.Random(0x117)
+    val base = (1 to 20).map(i => s"n$i").mkString(" ")
+    val docs = (
+      (1L to 25L).map(i => (i,
+        Seq.fill(12)("w" + (i * 769 + rnd.nextInt(60000))).mkString(" "))) ++
+      (26L to 33L).map(i => (i, base + s" end${i % 3} v$i")) ++
+      (34L to 48L).map(i => (i, text))
+    ).toDF("doc_id", "text")
+    val mh = TextDedup.signatureFrame(docs)
+    val isNew = pmod(col("doc_id"), lit(5)) === 0
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("est_sim"))).toSet
+    for (cap <- Seq(6, 128)) { // 6 => the 15-dup group degrades to a star
+      val inc = norm(TextDedup.incrementalEstSimPairs(spark, mh, isNew, cap))
+      val full = norm(TextDedup.estSimPairsGrouped(spark, mh, cap)
+        .filter(col("doc_a") % 5 === 0 || col("doc_b") % 5 === 0))
+      assert(inc == full, s"cap=$cap: only-inc=${inc.diff(full).take(3)}, " +
+        s"only-full=${full.diff(inc).take(3)}")
+      assert(inc.nonEmpty)
+      // the restriction is real: old-old pairs exist in the full set and
+      // none of them survive the incremental output
+      val dropped = norm(TextDedup.estSimPairsGrouped(spark, mh, cap)
+        .filter(col("doc_a") % 5 =!= 0 && col("doc_b") % 5 =!= 0))
+      assert(dropped.nonEmpty, s"cap=$cap: fixture lost its old-old pairs")
+      assert(inc.intersect(dropped).isEmpty)
+    }
+  }
+
   test("d9 simhash pairs: blocked join == all-pairs, each pair found exactly once") {
     val dir = Files.createTempDirectory("graft_d9").toString
     // random corpus + planted near-identical pair (one-word delta => small
