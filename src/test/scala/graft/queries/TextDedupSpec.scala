@@ -341,6 +341,36 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("tf artifact roundtrip: tfidfTopKFromParquet == the session-persisted x12 form") {
+    // null-text doc pins the n_docs caveat: it produces no tf rows but
+    // counts toward the idf denominator on BOTH paths
+    val docs = (
+      (1L to 6L).map(i => (i, s"alpha beta gamma w$i w$i common term here")) ++
+      Seq(7L -> "alpha alpha alpha rare unique pentagon word list body",
+          8L -> null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_tf").toString
+    TextDedup.termFrequenciesToParquet(docs, dir)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term"),
+        r.getAs[Long]("tf"), r.getAs[Long]("df"),
+        r.getAs[Double]("tfidf"))).toSet
+    val tf = TextDedup.termFrequencies(docs).persist()
+    tf.count()
+    val inline = norm(TextDedup.tfidfTopKOverTf(tf,
+      docs.agg(count(lit(1)).as("n_docs"))))
+    val atRest = norm(TextDedup.tfidfTopKFromParquet(spark, dir, docs.count()))
+    tf.unpersist()
+    assert(atRest == inline,
+      s"only-atRest=${atRest.diff(inline).take(3)}, " +
+        s"only-inline=${inline.diff(atRest).take(3)}")
+    assert(inline.nonEmpty && !inline.exists(_._1 == 8L))
+    // the at-rest table holds no row for the null-text doc, yet idf used
+    // n_docs = 8 — a consumer deriving n_docs from distinct doc_id would
+    // silently shift every idf (the caveat the scaladoc documents)
+    assert(spark.read.parquet(dir).select("doc_id").distinct().count() == 7L)
+  }
+
   test("d9 simhash pairs: blocked join == all-pairs, each pair found exactly once") {
     val dir = Files.createTempDirectory("graft_d9").toString
     // random corpus + planted near-identical pair (one-word delta => small
