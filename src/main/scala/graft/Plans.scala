@@ -16,7 +16,8 @@ object Plans {
         "j13_skew_join", "qc1_fold_penalty", "qc2_sub_error_rate",
         "d9_simhash_pairs", "x12_tfidf_topk", "j2_multikey_join",
         "d4_jaccard_verify", "j8_exact_vs_loose_isec", "rg1_detailed_grid",
-        "x14_repetition", "x15_bloom_decontaminate", "x16_dup_spans")
+        "x14_repetition", "x15_bloom_decontaminate", "x16_dup_spans",
+        "x17_incremental_dedup")
     val spark = Spark.session("graft-plans")
     names.foreach { n =>
       println(s"\n## $n\n")
