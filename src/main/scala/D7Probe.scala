@@ -34,22 +34,10 @@ object D7Probe {
     def sink(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // probe-local replica of the star-edge build over a signature frame
-    def starEdges(mh: org.apache.spark.sql.DataFrame) = {
-      val bandStructs = array((1 to 4).map { b =>
-        struct(lit(b).as("bid"),
-          concat_ws("_", col(s"mh${2 * b - 1}"), col(s"mh${2 * b}")).as("key"))
-      }: _*)
-      val bands = mh.filter(col("mh1").isNotNull)
-        .select(col("doc_id"), explode(bandStructs).as("band"))
-        .select(col("doc_id"), col("band.bid").as("bid"), col("band.key").as("key"))
-      val stats = bands.groupBy("bid", "key")
-        .agg(count(lit(1)).as("bc"), min("doc_id").as("mindoc"))
-      bands.join(stats, Seq("bid", "key"))
-        .filter(col("bc") >= 2 && col("doc_id") =!= col("mindoc"))
-        .select(col("mindoc").as("doc_a"), col("doc_id").as("doc_b"))
-        .distinct()
-    }
+    // the library's ONE banding definition — no probe-local replica that
+    // could silently diverge from what d7 actually runs
+    def starEdges(mh: org.apache.spark.sql.DataFrame) =
+      graft.queries.TextDedup.bandStarEdges(mh)
 
     docs.agg(count(lit(1))).collect() // warm-up
 
@@ -69,12 +57,16 @@ object D7Probe {
       timedWarm("stage:star-edges(warm mh)") { sink(starEdges(mh)) }
       val edges = starEdges(mh).persist()
       edges.count()
+      // capture the labels frame so the summary line reads the CC run the
+      // timer measured (labels is checkpoint-backed) instead of paying a
+      // whole second CC job for a count
+      var labels: org.apache.spark.sql.DataFrame = null
       timedWarm("stage:cc(warm edges)") {
-        sink(graft.operators.Dedup.connectedComponents(edges))
+        labels = graft.operators.Dedup.connectedComponents(edges)
+        sink(labels)
       }
       println(s"[d7probe] edges=${edges.count()} " +
-        s"comps=${graft.operators.Dedup.connectedComponents(edges)
-          .agg(countDistinct(col("comp"))).collect()(0).getLong(0)}")
+        s"comps=${labels.agg(countDistinct(col("comp"))).collect()(0).getLong(0)}")
       edges.unpersist(); mh.unpersist()
     }
     spark.stop()

@@ -171,8 +171,10 @@ object TextDedup {
     * component PARTITION — and hence d7's (id, min-reachable) output — is
     * unchanged. The candidate-pair LIST for verification (d3/d4) still
     * needs [[lshPairs]]; this is only for consumers that need
-    * connectivity, not the pairs themselves. */
-  private[queries] def bandStarEdges(mh: DataFrame): DataFrame = {
+    * connectivity, not the pairs themselves. Public: custom CC consumers
+    * (and D7Probe's stage split) want the edge set without the pair
+    * list. */
+  def bandStarEdges(mh: DataFrame): DataFrame = {
     val bands = bandRows(mh)
     // join-back lands on the keys the aggregate shuffled on — no second
     // exchange (same layout trick as lshPairs)
@@ -507,8 +509,13 @@ object TextDedup {
       cap: Int = HOT_BAND_CAP): DataFrame = {
     import s.implicits._
     val sigArr = array((1 to K).map(i => col(s"mh$i")): _*)
+    // null-valued predicates (e.g. batch_id === "b7" over rows with null
+    // batch_id) mean NOT-new — exactly what filter(full-pairs, new) would
+    // do with them; without the coalesce such a doc in a touched band
+    // would NPE the primitive-Boolean decode of BandedDocN
     val rows = mh.filter(col("mh1").isNotNull)
-      .select(col("doc_id"), sigArr.as("sig"), isNew.as("is_new"),
+      .select(col("doc_id"), sigArr.as("sig"),
+        coalesce(isNew, lit(false)).as("is_new"),
         explode(bandStructs).as("band"))
       .select(col("band.bid").as("bid"), col("band.key").as("key"),
         col("doc_id").as("docId"), col("sig").as("sh"),

@@ -339,6 +339,13 @@ class TextDedupSpec extends SparkSpec {
       assert(dropped.nonEmpty, s"cap=$cap: fixture lost its old-old pairs")
       assert(inc.intersect(dropped).isEmpty)
     }
+    // a null-valued predicate means NOT-new (the full-pass filter drops
+    // such pairs); it must not NPE the primitive-Boolean banded decode
+    val nullPred = when(col("doc_id") % 5 === 0, lit(true))
+      .otherwise(lit(null).cast("boolean"))
+    val viaNull = norm(TextDedup.incrementalEstSimPairs(spark, mh, nullPred, 6))
+    val viaBool = norm(TextDedup.incrementalEstSimPairs(spark, mh, isNew, 6))
+    assert(viaNull == viaBool)
   }
 
   test("tf artifact roundtrip: tfidfTopKFromParquet == the session-persisted x12 form") {
