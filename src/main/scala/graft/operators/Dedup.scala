@@ -190,6 +190,30 @@ object Dedup {
     labels
   }
 
+  /** Incremental duplicate-cluster maintenance — fold a NEW batch's
+    * candidate edges (TextDedup.incrementalEstSimPairs' output, i.e. x17's
+    * pairs) into an EXISTING labeling without re-pairing the at-rest
+    * corpus: components of (old graph ∪ new edges) over the union node
+    * set, as (id, comp) with comp = min reachable id.
+    *
+    * Why this is exact: an (id, comp) labeling IS a component-equivalent
+    * star form of the old graph (every member linked to its cluster min —
+    * the same argument as TextDedup.bandStarEdges), and component
+    * equivalence is preserved under union with the same extra edges, so
+    * CC(labels-as-edges ∪ new) == CC(old-edges ∪ new) as a partition —
+    * and min-id canonicals depend only on the partition. Why it is cheap:
+    * the label edges are V-sized (not E-sized) and every old cluster
+    * enters as a depth-1 star, so propagation converges in the rounds the
+    * NEW edges need, not the old graph's diameter. Self-rows (id == comp)
+    * ride along as self-loops — the symmetrized explode handles them —
+    * so singleton labelings survive into the output unchanged.
+    * DedupSpec pins equality to the from-scratch CC on merge /
+    * new-node / untouched-cluster cases. */
+  def incrementalComponents(labels: DataFrame, newEdges: DataFrame): DataFrame =
+    connectedComponents(
+      labels.select(col("id").as("doc_a"), col("comp").as("doc_b"))
+        .unionByName(newEdges.select("doc_a", "doc_b")))
+
   /** Every document mapped to its canonical id: cluster minimum for members
     * of a duplicate cluster, itself otherwise. `docs` needs a `doc_id`. */
   def canonicalAssignment(docs: DataFrame, pairs: DataFrame): DataFrame = {

@@ -32,6 +32,33 @@ class DedupSpec extends SparkSpec {
     assert(kept == 5)
   }
 
+  test("incrementalComponents(labels, new) == CC(old ∪ new): merge, new nodes, untouched") {
+    val old = Seq(
+      (1L, 2L), (2L, 3L),   // cluster {1,2,3}
+      (10L, 11L),           // cluster {10,11}
+      (20L, 21L), (21L, 22L) // cluster {20,21,22} — untouched by the batch
+    ).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(old)
+    val batch = Seq(
+      (3L, 10L),  // merges {1,2,3} with {10,11} -> comp 1
+      (30L, 31L), // brand-new cluster
+      (11L, 32L)  // new node joining the merged cluster
+    ).toDF("doc_a", "doc_b")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inc = m(Dedup.incrementalComponents(labels, batch))
+    val scratch = m(Dedup.connectedComponents(old.unionByName(batch)))
+    assert(inc == scratch)
+    assert(Seq(1L, 2L, 3L, 10L, 11L, 32L).forall(inc(_) == 1L))
+    assert(Seq(20L, 21L, 22L).forall(inc(_) == 20L))
+    assert(inc(30L) == 30L && inc(31L) == 30L)
+    // an empty batch is the identity on the labeling (self-loops ride the
+    // symmetrized explode; singleton labels survive)
+    val idem = m(Dedup.incrementalComponents(labels,
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")))
+    assert(idem == m(labels))
+  }
+
   test("long chain needs multiple propagation rounds") {
     val n = 40L
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
