@@ -863,6 +863,28 @@ object TextDedup {
         pmod(col("doc_id"), lit(5)) === 0)
         .select(col("doc_a"), col("doc_b"),
           roundSim(col("est_sim")).as("est_sim"))
+    },
+    // ----- X18: the incremental pipeline END-TO-END — yesterday's labels
+    // (CC over the OLD docs' star edges) + today's x17 edges folded in
+    // via Dedup.incrementalComponents. Output == the from-scratch d7
+    // resolve EXACTLY, so d7's recursive SQL is the oracle verbatim.
+    // Proof sketch (spec-pinned incl. a hot band whose min doc is new):
+    // full-pass connectivity = old-old connections ∪ new-involving
+    // connections; any old-old full pair shares a band, so the old-only
+    // star pass connects it (cap/star choices are component-equivalent);
+    // every new-involving connection is an x17 edge; node sets match the
+    // same way. incrementalComponents preserves the old partition as
+    // depth-1 stars, so the union's components — and their min-id
+    // canonicals — coincide with from-scratch CC.
+    "x18_incremental_resolve" -> { (s, d) =>
+      val mh = cachedMinhash(s, d)
+      val isNew = pmod(col("doc_id"), lit(5)) === 0
+      val oldLabels = graft.operators.Dedup.connectedComponents(
+        bandStarEdges(mh.filter(!isNew)))
+      val newEdges = incrementalEstSimPairs(s, mh, isNew)
+        .select("doc_a", "doc_b")
+      graft.operators.Dedup.incrementalComponents(oldLabels, newEdges)
+        .select(col("id").as("doc_id"), col("comp").as("canonical"))
     }
   )
 
@@ -895,6 +917,17 @@ object TextDedup {
                     UNION ALL
                     SELECT mindoc AS doc_a, doc_id AS doc_b
                     FROM btag WHERE bc > $HOT_BAND_CAP AND doc_id <> mindoc))"""
+
+  private val d7Sql =
+    s"""${mhCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, $pairsCte,
+        edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        nodes AS (SELECT DISTINCT s AS id FROM edges),
+        reach(id, r) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)
+        SELECT id AS doc_id, min(r) AS canonical FROM reach GROUP BY id"""
 
   val oracles: Map[String, String] = Map(
     "x1_token_stats" ->
@@ -955,16 +988,12 @@ object TextDedup {
             floor(len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0 /
               (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x))))*1000000 + 0.5)/1000000 AS jaccard
           FROM pairs JOIN ds a ON doc_a = a.doc_id JOIN ds b ON doc_b = b.doc_id""",
-    "d7_dedup_resolve" ->
-      s"""${mhCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, $pairsCte,
-          edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-                    UNION SELECT doc_b, doc_a FROM pairs),
-          nodes AS (SELECT DISTINCT s AS id FROM edges),
-          reach(id, r) AS (
-            SELECT id, id FROM nodes
-            UNION
-            SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)
-          SELECT id AS doc_id, min(r) AS canonical FROM reach GROUP BY id""",
+    "d7_dedup_resolve" -> d7Sql,
+    // x18's output is PROVABLY identical to the from-scratch resolve
+    // (see the x18 query comment), so the from-scratch recursive SQL is
+    // its oracle verbatim — the strongest gate an incremental pipeline
+    // can have
+    "x18_incremental_resolve" -> d7Sql,
     "x5_curation_pipeline" ->
       s"""WITH sc AS (SELECT doc_id, string_split(text, ' ') AS t,
             ${hx("array_to_string(list_slice(string_split(text,' '),1,10), ' ')")} AS pkey

@@ -346,6 +346,25 @@ class TextDedupSpec extends SparkSpec {
     val viaNull = norm(TextDedup.incrementalEstSimPairs(spark, mh, nullPred, 6))
     val viaBool = norm(TextDedup.incrementalEstSimPairs(spark, mh, isNew, 6))
     assert(viaNull == viaBool)
+
+    // x18's end-to-end claim: old-only labels + incremental edges resolve
+    // to EXACTLY the from-scratch components — including cap=6, where the
+    // 15-dup group's bands go hot and the star center (the band min,
+    // doc 34) is interleaved old/new with its members
+    import graft.operators.Dedup
+    def comps(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (cap <- Seq(6, 128)) {
+      val oldLabels = Dedup.connectedComponents(
+        TextDedup.bandStarEdges(mh.filter(!isNew)))
+      val newEdges = TextDedup.incrementalEstSimPairs(spark, mh, isNew, cap)
+        .select("doc_a", "doc_b")
+      val inc = comps(Dedup.incrementalComponents(oldLabels, newEdges))
+      val scratch = comps(Dedup.connectedComponents(TextDedup.bandStarEdges(mh)))
+      assert(inc == scratch, s"cap=$cap: incremental resolve diverges " +
+        s"(only-inc=${inc.diff(scratch).take(3)}, " +
+        s"only-scratch=${scratch.diff(inc).take(3)})")
+    }
   }
 
   test("tf artifact roundtrip: tfidfTopKFromParquet == the session-persisted x12 form") {
