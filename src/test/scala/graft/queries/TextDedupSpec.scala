@@ -367,6 +367,84 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("incrementalEstSimPairs fuzz: == filter(full) across random corpora, splits and caps") {
+    val rnd = new scala.util.Random(0x5eed)
+    for (round <- 1 to 4) {
+      // random mix of dup-group sizes (some crossing the small caps),
+      // near-dup families and unique docs; random batch modulus so the
+      // old/new split lands differently each round
+      val base = (1 to 15 + rnd.nextInt(10)).map(i => s"r$round-b$i").mkString(" ")
+      var id = 0L
+      def nextId() = { id += 1; id }
+      val docs = (
+        (1 to 15 + rnd.nextInt(15)).map(_ => (nextId(),
+          Seq.fill(10 + rnd.nextInt(6))("q" + rnd.nextInt(50000)).mkString(" "))) ++
+        (1 to 3 + rnd.nextInt(3)).flatMap { g =>
+          val n = 2 + rnd.nextInt(12)
+          val t = if (g % 2 == 0) text else base + s" g$g"
+          (1 to n).map(_ => (nextId(), t))
+        }
+      ).toDF("doc_id", "text")
+      val mh = TextDedup.signatureFrame(docs)
+      val mod = 2 + rnd.nextInt(5)
+      val isNew = pmod(col("doc_id"), lit(mod)) === 0
+      val cap = Seq(4, 7, 128)(rnd.nextInt(3))
+      def norm(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Double]("est_sim"))).toSet
+      val inc = norm(TextDedup.incrementalEstSimPairs(spark, mh, isNew, cap))
+      val full = norm(TextDedup.estSimPairsGrouped(spark, mh, cap)
+        .filter(col("doc_a") % mod === 0 || col("doc_b") % mod === 0))
+      assert(inc == full, s"round=$round mod=$mod cap=$cap: " +
+        s"only-inc=${inc.diff(full).take(3)}, only-full=${full.diff(inc).take(3)}")
+    }
+  }
+
+  test("at-rest incremental loop end-to-end: day-0 ingest, day-1 append, incremental resolve == from-scratch") {
+    // the production loop the x17/x18 scaladocs describe, over REAL parquet
+    // artifacts and only public APIs: day-0 writes the signature table and
+    // labels; day-1 appends the batch's signatures, pairs incrementally
+    // against the at-rest table, and folds the edges into the labeling
+    val rnd = new scala.util.Random(0xa77e57)
+    val base = (1 to 20).map(i => s"ar$i").mkString(" ")
+    val day0 = (
+      (1L to 20L).map(i => (i,
+        Seq.fill(12)("o" + (i * 613 + rnd.nextInt(40000))).mkString(" "))) ++
+      (21L to 28L).map(i => (i, text)) ++
+      (29L to 33L).map(i => (i, base + s" v${i % 2}"))
+    ).toDF("doc_id", "text")
+    val day1 = (
+      (101L to 104L).map(i => (i, text)) ++            // joins the 21-28 cluster
+      Seq(105L -> (base + " v0"),                      // joins the 29-33 family
+          106L -> "entirely new content appearing only in the day one batch x",
+          107L -> "entirely new content appearing only in the day one batch x")
+    ).toDF("doc_id", "text")
+    val sigDir = Files.createTempDirectory("graft_atrest_sig").toString
+
+    TextDedup.signaturesToParquet(day0, sigDir)                       // day-0 ingest
+    val day0Labels = graft.operators.Dedup.connectedComponents(
+      TextDedup.bandStarEdges(spark.read.parquet(sigDir)))
+    TextDedup.signatureFrame(day1)
+      .write.mode("append").parquet(sigDir)                           // day-1 append
+    val atRestMh = spark.read.parquet(sigDir)
+    val newEdges = TextDedup.incrementalEstSimPairs(
+      spark, atRestMh, col("doc_id") >= 101L).select("doc_a", "doc_b")
+    val inc = graft.operators.Dedup.incrementalComponents(day0Labels, newEdges)
+
+    val scratch = graft.operators.Dedup.connectedComponents(
+      TextDedup.bandStarEdges(TextDedup.signatureFrame(day0.unionByName(day1))))
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m(inc) == m(scratch))
+    val comps = m(inc).toMap
+    assert((Seq(21L to 28L, Seq(101L, 102L, 103L, 104L)).flatten)
+      .forall(comps(_) == 21L), "day-1 copies must join the day-0 cluster")
+    // 105 is an exact copy of 30/32's text (identical signature -> shared
+    // bands guaranteed; whether the v0/v1 near-dup families merge is a
+    // minhash roll the from-scratch equality already covers)
+    assert(comps(105L) == comps(30L) && comps(107L) == 106L)
+  }
+
   test("tf artifact roundtrip: tfidfTopKFromParquet == the session-persisted x12 form") {
     // null-text doc pins the n_docs caveat: it produces no tf rows but
     // counts toward the idf denominator on BOTH paths
