@@ -59,6 +59,32 @@ class DedupSpec extends SparkSpec {
     assert(idem == m(labels))
   }
 
+  test("incrementalComponents fuzz: random old graph + random batch == from-scratch CC") {
+    val rnd = new scala.util.Random(0x1c2)
+    for (round <- 1 to 4) {
+      val nOld = 20 + rnd.nextInt(30)
+      val old = (1 to 15 + rnd.nextInt(20)).map { _ =>
+        val a = rnd.nextInt(nOld).toLong; val b = rnd.nextInt(nOld).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).toDF("doc_a", "doc_b")
+      // batch edges reach into the old id space AND a fresh id range, so
+      // merges, new clusters and old-new bridges all occur
+      val batch = (1 to 5 + rnd.nextInt(10)).map { _ =>
+        val a = rnd.nextInt(nOld + 15).toLong
+        val b = (nOld + rnd.nextInt(15)).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).toDF("doc_a", "doc_b")
+      def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val labels = Dedup.connectedComponents(old)
+      val inc = m(Dedup.incrementalComponents(labels, batch))
+      val scratch = m(Dedup.connectedComponents(old.unionByName(batch)))
+      assert(inc == scratch, s"round=$round: " +
+        s"only-inc=${inc.diff(scratch).take(3)}, " +
+        s"only-scratch=${scratch.diff(inc).take(3)}")
+    }
+  }
+
   test("long chain needs multiple propagation rounds") {
     val n = 40L
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
