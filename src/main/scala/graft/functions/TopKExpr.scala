@@ -10,6 +10,7 @@ import org.apache.spark.sql.expressions.Aggregator
   * "Worse" = lower sim, then higher id — the exact inverse of the rank
   * order `(sim DESC, id ASC)`, so the root is always the next eviction. */
 final class TopKBuf(val k: Int) extends Serializable {
+  require(k > 0, s"TopKBuf requires k > 0, got $k")
   val sims = new Array[Double](k)
   val ids = new Array[Long](k)
   var size = 0

@@ -132,6 +132,10 @@ object OverlapSuppress {
       cand.except(invalid).collect()
         .groupBy(_.getString(0))
         .map { case (c, rows) => c -> rows.map(_.getLong(1)).distinct.sorted }
+    // stats is fully consumed once the anchors are on the driver; release
+    // it now (mirrors the empty-input path) instead of leaving it for
+    // Bench.coldReset to sweep
+    stats.unpersist()
     val bAnchors = ds.sparkSession.sparkContext.broadcast(anchors)
     val segOf = udf { (chrom: String, pos: Long) =>
       val a = bAnchors.value.getOrElse(chrom, Array.empty[Long])

@@ -339,6 +339,8 @@ object Relational {
     // (rnd ASC, okey ASC, linenum ASC) packs losslessly into the
     // aggregate's (sim DESC, id ASC): sim = -rnd, id = okey*8+linenum
     // (l_linenumber in 1..7; both < 2^53 so the doubles are exact).
+    // Unpack uses integer `div`/`pmod` so the id math never rounds,
+    // whatever the key magnitude.
     "o5_stratified_sample" -> { (s, d) =>
       val rnd = (col("l_orderkey") * lit(2654435761L) + col("l_linenumber") * lit(97L)) % lit(999999937L)
       val topk = udaf(new graft.functions.TopKBySim(5))
@@ -349,8 +351,8 @@ object Relational {
         .groupBy("qid").agg(topk(col("sim"), col("vec_id")).as("tk"))
         .select(col("qid"), posexplode(col("tk")))
         .select(col("qid").as("l_returnflag"),
-          (col("col._2") / 8).cast("long").as("l_orderkey"),
-          (col("col._2") % 8).cast("int").as("l_linenumber"),
+          expr("col._2 div 8").as("l_orderkey"),
+          pmod(col("col._2"), lit(8L)).cast("int").as("l_linenumber"),
           (col("pos") + 1).as("rk"))
         .select("l_returnflag", "l_orderkey", "l_linenumber", "rk")
     },
