@@ -30,12 +30,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ IntervalOps.queries ++ TextDedup.queries ++
       Similarity.queries ++ MultimodalQ.queries ++ DomainMath.queries ++
-      Curation.queries ++ ReportGrid.queries
+      Curation.queries ++ ReportGrid.queries ++ AtRest.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ IntervalOps.oracles ++ TextDedup.oracles ++
       Similarity.oracles ++ MultimodalQ.oracles ++ DomainMath.oracles ++
-      Curation.oracles ++ ReportGrid.oracles
+      Curation.oracles ++ ReportGrid.oracles ++ AtRest.oracles
 }

@@ -20,8 +20,8 @@ import graft.functions.Text
 object TextDedup {
   type Q = (SparkSession, String) => DataFrame
 
-  private val K = 8        // minhash permutations
-  private val BANDS = 4    // LSH bands (2 rows each)
+  private[queries] val K = 8 // minhash permutations
+  private val BANDS = 4      // LSH bands (2 rows each)
 
   private def withMinhash(docs: DataFrame): DataFrame = {
     // token hashes land in their own column BEFORE the signature call:
@@ -893,7 +893,7 @@ object TextDedup {
   private val hx = (e: String) => s"CAST(('0x'||substr(md5($e),1,8)) AS BIGINT)"
   private def mhSql(i: Int) =
     s"list_min(list_transform(hs, h -> (h*${2 * i + 1} + ${97 * i}) % 4294967291)) AS mh$i"
-  private val mhCte =
+  private[queries] val mhCte =
     s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         th AS (SELECT doc_id, t, list_transform(t, x -> ${hx("x")}) AS h FROM tok),
         hsh AS (SELECT doc_id, t, list_transform(range(1, len(h)-1),
@@ -918,8 +918,12 @@ object TextDedup {
                     SELECT mindoc AS doc_a, doc_id AS doc_b
                     FROM btag WHERE bc > $HOT_BAND_CAP AND doc_id <> mindoc))"""
 
-  private val d7Sql =
-    s"""${mhCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, $pairsCte,
+  /** The from-scratch resolve's recursive SQL over an arbitrary variant of
+    * [[mhCte]] — the oracle-reuse hook: d7, x18, and the at-rest x22/x23
+    * all gate through this pipeline, differing only in which documents
+    * feed the tok CTE (x22 restricts to the old batch). */
+  private[queries] def d7SqlOver(mhCteStr: String): String =
+    s"""${mhCteStr.replaceFirst("WITH ", "WITH RECURSIVE ")}, $pairsCte,
         edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
                   UNION SELECT doc_b, doc_a FROM pairs),
         nodes AS (SELECT DISTINCT s AS id FROM edges),
@@ -928,6 +932,38 @@ object TextDedup {
           UNION
           SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)
         SELECT id AS doc_id, min(r) AS canonical FROM reach GROUP BY id"""
+
+  private[queries] val d7Sql = d7SqlOver(mhCte)
+
+  /** d3's oracle SQL — shared verbatim by x21 (the at-rest pair pass reads
+    * the signature table instead of re-hashing the corpus; output is
+    * identical by construction, so the gate is too). */
+  private[queries] val d3Sql =
+    s"""$mhCte, $pairsCte
+        SELECT doc_a, doc_b,
+          round((${(1 to K).map(i =>
+            s"CASE WHEN a.mh$i = b.mh$i THEN 1.0 ELSE 0.0 END").mkString(" + ")})/$K, 6) AS est_sim
+        FROM pairs JOIN mh a ON doc_a = a.doc_id JOIN mh b ON doc_b = b.doc_id"""
+
+  /** x12's oracle SQL — shared verbatim by x20 (TF-IDF over the at-rest tf
+    * table + recorded n_docs equals the self-contained build). */
+  private[queries] val x12Sql =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfq AS (SELECT doc_id, term, tf,
+          count(*) OVER (PARTITION BY term) AS df FROM tf),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        sc AS (SELECT doc_id, term, tf, df,
+          floor(tf * ln(n_docs*1.0/df) * 1000000 + 0.5)/1000000 AS tfidf
+          FROM dfq, n),
+        rk AS (SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk FROM sc)
+        SELECT doc_id, term, tf, df, tfidf FROM rk WHERE rk <= 5"""
+
+  /** The DuckDB-side md5 token hash — exposed so at-rest oracles can build
+    * corpus-variant CTEs without duplicating the hash recipe. */
+  private[queries] def hxSql(e: String): String = hx(e)
 
   val oracles: Map[String, String] = Map(
     "x1_token_stats" ->
@@ -965,12 +1001,7 @@ object TextDedup {
           FROM k GROUP BY 1 HAVING count(*) > 1""",
     "d2_minhash" ->
       s"$mhCte SELECT * FROM mh",
-    "d3_lsh_pairs" ->
-      s"""$mhCte, $pairsCte
-          SELECT doc_a, doc_b,
-            round((${(1 to K).map(i =>
-              s"CASE WHEN a.mh$i = b.mh$i THEN 1.0 ELSE 0.0 END").mkString(" + ")})/$K, 6) AS est_sim
-          FROM pairs JOIN mh a ON doc_a = a.doc_id JOIN mh b ON doc_b = b.doc_id""",
+    "d3_lsh_pairs" -> d3Sql,
     // x17 = d3's pair set filtered to new-batch involvement: the oracle
     // replays the full band/cap/star pipeline, then applies the same
     // residue predicate the Spark side evaluates per doc
@@ -1015,19 +1046,7 @@ object TextDedup {
             s"CASE WHEN list_sum(list_transform(h, x -> ((x >> $j) & 1)*2 - 1)) > 0 THEN ${1L << j} ELSE 0 END")
             .mkString(" + ")}) AS simhash
           FROM tok""",
-    "x12_tfidf_topk" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-            FROM documents),
-          tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-          dfq AS (SELECT doc_id, term, tf,
-            count(*) OVER (PARTITION BY term) AS df FROM tf),
-          n AS (SELECT count(*) AS n_docs FROM documents),
-          sc AS (SELECT doc_id, term, tf, df,
-            floor(tf * ln(n_docs*1.0/df) * 1000000 + 0.5)/1000000 AS tfidf
-            FROM dfq, n),
-          rk AS (SELECT *, row_number() OVER (
-            PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk FROM sc)
-          SELECT doc_id, term, tf, df, tfidf FROM rk WHERE rk <= 5""",
+    "x12_tfidf_topk" -> x12Sql,
     // value-level all-pairs is fine for the ORACLE (distinct 16-bit values
     // are few at test scale); the engine runs the blocked join
     "d9_simhash_pairs" ->

@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import java.nio.file.{Files, Paths}
+
+/** The at-rest store's contracts: fingerprint freshness (a changed corpus
+  * can never serve stale tables), build-once ensure semantics, and the
+  * consumer-equals-sibling equalities that justify oracle reuse
+  * (x20 == x12, x21 == d3, x23 == x18 == d7). */
+class AtRestSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A small corpus with real near-dup structure: dup pairs, a shared
+    * boilerplate shingle, a null text, a short (<3 token) doc, and ids on
+    * both sides of the %5 old/new split. */
+  private def corpus: Seq[(Long, String)] = {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val alt = "completely different words appear in this other document about spark engines and parquet tables"
+    (1L to 40L).map { i =>
+      val t =
+        if (i % 7 == 0) base // dup cluster across old+new ids
+        else if (i % 11 == 0) alt + " extra token" + i
+        else if (i == 13) null
+        else if (i == 17) "tiny doc"
+        else s"document number $i with its own mostly unique words w$i x$i y$i z$i plus the shared tail of common filler tokens"
+      (i, t)
+    }
+  }
+
+  private def writeFixture(): String = {
+    val dir = Files.createTempDirectory("graft_atrest_fix").toString
+    corpus.toDF("doc_id", "text")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("x20/x21/x23 from the store equal their self-contained siblings") {
+    val d = writeFixture()
+    // build steps first (the bench's sorted order)
+    AtRest.queries("x19_atrest_build")(spark, d).collect()
+    AtRest.queries("x22_labels_build")(spark, d).collect()
+    assert(rows(AtRest.queries("x20_atrest_tfidf")(spark, d)) ==
+      rows(TextDedup.queries("x12_tfidf_topk")(spark, d)))
+    assert(rows(AtRest.queries("x21_atrest_pairs")(spark, d)) ==
+      rows(TextDedup.queries("d3_lsh_pairs")(spark, d)))
+    assert(rows(AtRest.queries("x23_atrest_resolve")(spark, d)) ==
+      rows(TextDedup.queries("x18_incremental_resolve")(spark, d)))
+    // and x18 == d7 (the component-equivalence the oracle reuse rests on)
+    assert(rows(AtRest.queries("x23_atrest_resolve")(spark, d)) ==
+      rows(TextDedup.queries("d7_dedup_resolve")(spark, d)))
+  }
+
+  test("consumers are self-contained: ensure builds the store when absent") {
+    val d = writeFixture()
+    // no x19/x22 ran for this fingerprint — x23 must still produce the
+    // full resolve (building signatures + labels on the way)
+    assert(rows(AtRest.queries("x23_atrest_resolve")(spark, d)) ==
+      rows(TextDedup.queries("d7_dedup_resolve")(spark, d)))
+  }
+
+  test("ensure is build-once; x19 rebuilds unconditionally") {
+    val d = writeFixture()
+    val sig = AtRest.ensureSignatures(spark, d)
+    val m1 = Files.getLastModifiedTime(Paths.get(s"$sig/_SUCCESS")).toMillis
+    AtRest.ensureSignatures(spark, d)
+    val m2 = Files.getLastModifiedTime(Paths.get(s"$sig/_SUCCESS")).toMillis
+    assert(m1 == m2, "second ensure must not rewrite")
+    Thread.sleep(20)
+    AtRest.queries("x19_atrest_build")(spark, d).collect()
+    val m3 = Files.getLastModifiedTime(Paths.get(s"$sig/_SUCCESS")).toMillis
+    assert(m3 > m2, "the build step must overwrite")
+  }
+
+  test("a changed corpus gets a fresh store and the stale one is swept") {
+    val d = writeFixture()
+    val sig1 = AtRest.ensureSignatures(spark, d)
+    val store1 = Paths.get(sig1).getParent
+    // rewrite the corpus in place: one more doc -> new length/mtime
+    (corpus :+ (99L, "a brand new document arriving in the next crawl batch"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val sig2 = AtRest.ensureSignatures(spark, d)
+    assert(sig2 != sig1, "fingerprint must change with the corpus")
+    assert(!Files.exists(store1), "superseded store must be swept")
+    // and the fresh store serves the NEW corpus
+    assert(spark.read.parquet(sig2).count() == corpus.length + 1L)
+  }
+}
