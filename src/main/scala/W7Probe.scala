@@ -61,6 +61,15 @@ object W7Probe {
         sink(graft.operators.Ordered.everyKth(
           li, "l_returnflag", Seq("l_orderkey", "l_linenumber"), 100))
       }
+      // round 14: packed-key selection — the shuffle carries (cell, long),
+      // per-cell ranking is a primitive sort + direct k-th emission
+      timed("alt:packed") {
+        sink(graft.operators.Ordered.everyKthPacked(li, "l_returnflag",
+            col("l_orderkey") * 8 + col("l_linenumber"), 100)
+          .select(col("g").as("l_returnflag"),
+            expr("p div 8").as("l_orderkey"),
+            pmod(col("p"), lit(8L)).cast("int").as("l_linenumber")))
+      }
     }
     spark.stop()
   }

@@ -251,6 +251,111 @@ object Ordered {
     everyKthWithBounds(df, partCol, orderCols, k, bounds)
   }
 
+  /** W7 at scale, PACKED-KEY form — the measured replacement for the rank
+    * pass that dominated `everyKthScalableUniform` (VERDICT r13 #3): when
+    * the full per-group order key packs losslessly into ONE long (w7's
+    * `l_orderkey*8 + l_linenumber`, the o5 packing — both < 2^53 so the
+    * double-space bucket compare stays exact), the generic
+    * exchange + SortExec + WindowExec + filter pipeline is overkill: the
+    * shuffle needs to carry only (cell, packed) — 12 payload bytes/row —
+    * and per-cell ranking is a primitive `Arrays.sort(long[])` (no
+    * UnsafeRow comparators, no window buffering) followed by DIRECT
+    * emission of the k-th-rank positions (`rank = cellOffset + localIdx+1`,
+    * so the kept local indices are just the multiples of k shifted by the
+    * offset — 1% of rows materialize, instead of ranking 100%).
+    *
+    * Exactness: identical multiset of (group, packed) rows to [[everyKth]]
+    * — bucket bounds steer only balance (ties on `packed` share a bucket
+    * under any deterministic bound set), per-cell counts are exact, and
+    * duplicate packed values make both forms emit the same VALUES at the
+    * same ranks. Null packed keys and pathological value concentration
+    * (one cell above `maxCellRows`, where the gather array would not be
+    * spill-safe) fall back to the windowed [[everyKthWithBounds]], which
+    * buffers through Spark's spilling machinery — the guard is decided
+    * from the SAME exact counts the offsets need, so it costs nothing
+    * extra. Memory: each task holds exact-sized long arrays totalling
+    * ~8 B × its shuffle share (vs SortExec's ~3× heavier row buffer);
+    * cells = 4 × shuffle-partitions × groups, so per-task share tracks
+    * the usual partition sizing at any scale.
+    *
+    * Returns (`g` string, `p` long) — the caller unpacks (w7 restores
+    * `l_orderkey`/`l_linenumber` with integer div/pmod). */
+  def everyKthPacked(df: DataFrame, partCol: String, packed: Column, k: Int,
+                     maxCellRows: Long = 8L << 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val src = df.select(col(partCol).cast("string").as("g"), packed.as("p"))
+    val r = src.agg(min(col("p")).cast("double"), max(col("p")).cast("double")).head()
+    val bounds =
+      if (r.isNullAt(0)) Array.empty[Double]
+      else {
+        val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+        val buckets = 4 * parts
+        val width = math.max(1.0, math.ceil((hi - lo + 1) / buckets))
+        (1 until buckets).map(i => math.floor(lo + i * width))
+          .filter(_ <= hi).distinct.sorted.toArray
+      }
+    val nb = bounds.length + 1
+    val tagged = src.withColumn("_b",
+      graft.functions.BucketBinUtil.bucketCol(col("p").cast("double"), bounds))
+    // ONE exact count pass feeds the offsets, the group dictionary, AND
+    // the fallback decision (null keys / oversized cell)
+    val cells = tagged.groupBy("g", "_b").count().collect()
+      .map(x => (x.getString(0), if (x.isNullAt(1)) -1 else x.getInt(1), x.getLong(2)))
+    if (cells.isEmpty) return src.limit(0)
+    // fallbacks: null group (a map literal cannot key on null), null packed
+    // (bucket null), or a cell too big for the spill-free gather array
+    if (cells.exists(c => c._1 == null || c._2 < 0 || c._3 > maxCellRows))
+      return everyKthWithBounds(src, "g", Seq("p"), k, bounds).select("g", "p")
+    val gs = cells.map(_._1).distinct.sorted.toIndexedSeq
+    val gIdx: Map[String, Int] = gs.zipWithIndex.toMap
+    val cellMeta: Map[Int, (Long, Int)] = cells
+      .groupBy(_._1)
+      .flatMap { case (g, rows) =>
+        var acc = 0L
+        rows.sortBy(_._2).map { case (_, b, c) =>
+          val o = acc; acc += c
+          (gIdx(g) * nb + b) -> (o, c.toInt)
+        }
+      }
+    val cellExpr = element_at(typedlit(gIdx), col("g")) * nb + col("_b")
+    val picked = tagged.select(cellExpr.as("_c"), col("p")).as[(Int, Long)]
+      .repartition(parts, col("_c"))
+      .mapPartitions { it =>
+        val bufs = new java.util.HashMap[Integer, Array[Long]]()
+        val used = new java.util.HashMap[Integer, Integer]()
+        while (it.hasNext) {
+          val (c, p) = it.next()
+          var a = bufs.get(c)
+          if (a == null) { a = new Array[Long](cellMeta(c)._2); bufs.put(c, a) }
+          val n = used.getOrDefault(c, 0)
+          a(n) = p; used.put(c, n + 1)
+        }
+        val es = bufs.entrySet().iterator()
+        new Iterator[(Int, Long)] {
+          private var arr: Array[Long] = null
+          private var cell = 0
+          private var i = 0
+          private def advance(): Unit =
+            while ((arr == null || i >= arr.length) && es.hasNext) {
+              val e = es.next()
+              cell = e.getKey
+              arr = e.getValue
+              java.util.Arrays.sort(arr)
+              val off = cellMeta(cell)._1
+              // first global rank in this cell divisible by k
+              i = (((off / k) + 1) * k - off - 1).toInt
+            }
+          override def hasNext: Boolean = { advance(); arr != null && i < arr.length }
+          override def next(): (Int, Long) = { val v = (cell, arr(i)); i += k; v }
+        }
+      }
+    picked.toDF("_c", "p")
+      .select(element_at(typedlit(gs), (col("_c") / nb).cast("int") + 1).as("g"),
+        col("p"))
+  }
+
   private def everyKthWithBounds(df: DataFrame, partCol: String,
       orderCols: Seq[String], k: Int, bounds: Array[Double]): DataFrame = {
     val rangeCol = orderCols.head

@@ -107,19 +107,24 @@ object IntervalOps {
       Ord.recordHighs(Tables.orders(s, d), "o_custkey", "o_orderkey", "o_totalprice")
         .select("o_custkey", "o_orderkey", "o_totalprice")
     },
-    // ----- W7: every-k-th-row downsample per group — the two-phase ranked
-    // form is declared: the plain window partitioned by the 3-value flag
-    // was the worst 100x-probe ratio (parallelism = group cardinality;
-    // 36-40 s at 100x vs ~9 s two-phase, W7Probe r13). Uniform-width
-    // buckets from one min/max agg replace the approxQuantile sketch
-    // (bounds steer only balance, ranks are exact either way; orderkeys
-    // are near-uniform, and a single hot KEY defeats both bound forms
-    // equally since ties never split across buckets) — measured 12.8-21.9
-    // -> 8.5-9.6 s at 100x.
+    // ----- W7: every-k-th-row downsample per group — the packed-key
+    // selection form (round 14): the order key packs losslessly into one
+    // long (l_orderkey*8 + l_linenumber, the o5 packing), so the rank
+    // pass that dominated the two-phase window form (W7Probe r13: ~6.4 s
+    // of ~10) collapses to a 12-byte/row shuffle + per-cell primitive
+    // Arrays.sort + direct emission of the k-th ranks. Same-window
+    // 3-rep A/B at 100x: uniform-bounds window 8.3-11.0 s, packed
+    // 3.5-6.6 s; skew replica 13.3 vs 5.3-6.1 s. Exactness unchanged
+    // (bounds steer only balance; counts are exact; spec fuzzes
+    // duplicates, skew, null keys, and both fallbacks). History: plain
+    // 3-partition window 41-52 s at 100x (parallelism = group count),
+    // quantile-bounds two-phase 15-21 s, uniform-bounds 8-13 s.
     "w7_downsample" -> { (s, d) =>
-      Ord.everyKthScalableUniform(Tables.lineitem(s, d), "l_returnflag",
-          Seq("l_orderkey", "l_linenumber"), 100)
-        .select("l_returnflag", "l_orderkey", "l_linenumber")
+      Ord.everyKthPacked(Tables.lineitem(s, d), "l_returnflag",
+          col("l_orderkey") * 8 + col("l_linenumber"), 100)
+        .select(col("g").as("l_returnflag"),
+          expr("p div 8").as("l_orderkey"),
+          pmod(col("p"), lit(8L)).cast("int").as("l_linenumber"))
     },
     // ----- W2 strict: the gVCF block-compression automaton over an
     // events-derived record stream, replayed in DuckDB with a recursive CTE

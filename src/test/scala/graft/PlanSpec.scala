@@ -21,6 +21,7 @@ class PlanSpec extends SparkSpec {
     "w1_pr_curve",          // single global window over small sweep
     "x7_mix_sample",        // crossJoin of the 1-row max(n_docs) aggregate
     "x12_tfidf_topk",       // crossJoin of the 1-row corpus-count aggregate
+    "x20_atrest_tfidf",     // same shape: 1-row recorded-n_docs crossJoin
     "rg2_mrd_tf")           // crossJoin of the 1-row denom_ratio aggregate
   // NOTE on the sanctioned global windows (a10, exact w1): they run over
   // tiny AGGREGATES (<= ~10^4 rows), never the fact table; the 100x-rated
@@ -60,6 +61,18 @@ class PlanSpec extends SparkSpec {
         .queryExecution.executedPlan.toString
       assert(!p.contains("UDF"), s"$q plan still carries a Scala UDF")
     }
+  }
+
+  test("w7 ranks via packed-key selection: MapPartitions emission, no window") {
+    // round 14: the rank pass is a (cell, packed-long) shuffle + per-cell
+    // primitive sort + direct k-th emission — the plan must show the
+    // typed MapPartitions stage and no WindowExec (the window survives
+    // only as the null-key / oversized-cell fallback, which lineitem's
+    // unique non-null keys never take)
+    val p = SparkEntry.queries("w7_downsample")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("MapPartitions"), "w7 lost the packed selection stage")
+    assert(!p.contains("Window"), "w7 regressed to the windowed rank pass")
   }
 
   test("o5 stratified sample ranks via the partial top-k aggregate, no window sort") {

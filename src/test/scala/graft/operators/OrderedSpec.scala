@@ -104,6 +104,35 @@ class OrderedSpec extends SparkSpec {
     assert(collect(Ordered.everyKthScalableUniform(skewed, "g", Seq("o"), 7)) == wSkew)
   }
 
+  test("everyKthPacked equals the windowed everyKth (uniform, skew, duplicates, fallbacks)") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(47)
+    def multiset(out: org.apache.spark.sql.DataFrame): Seq[(String, Any)] =
+      out.collect().map(r => (r.getString(0), r.get(1))).toSeq
+        .sortBy(t => (t._1, String.valueOf(t._2)))
+    // unique packed keys per group — the registered w7 regime
+    val df = (1 to 5000).map(i => (s"g${i % 3}", rnd.nextInt(1000000).toLong * 8 + i % 8))
+      .toDF("g", "o")
+    val win = multiset(Ordered.everyKth(df, "g", Seq("o"), 7).select("g", "o"))
+    assert(multiset(Ordered.everyKthPacked(df, "g", col("o"), 7)) == win && win.nonEmpty)
+    // duplicate-heavy packed values (80% of one group on ONE value): the
+    // emitted VALUE multiset is still identical to the window's
+    val dup = ((1 to 4000).map(i => (s"g${i % 2}", 123456789L)) ++
+      (1 to 1000).map(i => (s"g${i % 2}", rnd.nextInt(1000000).toLong))).toDF("g", "o")
+    val wDup = multiset(Ordered.everyKth(dup, "g", Seq("o"), 7).select("g", "o"))
+    assert(multiset(Ordered.everyKthPacked(dup, "g", col("o"), 7)) == wDup)
+    // oversized-cell guard: same data, cap forced tiny -> windowed fallback
+    assert(multiset(Ordered.everyKthPacked(dup, "g", col("o"), 7, maxCellRows = 10)) == wDup)
+    // null packed keys take the fallback and keep the window's NULLS FIRST
+    val withNull = (1 to 500).map(i =>
+      (s"g${i % 3}", if (i % 5 == 0) None else Some(i.toLong * 13)))
+      .toDF("g", "o")
+    val wNull = multiset(Ordered.everyKth(withNull, "g", Seq("o"), 7).select("g", "o"))
+    assert(multiset(Ordered.everyKthPacked(withNull, "g", col("o"), 7)) == wNull)
+    // empty input
+    assert(Ordered.everyKthPacked(df.limit(0), "g", col("o"), 7).count() == 0)
+  }
+
   test("scalable every-kth handles NULL bucketing keys like the window (mixed and all-null)") {
     def collect(out: org.apache.spark.sql.DataFrame) =
       out.collect().map(r => (r.getString(0), r.getInt(2))).toSet
