@@ -136,7 +136,11 @@ object Bench {
     * session memos (shingle/minhash/pair-scores/ANN/jcAgg), whose
     * re-persist arm would otherwise resurrect the frame right through a
     * clearCache(). Without BOTH, a rerun of w3/d3/rg3 measures cache
-    * projection, not the query — the BENCH_SKEW100 r12 defect. */
+    * projection, not the query — the BENCH_SKEW100 r12 defect.
+    * Deliberately NOT swept: the at-rest parquet store (AtRest) — that is
+    * INPUT state, not warmth; its consumers' steady state is "tables
+    * exist" (main() pre-seeds them before any timing), and the build cost
+    * stays visible in every run via x19/x22's unconditional rebuilds. */
   def coldReset(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.catalog.clearCache()
     graft.queries.FrameMemos.clearAll()
@@ -151,6 +155,11 @@ object Bench {
     spark.range(1000000).selectExpr("id % 97 AS k", "id AS v")
       .groupBy("k").count().write.format("noop").mode("overwrite").save()
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    // pre-seed the at-rest store: consumers (d7/x20/x21/x23) must price
+    // the scan-side steady state on ANY box — a fresh machine would
+    // otherwise time d7's one-shot ensure-build and every later run would
+    // not, a bimodal artifact. x19/x22 still price the builds (overwrite).
+    graft.queries.AtRest.preSeed(spark, sfDir)
 
     val errors = mutable.LinkedHashMap.empty[String, String]
     val loadAt = mutable.LinkedHashMap.empty[String, Double]

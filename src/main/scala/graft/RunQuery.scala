@@ -11,6 +11,9 @@ object RunQuery {
     val spark = Spark.session("graft-runquery")
     spark.range(1000000).selectExpr("id % 97 AS k").groupBy("k").count()
       .write.format("noop").mode("overwrite").save() // warm-up
+    // same pre-seed as Bench: at-rest consumers measure the steady state
+    // regardless of probe order or disk history (builds stay in x19/x22)
+    graft.queries.AtRest.preSeed(spark, sfDir)
     val names =
       if (args(1) == "ALL") SparkEntry.queries.keys.toSeq.sorted
       else args.drop(1).toSeq

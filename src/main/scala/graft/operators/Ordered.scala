@@ -282,6 +282,7 @@ object Ordered {
     * `l_orderkey`/`l_linenumber` with integer div/pmod). */
   def everyKthPacked(df: DataFrame, partCol: String, packed: Column, k: Int,
                      maxCellRows: Long = 8L << 20): DataFrame = {
+    require(k > 0, s"everyKthPacked requires k > 0, got $k")
     val spark = df.sparkSession
     import spark.implicits._
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -304,22 +305,31 @@ object Ordered {
     val cells = tagged.groupBy("g", "_b").count().collect()
       .map(x => (x.getString(0), if (x.isNullAt(1)) -1 else x.getInt(1), x.getLong(2)))
     if (cells.isEmpty) return src.limit(0)
-    // fallbacks: null group (a map literal cannot key on null), null packed
-    // (bucket null), or a cell too big for the spill-free gather array
-    if (cells.exists(c => c._1 == null || c._2 < 0 || c._3 > maxCellRows))
+    // fallbacks: null packed keys (bucket null — the windowed form's -1
+    // bucket handles their NULLS FIRST placement), or a cell too big for
+    // the spill-free gather array (also capped so the exact-size int
+    // allocation can never overflow, whatever the caller passes)
+    val cellCap = math.min(maxCellRows, (Int.MaxValue - 64).toLong)
+    if (cells.exists(c => c._2 < 0 || c._3 > cellCap))
       return everyKthWithBounds(src, "g", Seq("p"), k, bounds).select("g", "p")
-    val gs = cells.map(_._1).distinct.sorted.toIndexedSeq
-    val gIdx: Map[String, Int] = gs.zipWithIndex.toMap
+    // group dictionary on ESCAPED keys: a Catalyst map literal cannot key
+    // on null, so null groups map via a reserved token (" ") and every
+    // real value gets an "=" prefix that can never collide with it; the
+    // ORIGINAL values (null included) come back through the array literal
+    val esc: String => String = g => if (g == null) " " else "=" + g
+    val gs = cells.map(_._1).distinct.sortBy(esc).toIndexedSeq
+    val gIdx: Map[String, Int] = gs.map(esc).zipWithIndex.toMap
     val cellMeta: Map[Int, (Long, Int)] = cells
       .groupBy(_._1)
       .flatMap { case (g, rows) =>
         var acc = 0L
         rows.sortBy(_._2).map { case (_, b, c) =>
           val o = acc; acc += c
-          (gIdx(g) * nb + b) -> (o, c.toInt)
+          (gIdx(esc(g)) * nb + b) -> (o, c.toInt)
         }
       }
-    val cellExpr = element_at(typedlit(gIdx), col("g")) * nb + col("_b")
+    val escCol = when(col("g").isNull, lit(" ")).otherwise(concat(lit("="), col("g")))
+    val cellExpr = element_at(typedlit(gIdx), escCol) * nb + col("_b")
     val picked = tagged.select(cellExpr.as("_c"), col("p")).as[(Int, Long)]
       .repartition(parts, col("_c"))
       .mapPartitions { it =>
@@ -385,14 +395,20 @@ object Ordered {
         }
       }
     // (group → per-bucket offset array) as a literal map: element_at twice
-    // stays inside codegen; absent cells (no rows) coalesce to 0
+    // stays inside codegen; absent cells (no rows) coalesce to 0. Map keys
+    // are ESCAPED (null group → " ", real value → "="+value): a Catalyst
+    // map literal cannot key on null, and without the escape a null group
+    // would silently read offset 0 for every bucket and mis-rank.
+    val esc: String => String = g => if (g == null) " " else "=" + g
     val offMap: Map[String, Seq[Long]] = offsets.keys.map(_._1).toSeq.distinct
       .map { g =>
-        g -> (-1 to bounds.length).map(b => offsets.getOrElse((g, b), 0L))
+        esc(g) -> (-1 to bounds.length).map(b => offsets.getOrElse((g, b), 0L))
       }.toMap
+    val gStr = col(partCol).cast("string")
     val offExpr = coalesce(
       element_at(
-        element_at(typedlit(offMap), col(partCol).cast("string")),
+        element_at(typedlit(offMap),
+          when(gStr.isNull, lit(" ")).otherwise(concat(lit("="), gStr))),
         col("_b") + 2), // arrays start at the -1 (null-key) bucket
       lit(0L))
     // window cells are (group, bucket) — sized by the quantile grid,

@@ -23,6 +23,12 @@ object TextDedup {
   private[queries] val K = 8 // minhash permutations
   private val BANDS = 4      // LSH bands (2 rows each)
 
+  /** Derivation-recipe tag for at-rest signature tables: K, the banding,
+    * and the hash family. AtRest bakes it into the table name so a future
+    * change to any of these can never silently reuse an old-recipe store
+    * (the same argument as the labels table's batch-predicate suffix). */
+  private[queries] val sigRecipe: String = s"k${K}b${BANDS}md5"
+
   private def withMinhash(docs: DataFrame): DataFrame = {
     // token hashes land in their own column BEFORE the signature call:
     // inlining them into a HOF lambda re-evaluates the whole token-hash

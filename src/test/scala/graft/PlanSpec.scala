@@ -29,9 +29,16 @@ class PlanSpec extends SparkSpec {
   // which this suite gates below ("scalable rankers stay UDF-free").
 
   test("no query plans an unbroadcast cartesian product") {
-    val plans: Map[String, String] = SparkEntry.queries.map { case (name, fn) =>
-      name -> fn(spark, sfDir).queryExecution.executedPlan.toString
-    }
+    // the at-rest BUILD pipelines execute as side effects inside their
+    // query closures (the returned frame is only the store summary), so
+    // their plans are gated here explicitly via AtRest.buildPlans
+    val plans: Map[String, String] =
+      (SparkEntry.queries.map { case (name, fn) =>
+        name -> fn(spark, sfDir)
+      } ++ graft.queries.AtRest.buildPlans(spark, sfDir))
+        .map { case (name, df) =>
+          name -> df.queryExecution.executedPlan.toString
+        }
     val cartesian = plans.filter(_._2.contains("CartesianProduct")).keys.toSeq
     assert(cartesian.isEmpty, s"CartesianProduct in: $cartesian")
     val stray = plans.filter { case (name, p) =>

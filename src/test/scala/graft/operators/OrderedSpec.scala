@@ -109,7 +109,7 @@ class OrderedSpec extends SparkSpec {
     val rnd = new scala.util.Random(47)
     def multiset(out: org.apache.spark.sql.DataFrame): Seq[(String, Any)] =
       out.collect().map(r => (r.getString(0), r.get(1))).toSeq
-        .sortBy(t => (t._1, String.valueOf(t._2)))
+        .sortBy(t => (String.valueOf(t._1), String.valueOf(t._2)))
     // unique packed keys per group — the registered w7 regime
     val df = (1 to 5000).map(i => (s"g${i % 3}", rnd.nextInt(1000000).toLong * 8 + i % 8))
       .toDF("g", "o")
@@ -129,8 +129,24 @@ class OrderedSpec extends SparkSpec {
       .toDF("g", "o")
     val wNull = multiset(Ordered.everyKth(withNull, "g", Seq("o"), 7).select("g", "o"))
     assert(multiset(Ordered.everyKthPacked(withNull, "g", col("o"), 7)) == wNull)
+    // null GROUP keys: handled natively via the escaped dictionary (a map
+    // literal cannot key on null) — and the windowed forms' offset map
+    // uses the same escape, so the fallback path is exact too
+    val nullG = (1 to 600).map(i =>
+      (if (i % 4 == 0) None else Some(s"g${i % 3}"), i.toLong * 11))
+      .toDF("g", "o")
+    val wNg = multiset(Ordered.everyKth(nullG, "g", Seq("o"), 7).select("g", "o"))
+    assert(multiset(Ordered.everyKthPacked(nullG, "g", col("o"), 7)) == wNg)
+    assert(multiset(Ordered.everyKthPacked(nullG, "g", col("o"), 7, maxCellRows = 10)) == wNg)
+    assert(multiset(Ordered.everyKthScalableUniform(nullG, "g", Seq("o"), 7)
+      .select("g", "o")) == wNg)
+    assert(wNg.exists(_._1 == null), "fixture must exercise the null group")
     // empty input
     assert(Ordered.everyKthPacked(df.limit(0), "g", col("o"), 7).count() == 0)
+    // fail fast on bad k
+    intercept[IllegalArgumentException] {
+      Ordered.everyKthPacked(df, "g", col("o"), 0)
+    }
   }
 
   test("scalable every-kth handles NULL bucketing keys like the window (mixed and all-null)") {

@@ -11,6 +11,16 @@ import java.nio.file.{Files, Paths}
 class AtRestSpec extends SparkSpec {
   import spark.implicits._
 
+  // every fixture dir gets its own store under the shared root — purge
+  // them at teardown so repeated test runs don't accumulate orphan stores
+  // (the stale sweep only collects superseded fingerprints of the SAME
+  // input path, and temp fixture paths never repeat)
+  private val fixtures = scala.collection.mutable.ArrayBuffer.empty[String]
+  override def afterAll(): Unit = {
+    fixtures.foreach(d => try AtRest.purge(spark, d) catch { case _: Throwable => () })
+    super.afterAll()
+  }
+
   /** A small corpus with real near-dup structure: dup pairs, a shared
     * boilerplate shingle, a null text, a short (<3 token) doc, and ids on
     * both sides of the %5 old/new split. */
@@ -34,6 +44,7 @@ class AtRestSpec extends SparkSpec {
       .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
       .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    fixtures += dir
     dir
   }
 
@@ -75,6 +86,36 @@ class AtRestSpec extends SparkSpec {
     AtRest.queries("x19_atrest_build")(spark, d).collect()
     val m3 = Files.getLastModifiedTime(Paths.get(s"$sig/_SUCCESS")).toMillis
     assert(m3 > m2, "the build step must overwrite")
+  }
+
+  test("an EXTERNALLY rewritten corpus never gets memo-stale signatures") {
+    // the dangerous rewrite is one Spark doesn't see (no recacheByPath):
+    // a session whose token-hash memo is warm must still build the fresh
+    // store from the NEW bytes — which is why builds read raw files, not
+    // the session memos
+    val d = writeFixture()
+    Curation.cachedTokenHashes(spark, d).count() // warm the memo for d
+    val alt = Files.createTempDirectory("graft_atrest_alt").toString
+    (corpus ++ Seq((201L, "late doc one"), (202L, "late doc two")))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$alt/documents.parquet")
+    // raw byte-level replace — invisible to the session's cache manager
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete(): Unit
+    }
+    rmr(new java.io.File(s"$d/documents.parquet"))
+    def cp(src: java.io.File, dst: java.io.File): Unit =
+      if (src.isDirectory) {
+        dst.mkdirs()
+        src.listFiles().foreach(c => cp(c, new java.io.File(dst, c.getName)))
+      } else Files.copy(src.toPath, dst.toPath)
+    cp(new java.io.File(s"$alt/documents.parquet"),
+      new java.io.File(s"$d/documents.parquet"))
+    val sig = AtRest.ensureSignatures(spark, d)
+    assert(spark.read.parquet(sig).count() == corpus.length + 2L,
+      "signatures must reflect the externally rewritten corpus")
   }
 
   test("a changed corpus gets a fresh store and the stale one is swept") {
