@@ -59,6 +59,7 @@ object AtRest {
   final case class Store(dir: String) {
     def sig: String = s"$dir/signatures-${TextDedup.sigRecipe}"
     def tf: String = s"$dir/tf-ws1" // ws1 = whitespace tokenizer, v1
+    def df: String = s"$dir/df-ws1" // document frequency per term, same tokenizer
     def meta: String = s"$dir/meta-v1"
     /** Labels of the OLD batch (doc_id % 5 != 0 — the registered queries'
       * stand-in for "yesterday's corpus"); the suffix names BOTH the batch
@@ -148,6 +149,13 @@ object AtRest {
                       overwrite: Boolean): Unit =
     publish(TextDedup.termFrequencies(Tables.documents(s, d)), st.tf, overwrite)
 
+  /** Document frequency per term — vocabulary-sized, derived from the
+    * WRITTEN tf table (one pruned scan of its `term` column), so the two
+    * tables can never disagree about the tokenization. */
+  private def buildDf(s: SparkSession, st: Store, overwrite: Boolean): Unit =
+    publish(s.read.parquet(st.tf).groupBy("term")
+      .agg(count(lit(1)).as("df")), st.df, overwrite)
+
   /** n_docs recorded at ingest: the idf denominator counts EVERY corpus row
     * (null/too-short texts produce no tf rows but still count — the x12
     * caveat), so it must be captured here, not re-derived from tf. */
@@ -188,6 +196,7 @@ object AtRest {
     val st = resolve(s, d)
     ensureSignatures(s, d, st)
     ensure(st.tf)(buildTf(s, d, st, overwrite = false))
+    ensure(st.df)(buildDf(s, st, overwrite = false))
     ensure(st.meta)(buildMeta(s, d, st, overwrite = false))
     ensureLabels(s, d, st)
   }
@@ -217,10 +226,13 @@ object AtRest {
     val tf = s.read.parquet(st.tf)
       .agg(count(lit(1)).as("n_rows"), sum(col("tf")).as("checksum"))
       .select(lit("tf").as("tbl"), col("n_rows"), col("checksum"))
+    val df = s.read.parquet(st.df)
+      .agg(count(lit(1)).as("n_rows"), sum(col("df")).as("checksum"))
+      .select(lit("df").as("tbl"), col("n_rows"), col("checksum"))
     val meta = s.read.parquet(st.meta)
       .select(lit("meta").as("tbl"), lit(1L).as("n_rows"),
         col("n_docs").as("checksum"))
-    sig.unionByName(tf).unionByName(meta)
+    sig.unionByName(tf).unionByName(df).unionByName(meta)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -234,19 +246,26 @@ object AtRest {
       val st = resolve(s, d)
       buildSignatures(s, d, st, overwrite = true)
       buildTf(s, d, st, overwrite = true)
+      buildDf(s, st, overwrite = true)
       buildMeta(s, d, st, overwrite = true)
       storeSummary(s, st)
     },
-    // ----- X20: TF-IDF top-k from the at-rest tf table + recorded n_docs.
-    // Output == x12 by construction (same downstream over the same tf
-    // rows); x12's oracle gates it verbatim. Cost = two scans of the
-    // 3-column tf table — the explode + first groupBy never rerun.
+    // ----- X20: TF-IDF top-k from the at-rest tf + df tables + recorded
+    // n_docs. Output == x12 by construction (df == tf.groupBy(term).count
+    // by x19's derivation, same downstream arithmetic); x12's oracle
+    // gates it verbatim. Cost = ONE scan of the 3-column tf table joined
+    // against the vocabulary-sized df table (auto-broadcast from parquet
+    // stats) + the per-doc top-k window — the explode, the tf groupBy,
+    // and the 28M-row df aggregate never rerun.
     "x20_atrest_tfidf" -> { (s, d) =>
       val st = resolve(s, d)
       val tfPath = ensure(st.tf)(buildTf(s, d, st, overwrite = false))
+      val dfPath = ensure(st.df)(buildDf(s, st, overwrite = false))
       val metaPath = ensure(st.meta)(buildMeta(s, d, st, overwrite = false))
       val nDocs = s.read.parquet(metaPath).head().getLong(0)
-      TextDedup.tfidfTopKFromParquet(s, tfPath, nDocs)
+      TextDedup.tfidfTopKOverTfDf(s.read.parquet(tfPath),
+        s.read.parquet(dfPath),
+        s.range(1).select(lit(nDocs).as("n_docs")))
     },
     // ----- X21: LSH candidate pairs + est-sim from the at-rest signature
     // table — the pair pass every re-run/backfill executes at a lake
@@ -305,7 +324,10 @@ object AtRest {
                  CAST((SELECT sum(${(1 to TextDedup.K).map(i => s"mh$i").mkString(" + ")}) FROM mh) AS BIGINT)
           UNION ALL
           SELECT 'tf', (SELECT count(*) FROM tfq),
-                 CAST((SELECT sum(tf) FROM tfq) AS BIGINT)""",
+                 CAST((SELECT sum(tf) FROM tfq) AS BIGINT)
+          UNION ALL
+          SELECT 'df', (SELECT count(DISTINCT term) FROM tfq),
+                 (SELECT count(*) FROM tfq)""",
     "x20_atrest_tfidf" -> TextDedup.x12Sql,
     "x21_atrest_pairs" -> TextDedup.d3Sql,
     "x22_labels_build" -> TextDedup.d7SqlOver(

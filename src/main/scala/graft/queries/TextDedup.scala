@@ -608,7 +608,21 @@ object TextDedup {
     * one-row (n_docs) frame, broadcast into the idf term. */
   private[queries] def tfidfTopKOverTf(tf: DataFrame,
       nDocsFrame: DataFrame): DataFrame =
-    tf.join(tf.groupBy("term").agg(count(lit(1)).as("df")), Seq("term"))
+    tfidfTopKOverTfDf(tf,
+      tf.groupBy("term").agg(count(lit(1)).as("df")), nDocsFrame)
+
+  /** [[tfidfTopKOverTf]] with the document-frequency table supplied — the
+    * at-rest shape (x20): the 28M-row groupBy(term) branch disappears,
+    * and because the stored df table carries real size stats, Catalyst
+    * auto-broadcasts it at vocabulary scales under the threshold (the tf
+    * fact rows then never shuffle on `term`) while a genuinely huge
+    * vocabulary degrades gracefully to a shuffle join — deliberately NO
+    * broadcast hint, a forced broadcast of an unbounded vocabulary is the
+    * scale cliff. Exact same arithmetic — df here must equal
+    * tf.groupBy(term).count() (x19 writes it from the same tf frame). */
+  private[queries] def tfidfTopKOverTfDf(tf: DataFrame, df: DataFrame,
+      nDocsFrame: DataFrame): DataFrame =
+    tf.join(df, Seq("term"))
       .crossJoin(broadcast(nDocsFrame))
       .withColumn("tfidf",
         r6(col("tf") * log(col("n_docs").cast("double") / col("df"))))
