@@ -17,7 +17,8 @@ object Plans {
         "d9_simhash_pairs", "x12_tfidf_topk", "j2_multikey_join",
         "d4_jaccard_verify", "j8_exact_vs_loose_isec", "rg1_detailed_grid",
         "x14_repetition", "x15_bloom_decontaminate", "x16_dup_spans",
-        "x17_incremental_dedup")
+        "x17_incremental_dedup", "w7_downsample", "x20_atrest_tfidf",
+        "x21_atrest_pairs")
     val spark = Spark.session("graft-plans")
     names.foreach { n =>
       println(s"\n## $n\n")
