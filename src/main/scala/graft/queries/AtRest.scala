@@ -155,11 +155,11 @@ object AtRest {
     publish(TextDedup.termFrequencies(Tables.documents(s, d)), st.tf, overwrite)
 
   /** Document frequency per term — vocabulary-sized, derived from the
-    * WRITTEN tf table (one pruned scan of its `term` column), so the two
-    * tables can never disagree about the tokenization. */
+    * WRITTEN tf table (one pruned scan of its `term` column) via the ONE
+    * shared df definition, so the two tables can never disagree about
+    * tokenization or the aggregate. */
   private def buildDf(s: SparkSession, st: Store, overwrite: Boolean): Unit =
-    publish(s.read.parquet(st.tf).groupBy("term")
-      .agg(count(lit(1)).as("df")), st.df, overwrite)
+    publish(TextDedup.docFrequencies(s.read.parquet(st.tf)), st.df, overwrite)
 
   /** n_docs recorded at ingest: the idf denominator counts EVERY corpus row
     * (null/too-short texts produce no tf rows but still count — the x12
@@ -215,6 +215,11 @@ object AtRest {
   def buildPlans(s: SparkSession, d: String): Map[String, DataFrame] = Map(
     "x19_build_signatures" -> TextDedup.signatureFrame(Tables.documents(s, d)),
     "x19_build_tf" -> TextDedup.termFrequencies(Tables.documents(s, d)),
+    // the real buildDf reads the written tf parquet (which may not exist
+    // at plan-inspection time); the inspected plan derives the SAME df
+    // aggregate over the tf expression — identical shape above the scan
+    "x19_build_df" -> TextDedup.docFrequencies(
+      TextDedup.termFrequencies(Tables.documents(s, d))),
     "x22_build_star_edges" -> TextDedup.bandStarEdges(
       TextDedup.signatureFrame(Tables.documents(s, d))
         .filter(pmod(col("doc_id"), lit(5)) =!= 0))
@@ -332,7 +337,8 @@ object AtRest {
                  CAST((SELECT sum(tf) FROM tfq) AS BIGINT)
           UNION ALL
           SELECT 'df', (SELECT count(DISTINCT term) FROM tfq),
-                 (SELECT count(*) FROM tfq)""",
+                 CAST((SELECT sum(cnt) FROM
+                   (SELECT count(*) AS cnt FROM tfq GROUP BY term)) AS BIGINT)""",
     "x20_atrest_tfidf" -> TextDedup.x12Sql,
     "x21_atrest_pairs" -> TextDedup.d3Sql,
     "x22_labels_build" -> TextDedup.d7SqlOver(

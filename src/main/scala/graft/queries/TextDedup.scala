@@ -608,8 +608,14 @@ object TextDedup {
     * one-row (n_docs) frame, broadcast into the idf term. */
   private[queries] def tfidfTopKOverTf(tf: DataFrame,
       nDocsFrame: DataFrame): DataFrame =
-    tfidfTopKOverTfDf(tf,
-      tf.groupBy("term").agg(count(lit(1)).as("df")), nDocsFrame)
+    tfidfTopKOverTfDf(tf, docFrequencies(tf), nDocsFrame)
+
+  /** Document frequency per term over a tf frame — THE definition shared
+    * by x12's inline branch and the at-rest df table build, so the
+    * "stored df == tf.groupBy(term).count()" invariant the x20==x12
+    * oracle reuse rests on is structural, not documented. */
+  private[queries] def docFrequencies(tf: DataFrame): DataFrame =
+    tf.groupBy("term").agg(count(lit(1)).as("df"))
 
   /** [[tfidfTopKOverTf]] with the document-frequency table supplied — the
     * at-rest shape (x20): the 28M-row groupBy(term) branch disappears,
