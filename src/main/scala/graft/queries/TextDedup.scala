@@ -257,7 +257,22 @@ object TextDedup {
 
   /** Streaming per-band pair generator with the pair score computed IN
     * the band group — the d3/d4 scale path. Input iterator must be sorted
-    * by (bid, key, docId). Cold bands (<= cap members) emit all pairs
+    * by (bid, key, docId).
+    *
+    * GROUP-INTEGRITY CONTRACT (round 14 — a real 100x miscount): every
+    * consumer feeds this through `groupByKey(...).flatMapSortedGroups`,
+    * NEVER through a manual `repartition + sortWithinPartitions +
+    * mapPartitions`. The manual form carries no physical-plan
+    * requirement: Catalyst reused the user repartition as the adjacent
+    * semi-join's own exchange, and AQE's runtime join rewrites then
+    * voided the (bid, key) co-location entirely — fragmented bands
+    * re-ran the cap/all-pairs decision per FRAGMENT, and the incremental
+    * pair pass emitted 2,959,098 pairs where the (bid,key)-complete
+    * answer is 4,474,250 (DuckDB replay over the same signatures; only
+    * reproducible at the 100x replica — small-scale plans broadcast
+    * statically and keep the exchange, which is why every sf0.01/sf0.1
+    * oracle stayed green). MapGroups DECLARES ClusteredDistribution +
+    * ordering, so the engine must preserve them through every rewrite. Cold bands (<= cap members) emit all pairs
     * (a < b); a band crossing the cap degrades to a star over its min doc
     * (= the first in sorted order) exactly like [[lshPairs]] — the buffer
     * never holds more than cap+1 payload arrays, so one pathological band
@@ -354,20 +369,22 @@ object TextDedup {
     // join-back lands on the aggregate's own key layout — no extra exchange
     val banded = bands.join(multi, Seq("bid", "key"))
       .select(col("doc_id"), col("bid"), col("key"))
-    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
     // the inner join restricts to banded docs — no separate candidate
     // semi-join needed; passing the SHARED corpus shingle frame
     // (Curation.cachedShingleSets) means d4/d8/x6/x8 pay the
     // tokenize+hash+shingle pass once per session instead of d4 building
     // its own candidate-restricted copy (whose different canonical plan
-    // the CacheManager could never share)
+    // the CacheManager could never share).
+    // flatMapSortedGroups, NOT repartition+mapPartitions — see the
+    // BandPairIterator group-integrity contract.
     banded.join(docsSh.filter(col("sh").isNotNull), Seq("doc_id"))
       .select(col("bid"), col("key"), col("doc_id").as("docId"), col("sh"))
       .as[BandedDoc]
-      .repartition(parts, col("bid"), col("key"))
-      .sortWithinPartitions("bid", "key", "docId")
-      .mapPartitions(it => new BandPairIterator(
-        it.map(d => (d.bid, d.key, d.docId, d.sh)), cap, TextDedup.jaccardScore))
+      .groupByKey(d => (d.bid, d.key))
+      .flatMapSortedGroups(col("docId")) { case ((bid, key), it) =>
+        new BandPairIterator(it.map(d => (bid, key, d.docId, d.sh)), cap,
+          TextDedup.jaccardScore)
+      }
       .toDF("doc_a", "doc_b", "jaccard")
       .dropDuplicates("doc_a", "doc_b")
   }
@@ -388,12 +405,13 @@ object TextDedup {
       .select(col("doc_id"), sig.as("sig"), explode(bandStructs).as("band"))
       .select(col("band.bid").as("bid"), col("band.key").as("key"),
         col("doc_id").as("docId"), col("sig").as("sh"))
-    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // flatMapSortedGroups — see the BandPairIterator group-integrity contract
     rows.as[BandedDoc]
-      .repartition(parts, col("bid"), col("key"))
-      .sortWithinPartitions("bid", "key", "docId")
-      .mapPartitions(it => new BandPairIterator(
-        it.map(d => (d.bid, d.key, d.docId, d.sh)), cap, TextDedup.estSimScore))
+      .groupByKey(d => (d.bid, d.key))
+      .flatMapSortedGroups(col("docId")) { case ((bid, key), it) =>
+        new BandPairIterator(it.map(d => (bid, key, d.docId, d.sh)), cap,
+          TextDedup.estSimScore)
+      }
       .toDF("doc_a", "doc_b", "est_sim")
       .dropDuplicates("doc_a", "doc_b")
   }
@@ -426,16 +444,15 @@ object TextDedup {
     // join-back lands on the aggregate's own key layout — no extra exchange
     val banded = bands.join(multi, Seq("bid", "key"))
       .select(col("doc_id"), col("bid"), col("key"), col("sig"))
-    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // flatMapSortedGroups — see the BandPairIterator group-integrity contract
     banded.join(docsSh.filter(col("sh").isNotNull), Seq("doc_id"))
       .select(col("bid"), col("key"), col("doc_id").as("docId"),
         col("sig"), col("sh"))
       .as[BandedDoc2]
-      .repartition(parts, col("bid"), col("key"))
-      .sortWithinPartitions("bid", "key", "docId")
-      .mapPartitions { it =>
+      .groupByKey(d => (d.bid, d.key))
+      .flatMapSortedGroups(col("docId")) { case ((bid, key), it) =>
         new BandPairIterator[(Array[Long], Array[Long]), (Double, Double)](
-          it.map(d => (d.bid, d.key, d.docId, (d.sig, d.sh))), cap,
+          it.map(d => (bid, key, d.docId, (d.sig, d.sh))), cap,
           (x, y) => (TextDedup.estSimScore(x._1, y._1),
             TextDedup.jaccardScore(x._2, y._2)))
           .map { case (a, b, (e, j)) => (a, b, e, j) }
@@ -530,13 +547,16 @@ object TextDedup {
     // unhinted — AQE broadcasts it when it is small (the production case)
     val newKeys = rows.filter(col("isNew")).select("bid", "key").distinct()
     val touched = rows.join(newKeys, Seq("bid", "key"), "left_semi")
-    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // flatMapSortedGroups — see the BandPairIterator group-integrity
+    // contract. THIS is the site where the manual repartition form
+    // miscounted at 100x: the user exchange doubled as the semi-join's
+    // left input, and AQE's runtime join rewrite voided band co-location
+    // (2,959,098 pairs vs the correct 4,474,250).
     touched.as[BandedDocN]
-      .repartition(parts, col("bid"), col("key"))
-      .sortWithinPartitions("bid", "key", "docId")
-      .mapPartitions { it =>
+      .groupByKey(d => (d.bid, d.key))
+      .flatMapSortedGroups(col("docId")) { case ((bid, key), it) =>
         new BandPairIterator[(Array[Long], Boolean), (Double, Boolean)](
-          it.map(d => (d.bid, d.key, d.docId, (d.sh, d.isNew))), cap,
+          it.map(d => (bid, key, d.docId, (d.sh, d.isNew))), cap,
           (x, y) => (TextDedup.estSimScore(x._1, y._1), x._2 || y._2))
           .map { case (a, b, (e, keep)) => (a, b, e, keep) }
       }
@@ -891,9 +911,14 @@ object TextDedup {
     // continuous-ingestion form of d3: a daily crawl batch near-dups
     // against the at-rest corpus without re-pairing it. Semantics ==
     // filter(d3, a new OR b new), spec-pinned; see incrementalEstSimPairs
-    // for the scale argument.
+    // for the scale argument. Round 14: mh comes from the ENSURED at-rest
+    // signature table (the production shape this operator's scaladoc
+    // always described — the ingest job appends the batch's signatures to
+    // the store), same switch as d7's; the oracle is unchanged because
+    // the table holds exactly signatureFrame(documents).
     "x17_incremental_dedup" -> { (s, d) =>
-      incrementalEstSimPairs(s, cachedMinhash(s, d),
+      incrementalEstSimPairs(s,
+        s.read.parquet(AtRest.ensureSignatures(s, d)),
         pmod(col("doc_id"), lit(5)) === 0)
         .select(col("doc_a"), col("doc_b"),
           roundSim(col("est_sim")).as("est_sim"))
@@ -909,9 +934,13 @@ object TextDedup {
     // every new-involving connection is an x17 edge; node sets match the
     // same way. incrementalComponents preserves the old partition as
     // depth-1 stars, so the union's components — and their min-id
-    // canonicals — coincide with from-scratch CC.
+    // canonicals — coincide with from-scratch CC. Round 14: the registered
+    // query still REBUILDS yesterday's labels in-query (the honest
+    // self-contained form; x23_atrest_resolve is the stored-labels
+    // production shape), but like d7/x17 it reads signatures from the
+    // ensured at-rest table rather than re-deriving them.
     "x18_incremental_resolve" -> { (s, d) =>
-      val mh = cachedMinhash(s, d)
+      val mh = s.read.parquet(AtRest.ensureSignatures(s, d))
       val isNew = pmod(col("doc_id"), lit(5)) === 0
       val oldLabels = graft.operators.Dedup.connectedComponents(
         bandStarEdges(mh.filter(!isNew)))

@@ -95,15 +95,22 @@ class PlanSpec extends SparkSpec {
       "o5 regressed to a window rank")
   }
 
-  test("d3/d4 run the band automaton: MapPartitions present, no pair-row payload joins") {
+  test("d3/d4/x17/x21 run the band automaton under MapGroups, never a bare repartition") {
     // the r11 scale path: pairs are generated AND scored inside a
-    // (bid, key)-shuffled streaming iterator; a silent regression to the
+    // (bid, key)-grouped streaming iterator; a silent regression to the
     // double-join form (pair rows re-joined against per-doc arrays/
     // signatures) would re-introduce the pairs x payload shuffle term.
-    for (q <- Seq("d3_lsh_pairs", "d4_jaccard_verify")) {
+    // Round 14: the automaton must sit under MapGroups
+    // (flatMapSortedGroups — DECLARED clustering+ordering the engine has
+    // to preserve), not a manual repartition+sort+MapPartitions: Catalyst
+    // reused that user exchange as an adjacent join's input and AQE's
+    // runtime join rewrites voided band co-location — a real 2.96M-vs-
+    // 4.47M pair miscount at the 100x replica (BandPairIterator contract).
+    for (q <- Seq("d3_lsh_pairs", "d4_jaccard_verify",
+                  "x17_incremental_dedup", "x21_atrest_pairs")) {
       val p = SparkEntry.queries(q)(spark, sfDir)
         .queryExecution.executedPlan.toString
-      assert(p.contains("MapPartitions"), s"$q lost the band automaton")
+      assert(p.contains("MapGroups"), s"$q lost the grouped band automaton")
       assert(!p.contains("doc_a#") || !p.toLowerCase.contains("sortmergejoin"),
         s"$q re-joins pair rows")
     }
