@@ -380,7 +380,7 @@ object TextDedup {
     banded.join(docsSh.filter(col("sh").isNotNull), Seq("doc_id"))
       .select(col("bid"), col("key"), col("doc_id").as("docId"), col("sh"))
       .as[BandedDoc]
-      .groupByKey(d => (d.bid, d.key))
+      .groupBy(col("bid"), col("key")).as[(Int, String), BandedDoc]
       .flatMapSortedGroups(col("docId")) { case ((bid, key), it) =>
         new BandPairIterator(it.map(d => (bid, key, d.docId, d.sh)), cap,
           TextDedup.jaccardScore)
@@ -405,9 +405,12 @@ object TextDedup {
       .select(col("doc_id"), sig.as("sig"), explode(bandStructs).as("band"))
       .select(col("band.bid").as("bid"), col("band.key").as("key"),
         col("doc_id").as("docId"), col("sig").as("sh"))
-    // flatMapSortedGroups — see the BandPairIterator group-integrity contract
+    // flatMapSortedGroups — see the BandPairIterator group-integrity
+    // contract. groupBy(cols).as[K,T], not groupByKey(closure): the
+    // column form derives the key from the existing columns (no
+    // AppendColumns row deserialization just to compute it).
     rows.as[BandedDoc]
-      .groupByKey(d => (d.bid, d.key))
+      .groupBy(col("bid"), col("key")).as[(Int, String), BandedDoc]
       .flatMapSortedGroups(col("docId")) { case ((bid, key), it) =>
         new BandPairIterator(it.map(d => (bid, key, d.docId, d.sh)), cap,
           TextDedup.estSimScore)
@@ -449,7 +452,7 @@ object TextDedup {
       .select(col("bid"), col("key"), col("doc_id").as("docId"),
         col("sig"), col("sh"))
       .as[BandedDoc2]
-      .groupByKey(d => (d.bid, d.key))
+      .groupBy(col("bid"), col("key")).as[(Int, String), BandedDoc2]
       .flatMapSortedGroups(col("docId")) { case ((bid, key), it) =>
         new BandPairIterator[(Array[Long], Array[Long]), (Double, Double)](
           it.map(d => (bid, key, d.docId, (d.sig, d.sh))), cap,
@@ -553,7 +556,7 @@ object TextDedup {
     // left input, and AQE's runtime join rewrite voided band co-location
     // (2,959,098 pairs vs the correct 4,474,250).
     touched.as[BandedDocN]
-      .groupByKey(d => (d.bid, d.key))
+      .groupBy(col("bid"), col("key")).as[(Int, String), BandedDocN]
       .flatMapSortedGroups(col("docId")) { case ((bid, key), it) =>
         new BandPairIterator[(Array[Long], Boolean), (Double, Boolean)](
           it.map(d => (bid, key, d.docId, (d.sh, d.isNew))), cap,
