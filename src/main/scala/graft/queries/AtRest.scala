@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -37,7 +39,18 @@ import graft.Tables
   * racing build can never leave a half-written directory that passes the
   * `_SUCCESS` gate (Spark writes `_SUCCESS` last, but two overlapping
   * overwrite jobs into one directory can interleave part files — the
-  * rename makes the publish atomic on local/HDFS stores).
+  * rename makes the publish atomic). ALL store management (present /
+  * publish / sweep / purge) goes through `org.apache.hadoop.fs`, the same
+  * API `fingerprint()` uses — so a `GRAFT_ATREST_DIR` on HDFS behaves
+  * identically to a local one (advisor r14: the java.io.File paths made a
+  * non-local root silently discard every build). The publish rename is
+  * `FileContext.rename` with no OVERWRITE flag: it FAILS if the target
+  * exists, which is exactly the first-writer-wins primitive the ensure
+  * path needs (a losing racer's `FileSystem.rename` would instead move
+  * its temp INSIDE the winner's directory). Atomic on local/HDFS; object
+  * stores emulate rename as copy+delete, so a real s3 deployment would
+  * put a table-format commit (Iceberg/Delta) in this seam — the store's
+  * API surface (ensure/publish/present) is already shaped for that swap.
   *
   * Consumers ENSURE (build-if-absent) so every registered query stays
   * self-contained for the correctness gate; Bench/RunQuery pre-seed the
@@ -47,10 +60,19 @@ import graft.Tables
   */
 object AtRest {
 
-  /** Store root — override with GRAFT_ATREST_DIR (e.g. a per-CI scratch). */
+  /** Store root — override with GRAFT_ATREST_DIR (e.g. a per-CI scratch or
+    * an HDFS path). The default is USER-SCOPED under java.io.tmpdir: a
+    * fixed world-shared /tmp path would let two users' runs collide on the
+    * same directories (and trust each other's `_SUCCESS`-gated content) on
+    * a multi-user box (advisor r14). */
   private def root: String =
     sys.env.getOrElse("GRAFT_ATREST_DIR",
-      s"${sys.props("java.io.tmpdir")}/graft_atrest_store")
+      s"${sys.props("java.io.tmpdir")}/graft_atrest_store-${sys.props("user.name")}")
+
+  private def hconf(s: SparkSession): Configuration =
+    s.sparkContext.hadoopConfiguration
+  private def fsFor(s: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(hconf(s))
 
   /** A resolved store for one (input corpus, fingerprint): all path
     * decisions happen once per operation, not once per path accessor
@@ -91,56 +113,92 @@ object AtRest {
     (hex(idMd).take(12), hex(md).take(16))
   }
 
-  /** Resolve the store for `d` — ONE fingerprint walk + stale-sibling
-    * sweep per call (superseded fingerprints of the same input path are
-    * deleted best-effort; a concurrent JVM's in-flight build of a CURRENT
-    * store is never touched, since only differing fingerprints match). */
+  /** Resolve the store for `d` — ONE fingerprint walk, READ-ONLY. The
+    * stale-sibling sweep deliberately does NOT run here: resolve sits
+    * inside every registered consumer query, and a sweep there could
+    * delete files out from under a concurrent session still scanning a
+    * pre-rewrite store (advisor r14). Sweeps fire only from WRITE paths
+    * (`sweepStale` below). */
   def resolve(s: SparkSession, d: String): Store = {
     val (id, fp) = fingerprint(s, d)
-    val live = s"${id}_$fp"
-    Option(new java.io.File(root).listFiles()).foreach(_.foreach { f =>
-      if (f.getName.startsWith(s"${id}_") && f.getName != live)
-        try deleteRecursively(f) catch { case _: Throwable => () }
-    })
-    Store(s"$root/$live")
+    Store(s"$root/${id}_$fp")
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(): Unit
+  /** Delete superseded-fingerprint stores of the same input path,
+    * best-effort. Called only from build paths (ensure's build branch,
+    * x19/x22's unconditional rebuilds, preSeed): anyone about to WRITE the
+    * current store is already past reading a stale one, while a pure
+    * consumer never deletes. A concurrent JVM's in-flight build of a
+    * CURRENT store is never touched — only differing fingerprints match. */
+  private def sweepStale(s: SparkSession, st: Store): Unit = {
+    val dirP = new Path(st.dir)
+    val live = dirP.getName
+    val id = live.take(12) // store dir name = <12-hex id>_<16-hex fp>
+    val fs = fsFor(s, dirP)
+    val rootP = dirP.getParent
+    if (fs.exists(rootP))
+      fs.listStatus(rootP).foreach { f =>
+        val n = f.getPath.getName
+        if (n.startsWith(s"${id}_") && n != live)
+          try { fs.delete(f.getPath, true): Unit }
+          catch { case _: java.io.IOException => () }
+      }
   }
 
   /** Remove the whole store for `d` — test hygiene (AtRestSpec fixtures
     * would otherwise accumulate one orphan store per temp corpus). */
-  def purge(s: SparkSession, d: String): Unit =
-    deleteRecursively(new java.io.File(resolve(s, d).dir))
+  def purge(s: SparkSession, d: String): Unit = {
+    val p = new Path(resolve(s, d).dir)
+    fsFor(s, p).delete(p, true): Unit
+  }
 
-  private def present(path: String): Boolean =
-    new java.io.File(s"$path/_SUCCESS").isFile
+  private def present(s: SparkSession, path: String): Boolean = {
+    val p = new Path(path, "_SUCCESS")
+    fsFor(s, p).exists(p)
+  }
 
   // one lock per JVM (Verify/Bench are sequential; a racing ensure from a
   // parallel test suite must not double-write); cross-JVM races are closed
   // by the write-then-rename publish below, not by this lock
   private val buildLock = new Object
 
-  /** Write `df` as parquet at `path` via a temp sibling + rename. For
-    * ensure builds (overwrite=false) the publish is atomic: the target
-    * either keeps its old complete state or appears complete. On a lost
-    * cross-JVM race (target appeared while we wrote), the temp is
-    * discarded — first writer wins, and contents are deterministic per
-    * (fingerprint, recipe) so the loser's work was byte-equivalent
-    * anyway. The overwrite path (x19/x22's priced rebuilds) has a brief
-    * delete→rename window in which a concurrent reader would miss the
-    * table — rebuild steps are sequenced before consumers everywhere
-    * (bench sort order, preSeed, the query bodies), and a same-content
-    * rebuild is the only case where a racing read would have mattered. */
+  /** Write `df` as parquet at `path` via a temp sibling + rename
+    * (`FileContext.rename` with no OVERWRITE flag — fails if the target
+    * exists, never moves the temp inside it). For ensure builds
+    * (overwrite=false) the publish is atomic: the target either keeps its
+    * old complete state or appears complete. On a lost cross-JVM race
+    * (target appeared while we wrote), the temp is discarded — first
+    * writer wins, and contents are deterministic per (fingerprint,
+    * recipe) so the loser's work was byte-equivalent anyway. The
+    * overwrite path (x19/x22's priced rebuilds) has a brief delete→rename
+    * window in which a concurrent reader would miss the table — rebuild
+    * steps are sequenced before consumers everywhere (bench sort order,
+    * preSeed, the query bodies). Any OTHER rename/delete failure throws
+    * (advisor r14: the old path swallowed it, leaving the table silently
+    * absent and consumers crashing later with an obscure read error). */
   private def publish(df: DataFrame, path: String, overwrite: Boolean): Unit = {
-    val tmp = s"$path.inprogress-${java.util.UUID.randomUUID.toString.take(8)}"
-    df.write.mode("overwrite").parquet(tmp)
-    val target = new java.io.File(path)
-    if (overwrite) deleteRecursively(target)
-    if (!new java.io.File(tmp).renameTo(target))
-      deleteRecursively(new java.io.File(tmp))
+    val s = df.sparkSession
+    val target = new Path(path)
+    val fs = fsFor(s, target)
+    val tmp = new Path(
+      s"$path.inprogress-${java.util.UUID.randomUUID.toString.take(8)}")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (overwrite && fs.exists(target) && !fs.delete(target, true)) {
+      fs.delete(tmp, true): Unit
+      throw new java.io.IOException(
+        s"at-rest publish: could not delete $target for overwrite")
+    }
+    val fc = FileContext.getFileContext(fs.getUri, hconf(s))
+    try fc.rename(fs.makeQualified(tmp), fs.makeQualified(target))
+    catch {
+      case e: java.io.IOException =>
+        fs.delete(tmp, true): Unit
+        // a COMPLETE target appearing during an ensure build is the lost
+        // race, not an error; anything else (including any overwrite-path
+        // failure — we just deleted the target, so it cannot have
+        // legitimately reappeared) propagates
+        if (overwrite || !present(s, path)) throw e
+    }
   }
 
   /** Signature build — from the RAW documents table, deliberately not the
@@ -178,16 +236,20 @@ object AtRest {
       st.labels, overwrite)
   }
 
-  private def ensure(path: String)(build: => Unit): String =
+  /** Build-if-absent. The stale-sibling sweep rides the BUILD branch only:
+    * a session that found the table present is a pure reader and must not
+    * delete anything a slower concurrent reader may still be scanning. */
+  private def ensure(s: SparkSession, st: Store, path: String)
+                    (build: => Unit): String =
     buildLock.synchronized {
-      if (!present(path)) build
+      if (!present(s, path)) { sweepStale(s, st); build }
       path
     }
 
   private def ensureSignatures(s: SparkSession, d: String, st: Store): String =
-    ensure(st.sig)(buildSignatures(s, d, st, overwrite = false))
+    ensure(s, st, st.sig)(buildSignatures(s, d, st, overwrite = false))
   private def ensureLabels(s: SparkSession, d: String, st: Store): String =
-    ensure(st.labels)(buildLabels(s, d, st, overwrite = false))
+    ensure(s, st, st.labels)(buildLabels(s, d, st, overwrite = false))
 
   /** Public ensure used by d7 and the bench pre-seed. */
   def ensureSignatures(s: SparkSession, d: String): String =
@@ -199,10 +261,11 @@ object AtRest {
     * unconditionally). Not part of any timed query. */
   def preSeed(s: SparkSession, d: String): Unit = {
     val st = resolve(s, d)
+    sweepStale(s, st)
     ensureSignatures(s, d, st)
-    ensure(st.tf)(buildTf(s, d, st, overwrite = false))
-    ensure(st.df)(buildDf(s, st, overwrite = false))
-    ensure(st.meta)(buildMeta(s, d, st, overwrite = false))
+    ensure(s, st, st.tf)(buildTf(s, d, st, overwrite = false))
+    ensure(s, st, st.df)(buildDf(s, st, overwrite = false))
+    ensure(s, st, st.meta)(buildMeta(s, d, st, overwrite = false))
     ensureLabels(s, d, st)
   }
 
@@ -254,6 +317,7 @@ object AtRest {
     // or partial write cannot pass.
     "x19_atrest_build" -> { (s, d) =>
       val st = resolve(s, d)
+      sweepStale(s, st)
       buildSignatures(s, d, st, overwrite = true)
       buildTf(s, d, st, overwrite = true)
       buildDf(s, st, overwrite = true)
@@ -269,9 +333,9 @@ object AtRest {
     // and the 28M-row df aggregate never rerun.
     "x20_atrest_tfidf" -> { (s, d) =>
       val st = resolve(s, d)
-      val tfPath = ensure(st.tf)(buildTf(s, d, st, overwrite = false))
-      val dfPath = ensure(st.df)(buildDf(s, st, overwrite = false))
-      val metaPath = ensure(st.meta)(buildMeta(s, d, st, overwrite = false))
+      val tfPath = ensure(s, st, st.tf)(buildTf(s, d, st, overwrite = false))
+      val dfPath = ensure(s, st, st.df)(buildDf(s, st, overwrite = false))
+      val metaPath = ensure(s, st, st.meta)(buildMeta(s, d, st, overwrite = false))
       val nDocs = s.read.parquet(metaPath).head().getLong(0)
       TextDedup.tfidfTopKOverTfDf(s.read.parquet(tfPath),
         s.read.parquet(dfPath),
@@ -294,6 +358,7 @@ object AtRest {
     // themselves.
     "x22_labels_build" -> { (s, d) =>
       val st = resolve(s, d)
+      sweepStale(s, st)
       buildLabels(s, d, st, overwrite = true)
       s.read.parquet(st.labels)
         .select(col("id").as("doc_id"), col("comp").as("canonical"))

@@ -118,6 +118,26 @@ class AtRestSpec extends SparkSpec {
       "signatures must reflect the externally rewritten corpus")
   }
 
+  test("resolve is read-only: a pure consumer call never sweeps") {
+    // advisor r14: the sweep used to ride resolve(), so a consumer query
+    // could delete files a concurrent session was still scanning; it now
+    // fires only from write paths (ensure's build branch, x19/x22, preSeed)
+    val d = writeFixture()
+    val sig1 = AtRest.ensureSignatures(spark, d)
+    val store1 = Paths.get(sig1).getParent
+    (corpus :+ (98L, "another new document changing the fingerprint"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val st2 = AtRest.resolve(spark, d)
+    assert(st2.dir != store1.toString, "fingerprint must change")
+    assert(Files.exists(store1),
+      "read-only resolve must not sweep the superseded store")
+    AtRest.ensureSignatures(spark, d) // the BUILD branch sweeps
+    assert(!Files.exists(store1), "the build path must sweep it")
+  }
+
   test("a changed corpus gets a fresh store and the stale one is swept") {
     val d = writeFixture()
     val sig1 = AtRest.ensureSignatures(spark, d)
