@@ -276,12 +276,22 @@ object Ordered {
     * extra. Memory: each task holds exact-sized long arrays totalling
     * ~8 B × its shuffle share (vs SortExec's ~3× heavier row buffer);
     * cells = 4 × shuffle-partitions × groups, so per-task share tracks
-    * the usual partition sizing at any scale.
+    * the usual partition sizing at any scale. Group cardinality is
+    * BOUNDED: the cell inventory (a driver `take` capped at 2^18 rows +
+    * a group-keyed plan literal) is only cheap for low-cardinality
+    * groups — which is the only regime where this op beats a window
+    * anyway — so past the cap it falls back to the plain per-group
+    * window, whose parallelism there equals the group count. Each cell's
+    * gather array is fill-ASSERTED before emission: if a planner rewrite
+    * ever fragments a cell across partitions (the r14 band-automaton
+    * hazard class), the op fails loudly instead of sorting an
+    * underfilled array's zero tail into the output.
     *
     * Returns (`g` string, `p` long) — the caller unpacks (w7 restores
     * `l_orderkey`/`l_linenumber` with integer div/pmod). */
   def everyKthPacked(df: DataFrame, partCol: String, packed: Column, k: Int,
-                     maxCellRows: Long = 8L << 20): DataFrame = {
+                     maxCellRows: Long = 8L << 20,
+                     maxCells: Int = 1 << 18): DataFrame = {
     require(k > 0, s"everyKthPacked requires k > 0, got $k")
     val spark = df.sparkSession
     import spark.implicits._
@@ -301,10 +311,19 @@ object Ordered {
     val tagged = src.withColumn("_b",
       graft.functions.BucketBinUtil.bucketCol(col("p").cast("double"), bounds))
     // ONE exact count pass feeds the offsets, the group dictionary, AND
-    // the fallback decision (null keys / oversized cell)
-    val cells = tagged.groupBy("g", "_b").count().collect()
+    // the fallback decisions (null keys / oversized cell / too many cells).
+    // take(maxCells+1) instead of collect(): the cell inventory is
+    // groups × buckets rows, and this op's advantage (parallelism not
+    // capped by group count) only exists for LOW-cardinality groups — a
+    // high-cardinality caller would otherwise get an unbounded driver
+    // collect plus a plan-sized typedlit literal. Beyond the bound the
+    // plain per-group window is the RIGHT plan anyway (parallelism =
+    // group count ≥ cells/nb > maxCells/nb ≫ cluster width), so fall back.
+    val cells = tagged.groupBy("g", "_b").count().take(maxCells + 1)
       .map(x => (x.getString(0), if (x.isNullAt(1)) -1 else x.getInt(1), x.getLong(2)))
     if (cells.isEmpty) return src.limit(0)
+    if (cells.length > maxCells)
+      return everyKth(src, "g", Seq("p"), k).select("g", "p")
     // fallbacks: null packed keys (bucket null — the windowed form's -1
     // bucket handles their NULLS FIRST placement), or a cell too big for
     // the spill-free gather array (also capped so the exact-size int
@@ -352,6 +371,16 @@ object Ordered {
               val e = es.next()
               cell = e.getKey
               arr = e.getValue
+              // co-location assertion (advisor r14): the exact-sized array
+              // must be exactly full. If the engine ever fragments a cell
+              // across partitions (the band-automaton hazard class), the
+              // underfilled array's zero tail would otherwise be sorted
+              // and emitted — silent corruption; fail loudly instead.
+              val filled = used.get(cell).intValue()
+              if (filled != arr.length) throw new IllegalStateException(
+                s"everyKthPacked: cell $cell arrived fragmented " +
+                  s"($filled of ${arr.length} rows in one partition) — " +
+                  "repartition co-location was violated by the planner")
               java.util.Arrays.sort(arr)
               val off = cellMeta(cell)._1
               // first global rank in this cell divisible by k
@@ -382,9 +411,17 @@ object Ordered {
       coalesce(
         graft.functions.BucketBinUtil.bucketCol(col(rangeCol).cast("double"), bounds),
         lit(-1)))
-    val counts = tagged
+    // same bounded-cell-inventory guard as everyKthPacked: the offset map
+    // is groups × buckets driver rows + a plan literal; past the bound the
+    // plain per-group window has cluster-width parallelism and is the
+    // right plan, so fall back instead of collecting unbounded state
+    val maxCells = 1 << 18
+    val countRows = tagged
       .groupBy(col(partCol).cast("string").as("_g"), col("_b"))
-      .count().collect()
+      .count().take(maxCells + 1)
+    if (countRows.length > maxCells)
+      return everyKth(df, partCol, orderCols, k)
+    val counts = countRows
       .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
     val offsets: Map[(String, Int), Long] = counts
       .groupBy(_._1._1)

@@ -116,6 +116,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("manual-exchange automatons (w2/w3/w7) own their exchange exclusively") {
+    // These three keep the repartition+sortWithinPartitions+mapPartitions
+    // form because their exchange feeds the map stage DIRECTLY — the r14
+    // band-automaton miscount needed a JOIN between the user exchange and
+    // the map stage (Catalyst reused the exchange as the join's input and
+    // AQE's runtime join rewrites voided key co-location). That safety
+    // argument used to live in a comment; this gate makes it structural:
+    // the moment a future commit interposes ANY join on these plans — or
+    // the planner shares the exchange (ReusedExchange) — the suite fails.
+    for (q <- Seq("w2_block_compress", "w2_sessionize",
+                  "w3_overlap_suppress", "w7_downsample")) {
+      val p = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("Join"),
+        s"$q: a join entered a manual-exchange automaton plan — the " +
+          s"exchange-reuse hazard is live; migrate to flatMapSortedGroups:\n${p.take(1200)}")
+      assert(!p.contains("ReusedExchange"),
+        s"$q: the automaton's exchange is shared with another consumer:\n${p.take(1200)}")
+    }
+  }
+
   test("j13 salted skew join shuffles on (key, salt), not broadcast") {
     val p = SparkEntry.queries("j13_skew_join")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -147,6 +147,17 @@ class OrderedSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Ordered.everyKthPacked(df, "g", col("o"), 0)
     }
+    // group-cardinality guard (VERDICT r14 #5): past the cell-inventory
+    // bound the op must fall back to the plain per-group window — driver
+    // state and the plan literal stay bounded no matter what a caller
+    // groups by — and the fallback's output is still the window's
+    val manyG = (1 to 4000).map(i => (s"g${i % 200}", i.toLong * 17)).toDF("g", "o")
+    val wMany = multiset(Ordered.everyKth(manyG, "g", Seq("o"), 7).select("g", "o"))
+    val guarded = Ordered.everyKthPacked(manyG, "g", col("o"), 7, maxCells = 50)
+    assert(multiset(guarded) == wMany && wMany.nonEmpty)
+    val gPlan = guarded.queryExecution.executedPlan.toString
+    assert(gPlan.contains("Window") && !gPlan.contains("MapPartitions"),
+      "past maxCells the packed path must yield to the per-group window")
   }
 
   test("scalable every-kth handles NULL bucketing keys like the window (mixed and all-null)") {
