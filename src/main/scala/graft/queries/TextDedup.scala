@@ -119,27 +119,35 @@ object TextDedup {
     * connected components needs) is fully preserved. */
   val HOT_BAND_CAP = 128
 
-  /** The ONE definition of the banding scheme: an array of (bid, key)
+  /** The ONE definition of the banding scheme: an array of (bid, k1, k2)
     * structs over a signature frame's mh columns — every band consumer
     * (bandRows, the d3/d4 automata) explodes THIS, so band width and key
     * format can never silently diverge between the shared pass and the
-    * spec-reference forms. */
+    * spec-reference forms. The band key is the two source mh LONGS
+    * verbatim (VERDICT r14 #3) rather than their concat_ws string: the
+    * string was ~25-45 variable-width bytes riding the biggest exchange
+    * in the d-family where the longs are 16 fixed — and grouping on
+    * source values (not a derived hash) keeps the key collision-free by
+    * construction, so the pair set is bit-identical to the string form
+    * (decimal-concat of two longs with "_" was injective too). */
   private def bandStructs: Column =
     array((1 to BANDS).map { b =>
       struct(lit(b).as("bid"),
-        concat_ws("_", col(s"mh${2 * b - 1}"), col(s"mh${2 * b}")).as("key"))
+        col(s"mh${2 * b - 1}").as("k1"), col(s"mh${2 * b}").as("k2"))
     }: _*)
 
-  /** doc_id + exploded (band_id, band_key) rows. */
+  /** doc_id + exploded (band_id, k1, k2) rows. */
   private def bandRows(mh: DataFrame): DataFrame = {
-    // zero-shingle docs (< 3 tokens) minhash to all-null signatures, and
-    // concat_ws SKIPS nulls — without the filter every such doc shares
-    // band key "" and they all pair with each other (then d4 divides by
-    // an empty union). Too-short docs are exact-dedup territory (d1),
-    // not MinHash candidates.
+    // zero-shingle docs (< 3 tokens) minhash to all-null signatures —
+    // without the filter every such doc would share the all-null band key
+    // and they would all pair with each other (then d4 divides by an
+    // empty union). Too-short docs are exact-dedup territory (d1), not
+    // MinHash candidates. (Null-key grouping would also differ between
+    // Spark's null-safe groupBy and a join's null-rejecting equality.)
     mh.filter(col("mh1").isNotNull)
       .select(col("doc_id"), explode(bandStructs).as("band"))
-      .select(col("doc_id"), col("band.bid").as("bid"), col("band.key").as("key"))
+      .select(col("doc_id"), col("band.bid").as("bid"),
+        col("band.k1").as("k1"), col("band.k2").as("k2"))
   }
 
   /** Distinct candidate near-dup pairs (a < b) sharing >= 1 LSH band.
@@ -151,13 +159,13 @@ object TextDedup {
     val bands = bandRows(mh)
     // per-key count + min doc; the join back is on the same keys the
     // aggregate shuffled on, so no extra exchange materializes
-    val stats = bands.groupBy("bid", "key")
+    val stats = bands.groupBy("bid", "k1", "k2")
       .agg(count(lit(1)).as("bc"), min("doc_id").as("mindoc"))
-    val tagged = bands.join(stats, Seq("bid", "key"))
+    val tagged = bands.join(stats, Seq("bid", "k1", "k2"))
     val cold = tagged.filter(col("bc") <= cap)
     val coldPairs = cold.as("a").join(cold.as("b"),
-        col("a.bid") === col("b.bid") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
+        col("a.bid") === col("b.bid") && col("a.k1") === col("b.k1") &&
+          col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     val hotPairs = tagged.filter(col("bc") > cap && col("doc_id") =!= col("mindoc"))
       .select(col("mindoc").as("doc_a"), col("doc_id").as("doc_b"))
@@ -184,9 +192,9 @@ object TextDedup {
     val bands = bandRows(mh)
     // join-back lands on the keys the aggregate shuffled on — no second
     // exchange (same layout trick as lshPairs)
-    val stats = bands.groupBy("bid", "key")
+    val stats = bands.groupBy("bid", "k1", "k2")
       .agg(count(lit(1)).as("bc"), min("doc_id").as("mindoc"))
-    bands.join(stats, Seq("bid", "key"))
+    bands.join(stats, Seq("bid", "k1", "k2"))
       .filter(col("bc") >= 2 && col("doc_id") =!= col("mindoc"))
       .select(col("mindoc").as("doc_a"), col("doc_id").as("doc_b"))
       .distinct()
@@ -205,30 +213,30 @@ object TextDedup {
     * measured-neutral — the win is the low-dup-density production case. */
   private[queries] def candidateDocIds(mh: DataFrame): DataFrame = {
     val bands = bandRows(mh)
-    val multi = bands.groupBy("bid", "key").agg(count(lit(1)).as("bc"))
+    val multi = bands.groupBy("bid", "k1", "k2").agg(count(lit(1)).as("bc"))
       .filter(col("bc") >= 2)
-    bands.join(multi, Seq("bid", "key")).select("doc_id").distinct()
+    bands.join(multi, Seq("bid", "k1", "k2")).select("doc_id").distinct()
   }
 
   /** One banded row for the per-band pair automaton (`sh` is whichever
     * payload the score consumes: sorted shingle set for d4, the K-long
     * signature vector for d3). */
-  private[queries] case class BandedDoc(bid: Int, key: String, docId: Long,
-    sh: Array[Long])
+  private[queries] case class BandedDoc(bid: Int, k1: Long, k2: Long,
+    docId: Long, sh: Array[Long])
 
   /** Banded row carrying BOTH payloads for the shared d3+d4 pass: the
     * K-long signature vector (est-sim) and the sorted shingle set
     * (Jaccard). */
-  private[queries] case class BandedDoc2(bid: Int, key: String, docId: Long,
-    sig: Array[Long], sh: Array[Long])
+  private[queries] case class BandedDoc2(bid: Int, k1: Long, k2: Long,
+    docId: Long, sig: Array[Long], sh: Array[Long])
 
   /** Banded row with a per-doc batch-membership flag for the INCREMENTAL
     * pass ([[incrementalEstSimPairs]]): `isNew` rides the automaton
     * payload so the emitted pair knows whether either side belongs to the
     * new batch without re-evaluating an arbitrary predicate on pair rows
     * (the predicate may reference any doc column, not just doc_id). */
-  private[queries] case class BandedDocN(bid: Int, key: String, docId: Long,
-    sh: Array[Long], isNew: Boolean)
+  private[queries] case class BandedDocN(bid: Int, k1: Long, k2: Long,
+    docId: Long, sh: Array[Long], isNew: Boolean)
 
   /** Jaccard over sorted-distinct long arrays — alloc-free two-pointer
     * merge, the exact-integer-double arithmetic of [[Text.jaccardSorted]]. */
@@ -256,8 +264,9 @@ object TextDedup {
     }
 
   /** Streaming per-band pair generator with the pair score computed IN
-    * the band group — the d3/d4 scale path. Input iterator must be sorted
-    * by (bid, key, docId).
+    * the band group — the d3/d4 scale path. ONE instance per band group:
+    * the input iterator is a single group's (docId, payload) rows in
+    * docId order, exactly what `flatMapSortedGroups` hands its function.
     *
     * GROUP-INTEGRITY CONTRACT (round 14 — a real 100x miscount): every
     * consumer feeds this through `groupByKey(...).flatMapSortedGroups`,
@@ -267,26 +276,29 @@ object TextDedup {
     * semi-join's own exchange, and AQE's runtime join rewrites then
     * voided the (bid, key) co-location entirely — fragmented bands
     * re-ran the cap/all-pairs decision per FRAGMENT, and the incremental
-    * pair pass emitted 2,959,098 pairs where the (bid,key)-complete
-    * answer is 4,474,250 (DuckDB replay over the same signatures; only
+    * pair pass emitted 2,959,098 pairs where the band-complete answer is
+    * 4,474,250 (DuckDB replay over the same signatures; only
     * reproducible at the 100x replica — small-scale plans broadcast
     * statically and keep the exchange, which is why every sf0.01/sf0.1
     * oracle stayed green). MapGroups DECLARES ClusteredDistribution +
-    * ordering, so the engine must preserve them through every rewrite. Cold bands (<= cap members) emit all pairs
-    * (a < b); a band crossing the cap degrades to a star over its min doc
-    * (= the first in sorted order) exactly like [[lshPairs]] — the buffer
-    * never holds more than cap+1 payload arrays, so one pathological band
-    * key cannot blow the task heap. `score` is evaluated per emitted
-    * pair: Jaccard over sorted-distinct shingle sets for d4 (the same
-    * exact-integer-double arithmetic as [[Text.jaccardSorted]]),
-    * matching-component fraction over signature vectors for d3. */
+    * ordering, so the engine must preserve them through every rewrite —
+    * and because each instance IS one declared group, this class carries
+    * no group-boundary detection of its own (the r15 key packing removed
+    * the per-row string compare it used to cost).
+    *
+    * Cold bands (<= cap members) emit all pairs (a < b); a band crossing
+    * the cap degrades to a star over its min doc (= the first in sorted
+    * order) exactly like [[lshPairs]] — the buffer never holds more than
+    * cap+1 payload arrays, so one pathological band key cannot blow the
+    * task heap. `score` is evaluated per emitted pair: Jaccard over
+    * sorted-distinct shingle sets for d4 (the same exact-integer-double
+    * arithmetic as [[Text.jaccardSorted]]), matching-component fraction
+    * over signature vectors for d3. */
   private final class BandPairIterator[P, R](
-      iter: Iterator[(Int, String, Long, P)], cap: Int,
+      iter: Iterator[(Long, P)], cap: Int,
       score: (P, P) => R)
       extends Iterator[(Long, Long, R)] {
     private val pending = scala.collection.mutable.Queue.empty[(Long, Long, R)]
-    private var curBid = Int.MinValue
-    private var curKey: String = null
     private val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, P)]
     private var hot = false
     private var center: (Long, P) = null
@@ -304,17 +316,14 @@ object TextDedup {
           i += 1
         }
       }
-      buf.clear(); hot = false; center = null
+      buf.clear(); hot = false
     }
 
-    private def accept(d: (Int, String, Long, P)): Unit = {
-      if (d._1 != curBid || d._2 != curKey) {
-        flushGroup(); curBid = d._1; curKey = d._2
-      }
+    private def accept(d: (Long, P)): Unit = {
       if (hot) {
-        pending.enqueue((center._1, d._3, score(center._2, d._4)))
+        pending.enqueue((center._1, d._1, score(center._2, d._2)))
       } else {
-        buf.append((d._3, d._4))
+        buf.append(d)
         if (buf.length > cap) {
           // band just went hot: degrade the whole buffer to a star over
           // the min doc (first in sorted order), then stream
@@ -364,11 +373,11 @@ object TextDedup {
       mh: DataFrame, cap: Int = HOT_BAND_CAP): DataFrame = {
     import s.implicits._
     val bands = bandRows(mh)
-    val multi = bands.groupBy("bid", "key").agg(count(lit(1)).as("bc"))
+    val multi = bands.groupBy("bid", "k1", "k2").agg(count(lit(1)).as("bc"))
       .filter(col("bc") >= 2)
     // join-back lands on the aggregate's own key layout — no extra exchange
-    val banded = bands.join(multi, Seq("bid", "key"))
-      .select(col("doc_id"), col("bid"), col("key"))
+    val banded = bands.join(multi, Seq("bid", "k1", "k2"))
+      .select(col("doc_id"), col("bid"), col("k1"), col("k2"))
     // the inner join restricts to banded docs — no separate candidate
     // semi-join needed; passing the SHARED corpus shingle frame
     // (Curation.cachedShingleSets) means d4/d8/x6/x8 pay the
@@ -378,11 +387,12 @@ object TextDedup {
     // flatMapSortedGroups, NOT repartition+mapPartitions — see the
     // BandPairIterator group-integrity contract.
     banded.join(docsSh.filter(col("sh").isNotNull), Seq("doc_id"))
-      .select(col("bid"), col("key"), col("doc_id").as("docId"), col("sh"))
+      .select(col("bid"), col("k1"), col("k2"), col("doc_id").as("docId"),
+        col("sh"))
       .as[BandedDoc]
-      .groupBy(col("bid"), col("key")).as[(Int, String), BandedDoc]
-      .flatMapSortedGroups(col("docId")) { case ((bid, key), it) =>
-        new BandPairIterator(it.map(d => (bid, key, d.docId, d.sh)), cap,
+      .groupBy(col("bid"), col("k1"), col("k2")).as[(Int, Long, Long), BandedDoc]
+      .flatMapSortedGroups(col("docId")) { case (_, it) =>
+        new BandPairIterator(it.map(d => (d.docId, d.sh)), cap,
           TextDedup.jaccardScore)
       }
       .toDF("doc_a", "doc_b", "jaccard")
@@ -403,16 +413,17 @@ object TextDedup {
     val sig = array((1 to K).map(i => col(s"mh$i")): _*)
     val rows = mh.filter(col("mh1").isNotNull)
       .select(col("doc_id"), sig.as("sig"), explode(bandStructs).as("band"))
-      .select(col("band.bid").as("bid"), col("band.key").as("key"),
-        col("doc_id").as("docId"), col("sig").as("sh"))
+      .select(col("band.bid").as("bid"), col("band.k1").as("k1"),
+        col("band.k2").as("k2"), col("doc_id").as("docId"),
+        col("sig").as("sh"))
     // flatMapSortedGroups — see the BandPairIterator group-integrity
     // contract. groupBy(cols).as[K,T], not groupByKey(closure): the
     // column form derives the key from the existing columns (no
     // AppendColumns row deserialization just to compute it).
     rows.as[BandedDoc]
-      .groupBy(col("bid"), col("key")).as[(Int, String), BandedDoc]
-      .flatMapSortedGroups(col("docId")) { case ((bid, key), it) =>
-        new BandPairIterator(it.map(d => (bid, key, d.docId, d.sh)), cap,
+      .groupBy(col("bid"), col("k1"), col("k2")).as[(Int, Long, Long), BandedDoc]
+      .flatMapSortedGroups(col("docId")) { case (_, it) =>
+        new BandPairIterator(it.map(d => (d.docId, d.sh)), cap,
           TextDedup.estSimScore)
       }
       .toDF("doc_a", "doc_b", "est_sim")
@@ -441,21 +452,21 @@ object TextDedup {
     val bands = mh.filter(col("mh1").isNotNull)
       .select(col("doc_id"), sigArr.as("sig"), explode(bandStructs).as("band"))
       .select(col("doc_id"), col("band.bid").as("bid"),
-        col("band.key").as("key"), col("sig"))
-    val multi = bands.groupBy("bid", "key").agg(count(lit(1)).as("bc"))
+        col("band.k1").as("k1"), col("band.k2").as("k2"), col("sig"))
+    val multi = bands.groupBy("bid", "k1", "k2").agg(count(lit(1)).as("bc"))
       .filter(col("bc") >= 2)
     // join-back lands on the aggregate's own key layout — no extra exchange
-    val banded = bands.join(multi, Seq("bid", "key"))
-      .select(col("doc_id"), col("bid"), col("key"), col("sig"))
+    val banded = bands.join(multi, Seq("bid", "k1", "k2"))
+      .select(col("doc_id"), col("bid"), col("k1"), col("k2"), col("sig"))
     // flatMapSortedGroups — see the BandPairIterator group-integrity contract
     banded.join(docsSh.filter(col("sh").isNotNull), Seq("doc_id"))
-      .select(col("bid"), col("key"), col("doc_id").as("docId"),
+      .select(col("bid"), col("k1"), col("k2"), col("doc_id").as("docId"),
         col("sig"), col("sh"))
       .as[BandedDoc2]
-      .groupBy(col("bid"), col("key")).as[(Int, String), BandedDoc2]
-      .flatMapSortedGroups(col("docId")) { case ((bid, key), it) =>
+      .groupBy(col("bid"), col("k1"), col("k2")).as[(Int, Long, Long), BandedDoc2]
+      .flatMapSortedGroups(col("docId")) { case (_, it) =>
         new BandPairIterator[(Array[Long], Array[Long]), (Double, Double)](
-          it.map(d => (bid, key, d.docId, (d.sig, d.sh))), cap,
+          it.map(d => (d.docId, (d.sig, d.sh))), cap,
           (x, y) => (TextDedup.estSimScore(x._1, y._1),
             TextDedup.jaccardScore(x._2, y._2)))
           .map { case (a, b, (e, j)) => (a, b, e, j) }
@@ -543,23 +554,23 @@ object TextDedup {
       .select(col("doc_id"), sigArr.as("sig"),
         coalesce(isNew, lit(false)).as("is_new"),
         explode(bandStructs).as("band"))
-      .select(col("band.bid").as("bid"), col("band.key").as("key"),
-        col("doc_id").as("docId"), col("sig").as("sh"),
-        col("is_new").as("isNew"))
-    // distinct (bid, key) of the new batch: proportional to batch size;
+      .select(col("band.bid").as("bid"), col("band.k1").as("k1"),
+        col("band.k2").as("k2"), col("doc_id").as("docId"),
+        col("sig").as("sh"), col("is_new").as("isNew"))
+    // distinct band keys of the new batch: proportional to batch size;
     // unhinted — AQE broadcasts it when it is small (the production case)
-    val newKeys = rows.filter(col("isNew")).select("bid", "key").distinct()
-    val touched = rows.join(newKeys, Seq("bid", "key"), "left_semi")
+    val newKeys = rows.filter(col("isNew")).select("bid", "k1", "k2").distinct()
+    val touched = rows.join(newKeys, Seq("bid", "k1", "k2"), "left_semi")
     // flatMapSortedGroups — see the BandPairIterator group-integrity
     // contract. THIS is the site where the manual repartition form
     // miscounted at 100x: the user exchange doubled as the semi-join's
     // left input, and AQE's runtime join rewrite voided band co-location
     // (2,959,098 pairs vs the correct 4,474,250).
     touched.as[BandedDocN]
-      .groupBy(col("bid"), col("key")).as[(Int, String), BandedDocN]
-      .flatMapSortedGroups(col("docId")) { case ((bid, key), it) =>
+      .groupBy(col("bid"), col("k1"), col("k2")).as[(Int, Long, Long), BandedDocN]
+      .flatMapSortedGroups(col("docId")) { case (_, it) =>
         new BandPairIterator[(Array[Long], Boolean), (Double, Boolean)](
-          it.map(d => (bid, key, d.docId, (d.sh, d.isNew))), cap,
+          it.map(d => (d.docId, (d.sh, d.isNew))), cap,
           (x, y) => (TextDedup.estSimScore(x._1, y._1), x._2 || y._2))
           .map { case (a, b, (e, keep)) => (a, b, e, keep) }
       }
@@ -602,7 +613,7 @@ object TextDedup {
   /** The band keys the cap degraded, with their membership counts — report
     * this next to any capped dedup run (no silent truncation). */
   def hotBands(mh: DataFrame, cap: Int = HOT_BAND_CAP): DataFrame =
-    bandRows(mh).groupBy("bid", "key").agg(count(lit(1)).as("n_docs"))
+    bandRows(mh).groupBy("bid", "k1", "k2").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > cap)
 
   /** 100 TB checkpoint path: the `persist()` in [[cachedMinhash]] holds
@@ -691,7 +702,10 @@ object TextDedup {
     * per band — distinct downstream). */
   def bandKeyedDocs(docs: DataFrame): DataFrame =
     bandRows(signatureFrame(docs))
-      .select(Text.hash32(concat_ws("_", col("bid"), col("key"))).as("key"),
+      // same string as the pre-packing form ("bid_k1_k2"), so stateful
+      // streaming queries keyed on this hash survive the r15 key packing
+      .select(Text.hash32(
+          concat_ws("_", col("bid"), col("k1"), col("k2"))).as("key"),
         col("doc_id").as("docId"))
 
   val queries: Map[String, Q] = Map(
