@@ -330,7 +330,8 @@ object Ordered {
     // allocation can never overflow, whatever the caller passes)
     val cellCap = math.min(maxCellRows, (Int.MaxValue - 64).toLong)
     if (cells.exists(c => c._2 < 0 || c._3 > cellCap))
-      return everyKthWithBounds(src, "g", Seq("p"), k, bounds).select("g", "p")
+      return everyKthWithBounds(src, "g", Seq("p"), k, bounds, maxCells)
+        .select("g", "p")
     // group dictionary on ESCAPED keys: a Catalyst map literal cannot key
     // on null, so null groups map via a reserved token (" ") and every
     // real value gets an "=" prefix that can never collide with it; the
@@ -396,7 +397,8 @@ object Ordered {
   }
 
   private def everyKthWithBounds(df: DataFrame, partCol: String,
-      orderCols: Seq[String], k: Int, bounds: Array[Double]): DataFrame = {
+      orderCols: Seq[String], k: Int, bounds: Array[Double],
+      maxCells: Int = 1 << 18): DataFrame = {
     val rangeCol = orderCols.head
     // native binary-search bucket tag (exact for keys < 2^53 — the floor'd
     // quantile bounds and the cast key compare identically in double space).
@@ -411,11 +413,12 @@ object Ordered {
       coalesce(
         graft.functions.BucketBinUtil.bucketCol(col(rangeCol).cast("double"), bounds),
         lit(-1)))
-    // same bounded-cell-inventory guard as everyKthPacked: the offset map
-    // is groups × buckets driver rows + a plan literal; past the bound the
-    // plain per-group window has cluster-width parallelism and is the
-    // right plan, so fall back instead of collecting unbounded state
-    val maxCells = 1 << 18
+    // same bounded-cell-inventory guard as everyKthPacked (whose maxCells
+    // threads through here so the caller's knob governs the fallback path
+    // too): the offset map is groups × buckets driver rows + a plan
+    // literal; past the bound the plain per-group window has
+    // cluster-width parallelism and is the right plan, so fall back
+    // instead of collecting unbounded state
     val countRows = tagged
       .groupBy(col(partCol).cast("string").as("_g"), col("_b"))
       .count().take(maxCells + 1)

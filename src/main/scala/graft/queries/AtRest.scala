@@ -130,20 +130,23 @@ object AtRest {
     * current store is already past reading a stale one, while a pure
     * consumer never deletes. A concurrent JVM's in-flight build of a
     * CURRENT store is never touched — only differing fingerprints match. */
-  private def sweepStale(s: SparkSession, st: Store): Unit = {
-    val dirP = new Path(st.dir)
-    val live = dirP.getName
-    val id = live.take(12) // store dir name = <12-hex id>_<16-hex fp>
-    val fs = fsFor(s, dirP)
-    val rootP = dirP.getParent
-    if (fs.exists(rootP))
-      fs.listStatus(rootP).foreach { f =>
-        val n = f.getPath.getName
-        if (n.startsWith(s"${id}_") && n != live)
-          try { fs.delete(f.getPath, true): Unit }
-          catch { case _: java.io.IOException => () }
-      }
-  }
+  private def sweepStale(s: SparkSession, st: Store): Unit =
+    // the WHOLE sweep is best-effort hygiene: a transient FS error listing
+    // the root must not abort the build/ensure that triggered it
+    try {
+      val dirP = new Path(st.dir)
+      val live = dirP.getName
+      val id = live.take(12) // store dir name = <12-hex id>_<16-hex fp>
+      val fs = fsFor(s, dirP)
+      val rootP = dirP.getParent
+      if (fs.exists(rootP))
+        fs.listStatus(rootP).foreach { f =>
+          val n = f.getPath.getName
+          if (n.startsWith(s"${id}_") && n != live)
+            try { fs.delete(f.getPath, true): Unit }
+            catch { case _: java.io.IOException => () }
+        }
+    } catch { case _: java.io.IOException => () }
 
   /** Remove the whole store for `d` — test hygiene (AtRestSpec fixtures
     * would otherwise accumulate one orphan store per temp corpus). */
@@ -183,7 +186,11 @@ object AtRest {
     val tmp = new Path(
       s"$path.inprogress-${java.util.UUID.randomUUID.toString.take(8)}")
     df.write.mode("overwrite").parquet(tmp.toString)
-    if (overwrite && fs.exists(target) && !fs.delete(target, true)) {
+    // delete returning false with the path still present is a real
+    // failure; false because the path vanished (a racing overwrite's
+    // delete won) is not — re-check before aborting
+    if (overwrite && fs.exists(target) && !fs.delete(target, true) &&
+        fs.exists(target)) {
       fs.delete(tmp, true): Unit
       throw new java.io.IOException(
         s"at-rest publish: could not delete $target for overwrite")
@@ -261,7 +268,10 @@ object AtRest {
     * unconditionally). Not part of any timed query. */
   def preSeed(s: SparkSession, d: String): Unit = {
     val st = resolve(s, d)
-    sweepStale(s, st)
+    // no explicit sweep: each ensure below sweeps on its own build branch
+    // (a fully-present store means the sweep already ran at its build, and
+    // x19/x22 re-sweep on every rebuild) — an extra one here would just
+    // repeat the root listStatus on stores where nothing can be stale
     ensureSignatures(s, d, st)
     ensure(s, st, st.tf)(buildTf(s, d, st, overwrite = false))
     ensure(s, st, st.df)(buildDf(s, st, overwrite = false))

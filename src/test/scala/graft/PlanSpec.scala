@@ -127,12 +127,19 @@ class PlanSpec extends SparkSpec {
     // the planner shares the exchange (ReusedExchange) — the suite fails.
     for (q <- Seq("w2_block_compress", "w2_sessionize",
                   "w3_overlap_suppress", "w7_downsample")) {
-      val p = SparkEntry.queries(q)(spark, sfDir)
-        .queryExecution.executedPlan.toString
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      // EXECUTE first: under AQE the un-executed AdaptiveSparkPlan prints
+      // only the initial plan (isFinalPlan=false) — exchange reuse only
+      // materializes in the finalized runtime plan, so an unexecuted
+      // ReusedExchange assert could never fire (r15 review catch)
+      df.queryExecution.toRdd.count(): Unit
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("isFinalPlan=false"),
+        s"$q: plan was not finalized — the reuse gate below would be vacuous")
       assert(!p.contains("Join"),
         s"$q: a join entered a manual-exchange automaton plan — the " +
           s"exchange-reuse hazard is live; migrate to flatMapSortedGroups:\n${p.take(1200)}")
-      assert(!p.contains("ReusedExchange"),
+      assert(!p.contains("ReusedExchange") && !p.contains("ReusedQueryStage"),
         s"$q: the automaton's exchange is shared with another consumer:\n${p.take(1200)}")
     }
   }
