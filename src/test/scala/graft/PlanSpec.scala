@@ -113,6 +113,11 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("MapGroups"), s"$q lost the grouped band automaton")
       assert(!p.contains("doc_a#") || !p.toLowerCase.contains("sortmergejoin"),
         s"$q re-joins pair rows")
+      // r15: the band key is the two source mh longs (bid, k1, k2) —
+      // a concat_ws key would put a 25-45B variable-width string back on
+      // the d-family's biggest exchange
+      assert(!p.contains("concat_ws"),
+        s"$q regressed to the string band key")
     }
   }
 
