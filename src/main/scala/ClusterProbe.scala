@@ -101,6 +101,16 @@ object ClusterProbe {
       graft.SparkEntry.queries("x21_atrest_pairs")(spark, d).count()
     }
     println(s"[cluster] x21 pairs=$pairs (DuckDB-arbitrated reference 22574543 at /tmp/sf100)")
+    // cross-executor everyKthPacked replay: the packed gather assumes the
+    // manual repartition co-locates each cell in one partition (the
+    // advisor-r14 concern) and now ASSERTS exact cell fill — running it
+    // over a real 2-JVM exchange exercises that assertion where
+    // fragmentation would actually manifest
+    val w7 = timed("w7 packed rank (2 exec)") {
+      graft.SparkEntry.queries("w7_downsample")(spark, d).count()
+    }
+    println(s"[cluster] w7 rows=$w7 (local reference 600000 at /tmp/sf100; " +
+      "fill assertion inside everyKthPacked did not fire)")
     spark.stop()
   }
 }
