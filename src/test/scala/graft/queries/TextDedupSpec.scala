@@ -15,6 +15,38 @@ class TextDedupSpec extends SparkSpec {
   private def identicalDocs(n: Int) =
     (1L to n.toLong).map(i => (i, text)).toDF("doc_id", "text")
 
+  test("packed band keys (bid,k1,k2) == an independent string-keyed reference") {
+    // r15: the band grouping key is the two source mh longs, not their
+    // concat string. Injectivity makes the groups identical by
+    // construction; this pins it against a reference that still derives
+    // the key as the decimal concat (the pre-r15 representation, also
+    // exactly how the DuckDB oracle builds its band key)
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 400L).map { i =>
+      val t =
+        if (i % 9 == 0) text // planted dup cluster
+        else (1 to 12).map(_ => s"w${rnd.nextInt(40)}").mkString(" ")
+      (i, t)
+    }.toDF("doc_id", "text")
+    val mh = TextDedup.signatureFrame(docs)
+    val bands = mh.filter(col("mh1").isNotNull)
+      .select(col("doc_id"), explode(array((1 to 4).map { b =>
+        struct(lit(b).as("bid"),
+          concat_ws("_", col(s"mh${2 * b - 1}"), col(s"mh${2 * b}")).as("key"))
+      }: _*)).as("band"))
+      .select(col("doc_id"), col("band.bid").as("bid"), col("band.key").as("key"))
+    val ref = bands.as("a").join(bands.as("b"),
+        col("a.bid") === col("b.bid") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val packed = TextDedup.lshPairs(mh, cap = 1 << 20) // uncapped regime
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(packed == ref && ref.nonEmpty,
+      s"packed pair set diverges from the string-keyed reference " +
+        s"(${packed.size} vs ${ref.size})")
+  }
+
   test("degenerate all-identical corpus: capped LSH yields O(n) star pairs, not O(n^2)") {
     val n = 300
     val mh = TextDedup.signatureFrame(identicalDocs(n))
