@@ -23,15 +23,13 @@ import org.apache.spark.sql.functions._
   *   (env SPARK_GRAFT_MASTER overrides spark://localhost:7077)
   */
 object ClusterProbe {
-  def main(args: Array[String]): Unit = {
-    val d = args.headOption.getOrElse("/tmp/sf100")
-    val poolM = if (args.length > 1) args(1).toDouble else 30.0
-    val reps = if (args.length > 2) args(2).toInt else 3
-    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "spark://localhost:7077")
 
-    // graft.Spark.session hardcodes local[*]; this session carries the
-    // same SQL posture but targets the standalone master, with executors
-    // loading the engine classes from the build dir (same box)
+  /** The standalone-cluster session every cluster probe/smoke shares:
+    * graft.Spark.session's SQL posture, but targeting the harness master,
+    * with executors loading the engine classes from the build dir (same
+    * box). Extracted so ClusterSmoke cannot drift from the probe's
+    * configuration. */
+  def session(master: String): SparkSession = {
     val classesDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
     val spark = SparkSession.builder()
       .appName("graft-cluster-probe")
@@ -50,6 +48,15 @@ object ClusterProbe {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/tmp/sf100")
+    val poolM = if (args.length > 1) args(1).toDouble else 30.0
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "spark://localhost:7077")
+    val spark = session(master)
 
     def sh = graft.Tables.documents(spark, d)
       .withColumn("_th", graft.functions.Text.tokenHashesFromText(col("text")))

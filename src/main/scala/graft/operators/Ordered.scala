@@ -88,6 +88,35 @@ object Ordered {
       .drop("tb", "_b")
   }
 
+  /** Row threshold for [[prCurveAuto]]'s exact-window arm. Below it the
+    * single-reducer sweep is a sub-megabyte sort (8 narrow columns ×
+    * ~48 B/row ≈ 5 MB at the cap) and skips [[prCurveScalable]]'s extra
+    * approxQuantile pass; above it one task would sort an unbounded input
+    * (the WindowExec "No Partition Defined" hazard VERDICT r15 #3 flagged
+    * as W1's default entry point). */
+  val PR_EXACT_MAX: Long = 100000L
+
+  /** W1 auto — the sweep with its physical form chosen by the engine on a
+    * MEASURED row count, the compressAuto/suppressAuto pattern (VERDICT
+    * r15 #3: the exact sweep was the default entry point and nothing
+    * stopped it planning an unbounded global sort). At or under `exactMax`
+    * rows: [[prCurve]]'s single sanctioned global window. Above:
+    * [[prCurveScalable]], which is row-for-row IDENTICAL (OrderedSpec
+    * proves it, ties included) — so unlike a dispatch to the quantized
+    * [[prCurveBucketed]], the regime choice is invisible to every caller
+    * and oracle; bucketed stays the explicit resolution-for-cost option.
+    * The probe is a `limit(exactMax+1).count()`: LocalLimit stops the scan
+    * as soon as the threshold is exceeded, so a fact-scale input never
+    * pays a full count just to be told it is large. */
+  def prCurveAuto(df: DataFrame, score: Column, tp: Column, fp: Column,
+                  tieBreak: Column, exactMax: Long = PR_EXACT_MAX): DataFrame = {
+    require(exactMax >= 0 && exactMax < Int.MaxValue,
+      s"prCurveAuto requires 0 <= exactMax < Int.MaxValue, got $exactMax")
+    if (df.limit(exactMax.toInt + 1).count() <= exactMax)
+      prCurve(df, score, tp, fp, tieBreak)
+    else prCurveScalable(df, score, tp, fp, tieBreak)
+  }
+
   /** W1 at scale — score-bucketed P/R sweep: quantize scores to `nBuckets`,
     * aggregate tp/fp per bucket (one distributed shuffle with map-side
     * combine), then run the cumulative sweep over the SMALL bucket table.
@@ -293,6 +322,13 @@ object Ordered {
                      maxCellRows: Long = 8L << 20,
                      maxCells: Int = 1 << 18): DataFrame = {
     require(k > 0, s"everyKthPacked requires k > 0, got $k")
+    // maxCells = Int.MaxValue would overflow take(maxCells + 1) into a
+    // negative limit, and <= 0 silently forces the window fallback —
+    // both are caller bugs, not regimes (advisor r15)
+    require(maxCells > 0 && maxCells < Int.MaxValue,
+      s"everyKthPacked requires 0 < maxCells < Int.MaxValue, got $maxCells")
+    require(maxCellRows > 0,
+      s"everyKthPacked requires maxCellRows > 0, got $maxCellRows")
     val spark = df.sparkSession
     import spark.implicits._
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt

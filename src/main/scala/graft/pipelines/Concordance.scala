@@ -57,12 +57,14 @@ object Concordance {
     * reference's noise floor: curve points with fewer than `minCalls`
     * remaining calls are suppressed (stats_utils.py:162-163,202-210).
     *
-    * Runs on [[Ordered.prCurveScalable]] — row-identical to the sequential
-    * [[Ordered.prCurve]] (ConcordanceSpec proves it) but parallel over
-    * score-quantile buckets, so evaluating a full-callset curve never
-    * funnels through one reducer. */
+    * Runs on [[Ordered.prCurveAuto]] (r16): a small filtered callset takes
+    * the plain exact window, a fact-scale one the two-phase scalable form
+    * — which is row-identical to the sequential [[Ordered.prCurve]]
+    * (ConcordanceSpec proves it) but parallel over score-quantile buckets,
+    * so evaluating a full-callset curve never funnels through one
+    * reducer whichever regime fires. */
   def recallPrecisionCurve(df: DataFrame, minCalls: Long = 20): DataFrame = {
-    val curve = Ordered.prCurveScalable(df.filter(col("tp") || col("fp")),
+    val curve = Ordered.prCurveAuto(df.filter(col("tp") || col("fp")),
       col("score"), col("tp"), col("fp"), col("row_key"))
     curve.withColumn("n_calls", col("ctp") + col("cfp"))
       .filter(col("n_calls") >= minCalls)

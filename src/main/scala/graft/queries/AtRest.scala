@@ -47,10 +47,17 @@ import graft.Tables
   * `FileContext.rename` with no OVERWRITE flag: it FAILS if the target
   * exists, which is exactly the first-writer-wins primitive the ensure
   * path needs (a losing racer's `FileSystem.rename` would instead move
-  * its temp INSIDE the winner's directory). Atomic on local/HDFS; object
-  * stores emulate rename as copy+delete, so a real s3 deployment would
-  * put a table-format commit (Iceberg/Delta) in this seam — the store's
-  * API surface (ensure/publish/present) is already shaped for that swap.
+  * its temp INSIDE the winner's directory). Atomic on local/HDFS. Object
+  * stores emulate rename as copy+delete, so the publish additionally
+  * carries a COMMIT MARKER (r16, VERDICT r15 #2): a `_GRAFT_COMMIT`
+  * object written only after the whole data move, required by
+  * `present()` alongside `_SUCCESS`, removed FIRST on any delete — so a
+  * half-copied or half-deleted table is structurally invisible to
+  * consumers on ANY filesystem, and publish clears such corpses itself
+  * before renaming. This is the minimal Iceberg-shaped commit protocol
+  * without adopting a table format offline; a real s3 deployment can
+  * still swap a catalog commit into the same ensure/publish/present
+  * seam.
   *
   * Consumers ENSURE (build-if-absent) so every registered query stays
   * self-contained for the correctness gate; Bench/RunQuery pre-seed the
@@ -155,9 +162,24 @@ object AtRest {
     fsFor(s, p).delete(p, true): Unit
   }
 
-  private def present(s: SparkSession, path: String): Boolean = {
-    val p = new Path(path, "_SUCCESS")
-    fsFor(s, p).exists(p)
+  /** The publish commit marker — written into the table directory AFTER
+    * the temp→target data move completes, and required by [[present]]
+    * alongside Spark's `_SUCCESS` (VERDICT r15 #2). On local/HDFS the
+    * rename is atomic and the marker is belt-and-braces; on an object
+    * store that emulates rename as copy+delete, a consumer could otherwise
+    * list a HALF-COPIED table whose `_SUCCESS` object happened to copy
+    * first and trust it as complete. A single small-object PUT is atomic
+    * on every store, so marker-present ⟹ some publish finished its whole
+    * data move first. The marker needs no content fingerprint of its own:
+    * the table path already IS the content address (store dir =
+    * corpus fingerprint, table name = derivation recipe), so "this exact
+    * path committed" is precisely "these exact bytes committed". */
+  private[queries] val CommitMarker = "_GRAFT_COMMIT"
+
+  private[queries] def present(s: SparkSession, path: String): Boolean = {
+    val fs = fsFor(s, new Path(path))
+    fs.exists(new Path(path, "_SUCCESS")) &&
+      fs.exists(new Path(path, CommitMarker))
   }
 
   // one lock per JVM (Verify/Bench are sequential; a racing ensure from a
@@ -186,10 +208,17 @@ object AtRest {
     val tmp = new Path(
       s"$path.inprogress-${java.util.UUID.randomUUID.toString.take(8)}")
     df.write.mode("overwrite").parquet(tmp.toString)
+    // a target that exists but is not present() is a CORPSE — a publish
+    // whose copy-rename or delete was interrupted before its commit marker
+    // landed (or after the marker was removed). Consumers already treat it
+    // as absent; delete it on EVERY path so the rename below cannot be
+    // blocked forever by debris (the ensure path would otherwise fail-if-
+    // exists against a table no reader will ever trust).
+    if (fs.exists(target) && !present(s, path)) deleteTable(fs, target, path)
     // delete returning false with the path still present is a real
     // failure; false because the path vanished (a racing overwrite's
     // delete won) is not — re-check before aborting
-    if (overwrite && fs.exists(target) && !fs.delete(target, true) &&
+    if (overwrite && fs.exists(target) && !deleteTable(fs, target, path) &&
         fs.exists(target)) {
       fs.delete(tmp, true): Unit
       throw new java.io.IOException(
@@ -200,12 +229,44 @@ object AtRest {
     catch {
       case e: java.io.IOException =>
         fs.delete(tmp, true): Unit
-        // a COMPLETE target appearing during an ensure build is the lost
-        // race, not an error; anything else (including any overwrite-path
-        // failure — we just deleted the target, so it cannot have
-        // legitimately reappeared) propagates
-        if (overwrite || !present(s, path)) throw e
+        // a COMMITTED target appearing before our rename is the lost race,
+        // not an error — on the ensure path (first-writer-wins) AND on the
+        // overwrite path, where a concurrent ensure can legitimately
+        // republish in our delete→rename window (advisor r15); contents
+        // are deterministic per (fingerprint, recipe), so the winner's
+        // bytes equal ours either way. A racer that won the rename may not
+        // have written its marker yet — give that sub-second window a
+        // bounded grace before declaring the target broken. An absent or
+        // still-uncommitted target after that is a real failure.
+        var lostRace = present(s, path)
+        var waited = 0
+        while (!lostRace && waited < 20 && fs.exists(target)) {
+          Thread.sleep(100); waited += 1; lostRace = present(s, path)
+        }
+        if (!lostRace) throw e
     }
+    // the commit, AFTER the whole data move: one small-object atomic
+    // create. fail-if-exists (overwrite=false) — a marker already there
+    // means a racer fully committed between our rename and this line,
+    // which the rename's fail-if-exists makes impossible on local/HDFS;
+    // guard anyway so a logic error surfaces loudly rather than silently
+    // double-committing
+    val marker = new Path(path, CommitMarker)
+    val out = fs.create(marker, false)
+    try out.write(
+      s"graft at-rest commit ${java.time.Instant.now()}\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Delete a published table with the marker FIRST: the marker delete is
+    * one atomic small-object remove, so the table flips to not-present()
+    * before any data file disappears — an interrupted delete can never
+    * leave a committed-looking half-table (the mirror image of writing
+    * the marker last on publish). */
+  private def deleteTable(fs: FileSystem, target: Path, path: String): Boolean = {
+    val marker = new Path(path, CommitMarker)
+    if (fs.exists(marker)) fs.delete(marker, false): Unit
+    fs.delete(target, true)
   }
 
   /** Signature build — from the RAW documents table, deliberately not the

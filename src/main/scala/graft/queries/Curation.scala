@@ -280,13 +280,79 @@ object Curation {
                                     fpp: Double = 0.01): DataFrame =
     bloomAgainstPoolPlan(corpusSh, pool, minShared, fpp)._1
 
+  /** Decision boundary for [[decontaminateAutoAgainstPool]]: the largest
+    * pool (distinct shingle hashes) the EXACT broadcast arm may take.
+    *
+    * Measured, not guessed (ClusterProbe r15, real 2-executor standalone
+    * cluster, 30M-hash pool, outputs row-identical every rep): exact
+    * broadcast 50.0/63.3 s clean reps vs bloom 214/342/400 s — the bloom
+    * arm loses 4-8× at broadcastable pool sizes because
+    * `pool.stat.bloomFilter` tree-aggregates ~36-MB partial sketches from
+    * EVERY task to the driver, while the exact arm ships one ~300-MB
+    * torrent broadcast once. 30M keys is also the measured EDGE of the
+    * exact arm's safety: one rep timed an executor relaunch after exit-137
+    * kills during the ~300-MB broadcast reads (~54 s reads starving
+    * heartbeat liveness on 16 busy cores). So the cap sits exactly at the
+    * largest pool the probe certified the exact arm winning; past it the
+    * fixed ~9.6 bits/key sketch is the only shippable form (a 10^9-hash
+    * production pool: 1.2 GB sketch vs an unbuildable ~16 GB hashed
+    * relation per executor). */
+  val EXACT_POOL_CAP: Long = 30L * 1000 * 1000
+
+  /** Decontamination with the exact-vs-bloom choice made by the engine on
+    * the pool's MEASURED size — the compressAuto/suppressAuto pattern
+    * applied to the x6/x15 pair (VERDICT r15 #1: both arms are correct and
+    * oracle-gated, but the manual choice was the one place a caller could
+    * pick a measured-wrong plan by default). One count of the pool's
+    * single `h` column decides: at or under [[EXACT_POOL_CAP]] the exact
+    * broadcast arm (wins 4-8× on a real cluster there), above it the
+    * bloom-prefilter arm (the only shippable form past broadcast
+    * capacity). The probe count is reused as the bloom arm's sizing count,
+    * so the bloom regime pays no extra pool pass vs calling x15 directly;
+    * the exact regime pays the one count — vocabulary-sized, a rounding
+    * error next to the corpus explode both arms share. Output is identical
+    * on both arms (CurationSpec pins the dispatch AND the equality). */
+  def decontaminateAutoAgainstPool(corpusSh: DataFrame, pool: DataFrame,
+                                   minShared: Int = MIN_SHARED,
+                                   fpp: Double = 0.01,
+                                   exactCap: Long = EXACT_POOL_CAP): DataFrame =
+    autoAgainstPoolPlan(corpusSh, pool, minShared, fpp, exactCap)._1
+
+  /** In-corpus form of [[decontaminateAutoAgainstPool]] (pool = the
+    * doc_id-modulus eval subset's distinct shingles) — the registered x6
+    * resolves through this, so the engine's default decontamination entry
+    * point can no longer plan the measured-wrong arm at either regime. */
+  def decontaminateAutoFrom(sh: DataFrame, evalMod: Int = EVAL_MOD,
+                            minShared: Int = MIN_SHARED,
+                            fpp: Double = 0.01,
+                            exactCap: Long = EXACT_POOL_CAP): DataFrame =
+    decontaminateAutoAgainstPool(sh.filter(col("doc_id") % evalMod =!= 0),
+      evalPoolFrom(sh, evalMod), minShared, fpp, exactCap)
+
+  /** The dispatch with its decision exposed — CurationSpec pins WHICH arm
+    * fired in each regime, not just that the rows came out equal. */
+  private[queries] def autoAgainstPoolPlan(
+      corpusSh: DataFrame, pool: DataFrame, minShared: Int, fpp: Double,
+      exactCap: Long): (DataFrame, String) = {
+    require(exactCap >= 0, s"exactCap must be >= 0, got $exactCap")
+    val nPool = pool.select("h").count()
+    if (nPool <= exactCap)
+      (decontaminateAgainstPool(corpusSh, pool, minShared), "exact")
+    else
+      (bloomAgainstPoolPlan(corpusSh, pool, minShared, fpp, Some(nPool))._1,
+        "bloom")
+  }
+
   private def bloomAgainstPoolPlan(
-      corpusSh: DataFrame, pool0: DataFrame, minShared: Int, fpp: Double)
+      corpusSh: DataFrame, pool0: DataFrame, minShared: Int, fpp: Double,
+      knownPoolCount: Option[Long] = None)
       : (DataFrame, Option[org.apache.spark.broadcast.Broadcast[
           org.apache.spark.util.sketch.BloomFilter]]) = {
     val pool = pool0.select("h")
     val s = pool.sparkSession
-    val nPool = pool.count()
+    // the auto dispatcher already counted the pool to pick this arm —
+    // reuse its number instead of a third pool pass
+    val nPool = knownPoolCount.getOrElse(pool.count())
     // an empty pool (every eval doc under 3 tokens) has nothing to match —
     // and Spark's bloomFilter aggregate NPEs on an empty frame (null
     // buffer into BloomFilter.readFrom); the exact path returns the same
@@ -583,8 +649,13 @@ object Curation {
     // ----- X13: deterministic epoch shuffle-and-shard assignment
     "x13_shuffle_shard" -> { (s, d) => shuffleShard(Tables.documents(s, d)) },
     // ----- X6: train/test decontamination — n-gram containment of every
-    // corpus doc against the broadcast eval pool
-    "x6_decontaminate" -> { (s, d) => decontaminateFrom(cachedShingleSets(s, d)) },
+    // corpus doc against the eval pool, with the exact-broadcast vs bloom
+    // arm chosen by the engine on the pool's measured size (r16): at every
+    // test sf the pool is far under EXACT_POOL_CAP, so this plans the same
+    // broadcast semi-join as before (PlanSpec still sees it) and the
+    // oracle is unchanged; a production-sized pool flips it to x15's shape
+    "x6_decontaminate" -> { (s, d) =>
+      decontaminateAutoFrom(cachedShingleSets(s, d)) },
     // ----- X15: the Bloom-prefiltered form — fixed-size sketch broadcast,
     // exact verify join over the candidate remainder; output == x6
     "x15_bloom_decontaminate" -> { (s, d) =>

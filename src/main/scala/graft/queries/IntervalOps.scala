@@ -60,12 +60,14 @@ object IntervalOps {
     "w5_interval_merge" -> { (s, d) =>
       Intervals.merge(custIntervals(s, d).drop("c_custkey"))
     },
-    // ----- W1: cumulative precision/recall sweep over a score — the exact
-    // sweep on the two-phase scalable form (row-identical to prCurve,
-    // parallel over score-quantile buckets instead of one global reducer)
+    // ----- W1: cumulative precision/recall sweep over a score — the AUTO
+    // form (r16): a bounded limit-count picks the plain exact window for
+    // small inputs and the two-phase scalable form past PR_EXACT_MAX; the
+    // two are row-identical (OrderedSpec), so the oracle never sees the
+    // dispatch (sf0.01 orders take the exact arm, 100x the scalable one)
     "w1_pr_curve" -> { (s, d) =>
       val o = Tables.orders(s, d).filter(col("o_orderstatus").isin("F", "O"))
-      Ord.prCurveScalable(o, col("o_totalprice"), col("o_orderstatus") === "F",
+      Ord.prCurveAuto(o, col("o_totalprice"), col("o_orderstatus") === "F",
           col("o_orderstatus") === "O", col("o_orderkey"))
         .select(col("rank"),
           r6(col("precision")).as("precision"),
@@ -90,7 +92,7 @@ object IntervalOps {
     // (stats_utils.py:202-210, min_class_counts_to_output)
     "m3_pr_noise_floor" -> { (s, d) =>
       val o = Tables.orders(s, d).filter(col("o_orderstatus").isin("F", "O"))
-      Ord.prCurveScalable(o, col("o_totalprice"), col("o_orderstatus") === "F",
+      Ord.prCurveAuto(o, col("o_totalprice"), col("o_orderstatus") === "F",
           col("o_orderstatus") === "O", col("o_orderkey"))
         .filter(col("ctp") + col("cfp") >= 20)
         .select(col("rank"), col("ctp"), col("cfp"),

@@ -82,6 +82,36 @@ class OrderedSpec extends SparkSpec {
     assert(run(Ordered.prCurveScalable) == run(Ordered.prCurve))
   }
 
+  test("prCurveAuto dispatches on measured rows; both regimes equal the exact sweep") {
+    val rnd = new scala.util.Random(77)
+    val df = (1 to 500).map { i =>
+      (math.floor(rnd.nextDouble() * 50) / 10.0, rnd.nextBoolean(), i.toLong)
+    }.toDF("s", "isTp", "id")
+    def run(out: org.apache.spark.sql.DataFrame) =
+      out.select("rank", "ctp", "cfp", "precision", "recall")
+        .collect().map(_.toSeq).toSet
+    val exact = run(Ordered.prCurve(df, col("s"), col("isTp"), !col("isTp"), col("id")))
+    // under the cap -> the plain exact window (no "_b" bucket column in
+    // the plan), rows equal by construction
+    val under = Ordered.prCurveAuto(df, col("s"), col("isTp"), !col("isTp"),
+      col("id"), exactMax = 1000)
+    assert(!under.queryExecution.analyzed.toString.contains("_b"),
+      "small input must take the exact-window arm")
+    assert(run(under) == exact)
+    // past the cap -> the two-phase scalable form (bucket column present),
+    // rows STILL identical — the dispatch is invisible to callers/oracles
+    val over = Ordered.prCurveAuto(df, col("s"), col("isTp"), !col("isTp"),
+      col("id"), exactMax = 100)
+    assert(over.queryExecution.analyzed.toString.contains("_b"),
+      "large input must take the scalable arm")
+    assert(run(over) == exact)
+    // parameter hygiene mirrors everyKthPacked's
+    intercept[IllegalArgumentException] {
+      Ordered.prCurveAuto(df, col("s"), col("isTp"), !col("isTp"), col("id"),
+        exactMax = Int.MaxValue.toLong)
+    }
+  }
+
   test("everyKthScalable equals the windowed everyKth on multi-partition data") {
     val rnd = new scala.util.Random(31)
     val df = (1 to 5000).map(i => (s"g${i % 3}", rnd.nextInt(1000000) * 10 + i))

@@ -138,6 +138,44 @@ class AtRestSpec extends SparkSpec {
     assert(!Files.exists(store1), "the build path must sweep it")
   }
 
+  test("publish commits via marker: an interrupted copy is invisible and rebuilt") {
+    val d = writeFixture()
+    val sig = AtRest.ensureSignatures(spark, d)
+    // a completed publish carries BOTH gates
+    assert(Files.exists(Paths.get(s"$sig/_SUCCESS")))
+    assert(Files.exists(Paths.get(s"$sig/${AtRest.CommitMarker}")),
+      "publish must write the commit marker after the data move")
+    assert(AtRest.present(spark, sig))
+    val expected = spark.read.parquet(sig).count()
+
+    // simulate the object-store failure mode VERDICT r15 #2 names: a
+    // rename-as-copy that died mid-way — `_SUCCESS` arrived, a data file
+    // did not, and the commit marker (written only after the full move)
+    // never landed. Consumers must treat the table as ABSENT, and the
+    // next ensure must clear the corpse and rebuild.
+    Files.delete(Paths.get(s"$sig/${AtRest.CommitMarker}"))
+    val aPart = new java.io.File(sig).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.delete(aPart.toPath)
+    assert(Files.exists(Paths.get(s"$sig/_SUCCESS")),
+      "fixture must look exactly like a half-copied dir that passed the old gate")
+    assert(!AtRest.present(spark, sig),
+      "an uncommitted table must be invisible to consumers")
+
+    // consumer path falls back to ensure-build: full rows, marker restored
+    val sig2 = AtRest.ensureSignatures(spark, d)
+    assert(sig2 == sig)
+    assert(AtRest.present(spark, sig))
+    assert(spark.read.parquet(sig).count() == expected,
+      "rebuild must restore the complete table over the corpse")
+
+    // and a consumer QUERY (not just the raw ensure) self-heals the same way
+    Files.delete(Paths.get(s"$sig/${AtRest.CommitMarker}"))
+    assert(rows(AtRest.queries("x21_atrest_pairs")(spark, d)) ==
+      rows(TextDedup.queries("d3_lsh_pairs")(spark, d)))
+    assert(AtRest.present(spark, sig), "consumer ensure must re-commit")
+  }
+
   test("a changed corpus gets a fresh store and the stale one is swept") {
     val d = writeFixture()
     val sig1 = AtRest.ensureSignatures(spark, d)

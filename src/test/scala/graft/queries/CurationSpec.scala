@@ -84,6 +84,52 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("auto decontamination dispatches on measured pool size; both arms equal the exact rows") {
+    // mixed corpus with real contamination (same construction as the fuzz
+    // test, fixed seed) so the dispatch equality is pinned on non-empty output
+    val rnd = new scala.util.Random(0xa07)
+    val docs = (0L until 80L).map { i =>
+      val text =
+        if (i % 17 == 0) evalText + s" tail$i"
+        else if (i % 5 == 0) evalText
+        else Seq.fill(10)("n" + (i * 31 + rnd.nextInt(5000))).mkString(" ")
+      (i, text)
+    }.toDF("doc_id", "text")
+    val sh = docs
+      .withColumn("_th", graft.functions.Text.tokenHashesFromText(col("text")))
+      .select(col("doc_id"), graft.functions.Text.sortedShingleSet(col("_th")).as("sh"))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val corpus = sh.filter(col("doc_id") % 17 =!= 0)
+    val pool = Curation.evalPoolFrom(sh)
+    val exact = norm(Curation.decontaminateAgainstPool(corpus, pool, minShared = 3))
+    assert(exact.nonEmpty, "corpus too thin — dispatch equality would be vacuous")
+
+    // pool under the cap -> the EXACT arm must fire (ClusterProbe r15:
+    // exact broadcast wins 4-8x at broadcastable pools)
+    val (underDf, underArm) = Curation.autoAgainstPoolPlan(
+      corpus, pool, minShared = 3, fpp = 0.01, exactCap = Curation.EXACT_POOL_CAP)
+    assert(underArm == "exact", s"small pool must take the exact arm, got $underArm")
+    assert(norm(underDf) == exact)
+
+    // pool past the cap (forced with exactCap = 0) -> the BLOOM arm must
+    // fire, and the sketch+verify output must still equal the exact rows
+    val (overDf, overArm) = Curation.autoAgainstPoolPlan(
+      corpus, pool, minShared = 3, fpp = 0.01, exactCap = 0L)
+    assert(overArm == "bloom", s"past-cap pool must take the bloom arm, got $overArm")
+    assert(norm(overDf) == exact)
+
+    // the registered x6 entry point (in-corpus form) routes through the
+    // dispatcher and keeps its rows identical to the pre-auto form
+    assert(norm(Curation.decontaminateAutoFrom(sh, minShared = 3)) ==
+      norm(Curation.decontaminateFrom(sh, minShared = 3)))
+    // boundary is inclusive: a pool exactly AT the cap stays exact
+    val nPool = pool.select("h").count()
+    val (_, atCapArm) = Curation.autoAgainstPoolPlan(
+      corpus, pool, minShared = 3, fpp = 0.01, exactCap = nPool)
+    assert(atCapArm == "exact")
+  }
+
   test("dup-span stats: run lengths, multi-span docs, clean docs, verbatim pairs") {
     // copy = a 10-token span shared by docs 1 and 2, embedded in per-doc
     // unique noise; its 8 interior shingles are the only shared ones

@@ -28,13 +28,19 @@ start() {
     echo $! > "$LOGDIR/worker$i.pid"
   done
   sleep 4
+  # informational only — a slow master may not have logged these lines yet,
+  # and under set -e an empty grep would fail the harness AFTER the daemons
+  # launched (advisor r15)
   grep -h "Starting Spark master\|Registering worker\|registered" \
-    "$LOGDIR"/master.log | tail -3
+    "$LOGDIR"/master.log | tail -3 || true
 }
 
 stop() {
+  # nullglob: with no .pid files the loop body must not see a literal
+  # '*.pid' (cat of it would fail under set -e; advisor r15)
+  shopt -s nullglob
   for f in "$LOGDIR"/*.pid; do
-    [ -f "$f" ] && kill "$(cat "$f")" 2>/dev/null || true
+    kill "$(cat "$f")" 2>/dev/null || true
     rm -f "$f"
   done
   echo stopped

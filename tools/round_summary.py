@@ -13,16 +13,13 @@ loc = load("BENCH_LOCAL.json")
 uni = load("BENCH_UNIFORM100.json")
 skw = load("BENCH_SKEW100.json")
 # BENCH_r01.json stores the driver's truncated tail; recover the queries
-# map by brace-matching from "queries":{
+# map with a real JSON parse anchored at the object start (raw_decode stops
+# at the matching brace — manual brace counting miscounts if any string
+# value contains one; advisor r15)
 _t = load("BENCH_r01.json")["tail"]
 _i = _t.index('"queries":{') + len('"queries":')
-_d, _j = 0, _i
-while True:
-    _d += {"{": 1, "}": -1}.get(_t[_j], 0)
-    _j += 1
-    if _d == 0:
-        break
-base = {"queries": json.loads(_t[_i:_j])}
+_bq, _ = json.JSONDecoder().raw_decode(_t, _i)
+base = {"queries": _bq}
 
 print(f"BENCH_LOCAL  total {loc['value']:.1f} n {len(loc['queries'])} "
       f"errors {loc.get('errors')} load_before {loc.get('load_before')}")
