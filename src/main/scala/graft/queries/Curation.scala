@@ -299,6 +299,12 @@ object Curation {
     * relation per executor). */
   val EXACT_POOL_CAP: Long = 30L * 1000 * 1000
 
+  /** Tasks used to BUILD the bloom sketch (see the coalesce at the build
+    * site): driver-bound partial traffic is tasks × full-pool sketch
+    * bytes, so this stays small; 4 keeps a 10^9-key build's partial
+    * traffic under ~5 GB where 32 tasks would ship ~38 GB. */
+  val BLOOM_BUILD_TASKS: Int = 4
+
   /** Decontamination with the exact-vs-bloom choice made by the engine on
     * the pool's MEASURED size — the compressAuto/suppressAuto pattern
     * applied to the x6/x15 pair (VERDICT r15 #1: both arms are correct and
@@ -359,7 +365,20 @@ object Curation {
     // empty result totally (TextEdgeSpec's adversarial corpus hits this)
     if (nPool == 0)
       return (decontaminateAgainstPool(corpusSh, pool, minShared), None)
-    val bloom = pool.stat.bloomFilter("h", nPool, fpp)
+    // Sketch-build task cap (r16): EVERY build task emits a partial sketch
+    // sized for the FULL pool (BloomFilter.create(nPool, fpp) — ~9.6
+    // bits/key regardless of how few keys the task saw), so the
+    // aggregation ships tasks × sketch-bytes toward the driver. ClusterProbe
+    // r15 measured exactly that as bloom's dominant real-cluster cost
+    // (~36-MB partials per task; bloom 214-400 s vs exact 50-63 s at a
+    // 30M-key pool), and at bloom's OWN regime — pools past broadcast
+    // capacity, e.g. 10^9 keys ≈ 1.2-GB sketch — 32 unmerged partials
+    // would be a ~38-GB driver OOM before any heartbeat concern.
+    // Coalescing the build scan to a few tasks cuts that traffic
+    // multiplicatively; the inserts are cheap hashes that just pack onto
+    // fewer cores, and only the sketch build is affected (the verify join
+    // still scans the un-coalesced pool at full parallelism).
+    val bloom = pool.coalesce(BLOOM_BUILD_TASKS).stat.bloomFilter("h", nPool, fpp)
     val bloomB = s.sparkContext.broadcast(bloom)
     val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))
     // NO broadcast hint on the verify join — that would re-ship the full

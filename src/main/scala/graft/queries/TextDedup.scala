@@ -470,11 +470,21 @@ object TextDedup {
         col("band.k1").as("k1"), col("band.k2").as("k2"), col("sig"))
     val multi = bands.groupBy("bid", "k1", "k2").agg(count(lit(1)).as("bc"))
       .filter(col("bc") >= 2)
-    // join-back lands on the aggregate's own key layout — no extra exchange
-    val banded = bands.join(multi, Seq("bid", "k1", "k2"))
+    // join-back lands on the aggregate's own key layout — no extra
+    // exchange. MERGE-hinted (r16, D3PlanPeek): both sides are band-key-
+    // cardinality ~ corpus-sized, but a parquet signature input's STATIC
+    // stats under-estimate the exploded band stream (post-Generate size ≈
+    // the 32-MB file), so Catalyst planned BuildLeft broadcasts of the
+    // full banded stream — a driver-built 0.5-1 GB hashed relation at the
+    // 100x replica (store arm 26-50 s vs the memo arm's accurate-stats
+    // SMJ plan at 19.6-30 s, D3StoreProbe). The hint pins the layout-
+    // reusing shuffle plan the operator was designed around, whatever the
+    // input's stats source.
+    val banded = bands.join(multi.hint("merge"), Seq("bid", "k1", "k2"))
       .select(col("doc_id"), col("bid"), col("k1"), col("k2"), col("sig"))
-    // flatMapSortedGroups — see the BandPairIterator group-integrity contract
-    banded.join(docsSh.filter(col("sh").isNotNull), Seq("doc_id"))
+    // flatMapSortedGroups — see the BandPairIterator group-integrity
+    // contract. Same merge pin: the shingle-set side is corpus-sized too.
+    banded.join(docsSh.filter(col("sh").isNotNull).hint("merge"), Seq("doc_id"))
       .select(col("bid"), col("k1"), col("k2"), col("doc_id").as("docId"),
         col("sig"), col("sh"))
       .as[BandedDoc2]
