@@ -208,13 +208,27 @@ object AtRest {
     val tmp = new Path(
       s"$path.inprogress-${java.util.UUID.randomUUID.toString.take(8)}")
     df.write.mode("overwrite").parquet(tmp.toString)
-    // a target that exists but is not present() is a CORPSE — a publish
-    // whose copy-rename or delete was interrupted before its commit marker
-    // landed (or after the marker was removed). Consumers already treat it
-    // as absent; delete it on EVERY path so the rename below cannot be
-    // blocked forever by debris (the ensure path would otherwise fail-if-
-    // exists against a table no reader will ever trust).
-    if (fs.exists(target) && !present(s, path)) deleteTable(fs, target, path)
+    // a target that exists but is not present() is EITHER a corpse — a
+    // publish whose copy-rename or delete was interrupted before its
+    // commit marker landed (or after the marker was removed) — OR a
+    // concurrent winner inside its sub-second rename→marker window.
+    // Deleting immediately races the latter: the cleaner can remove a
+    // complete table whose marker lands a beat later, leaving a
+    // marker-only corpse that reads as present but has no parquet (r16
+    // advisor). Grant the same bounded grace the rename-failure path
+    // grants: re-check present() over ~2s, and only declare a corpse (and
+    // delete, so the rename below cannot be blocked forever by debris) if
+    // the marker never appears. A target that commits during the grace is
+    // a live table — the ensure path will lose the rename and adopt it;
+    // the overwrite path deletes it deliberately just below.
+    if (fs.exists(target) && !present(s, path)) {
+      var committed = false
+      var waited = 0
+      while (!committed && waited < 20 && fs.exists(target)) {
+        Thread.sleep(100); waited += 1; committed = present(s, path)
+      }
+      if (!committed && fs.exists(target)) deleteTable(fs, target, path)
+    }
     // delete returning false with the path still present is a real
     // failure; false because the path vanished (a racing overwrite's
     // delete won) is not — re-check before aborting
@@ -225,37 +239,44 @@ object AtRest {
         s"at-rest publish: could not delete $target for overwrite")
     }
     val fc = FileContext.getFileContext(fs.getUri, hconf(s))
-    try fc.rename(fs.makeQualified(tmp), fs.makeQualified(target))
-    catch {
-      case e: java.io.IOException =>
-        fs.delete(tmp, true): Unit
-        // a COMMITTED target appearing before our rename is the lost race,
-        // not an error — on the ensure path (first-writer-wins) AND on the
-        // overwrite path, where a concurrent ensure can legitimately
-        // republish in our delete→rename window (advisor r15); contents
-        // are deterministic per (fingerprint, recipe), so the winner's
-        // bytes equal ours either way. A racer that won the rename may not
-        // have written its marker yet — give that sub-second window a
-        // bounded grace before declaring the target broken. An absent or
-        // still-uncommitted target after that is a real failure.
-        var lostRace = present(s, path)
-        var waited = 0
-        while (!lostRace && waited < 20 && fs.exists(target)) {
-          Thread.sleep(100); waited += 1; lostRace = present(s, path)
-        }
-        if (!lostRace) throw e
+    val weWon =
+      try { fc.rename(fs.makeQualified(tmp), fs.makeQualified(target)); true }
+      catch {
+        case e: java.io.IOException =>
+          fs.delete(tmp, true): Unit
+          // a COMMITTED target appearing before our rename is the lost
+          // race, not an error — on the ensure path (first-writer-wins)
+          // AND on the overwrite path, where a concurrent ensure can
+          // legitimately republish in our delete→rename window (advisor
+          // r15); contents are deterministic per (fingerprint, recipe), so
+          // the winner's bytes equal ours either way. A racer that won the
+          // rename may not have written its marker yet — give that
+          // sub-second window a bounded grace before declaring the target
+          // broken. An absent or still-uncommitted target after that is a
+          // real failure.
+          var lostRace = present(s, path)
+          var waited = 0
+          while (!lostRace && waited < 20 && fs.exists(target)) {
+            Thread.sleep(100); waited += 1; lostRace = present(s, path)
+          }
+          if (!lostRace) throw e
+          false
+      }
+    // the commit, AFTER the whole data move — and ONLY on the winning
+    // rename: on a lost race the winner's _GRAFT_COMMIT already exists
+    // (present() just confirmed it), so writing ours would throw
+    // FileAlreadyExistsException and fail an ensure that should adopt the
+    // winner's byte-equivalent table (r16 advisor). One small-object
+    // atomic create, fail-if-exists: on the winning path a pre-existing
+    // marker is a logic error that should surface loudly rather than
+    // silently double-commit.
+    if (weWon) {
+      val marker = new Path(path, CommitMarker)
+      val out = fs.create(marker, false)
+      try out.write(
+        s"graft at-rest commit ${java.time.Instant.now()}\n".getBytes("UTF-8"))
+      finally out.close()
     }
-    // the commit, AFTER the whole data move: one small-object atomic
-    // create. fail-if-exists (overwrite=false) — a marker already there
-    // means a racer fully committed between our rename and this line,
-    // which the rename's fail-if-exists makes impossible on local/HDFS;
-    // guard anyway so a logic error surfaces loudly rather than silently
-    // double-committing
-    val marker = new Path(path, CommitMarker)
-    val out = fs.create(marker, false)
-    try out.write(
-      s"graft at-rest commit ${java.time.Instant.now()}\n".getBytes("UTF-8"))
-    finally out.close()
   }
 
   /** Delete a published table with the marker FIRST: the marker delete is

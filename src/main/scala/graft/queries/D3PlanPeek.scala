@@ -22,10 +22,14 @@ object D3PlanPeek {
       val p = df.queryExecution.executedPlan.toString
       println(s"=== $tag ===")
       println(p)
+      // anchor each operator name on a non-letter left boundary so the
+      // counts are disjoint ("Exchange" must not also count every
+      // ReusedExchange/BroadcastExchange — r16 advisor)
       println(s"--- $tag summary: " +
         Seq("Exchange", "ReusedExchange", "BroadcastHashJoin",
           "SortMergeJoin", "ShuffledHashJoin", "FileScan", "InMemoryTableScan")
-          .map(k => s"$k=${k.r.findAllIn(p).length}").mkString(" "))
+          .map(k => s"$k=${s"(?<![A-Za-z])$k".r.findAllIn(p).length}")
+          .mkString(" "))
     }
     shape("STORE", TextDedup.pairScoresGrouped(s, sh, mhStore))
     shape("MEMO", TextDedup.pairScoresGrouped(s, sh, mhMemo))

@@ -106,18 +106,52 @@ class PlanSpec extends SparkSpec {
     // reused that user exchange as an adjacent join's input and AQE's
     // runtime join rewrites voided band co-location — a real 2.96M-vs-
     // 4.47M pair miscount at the 100x replica (BandPairIterator contract).
+    // r17: the old assert here was a substring co-occurrence heuristic
+    // (`doc_a#` + `sortmergejoin` anywhere in the plan) that fired falsely
+    // on r16's merge-hinted INPUT joins — the contract is structural: no
+    // Join operator may be KEYED on the pair columns. Pair columns appear
+    // legitimately in Project/HashAggregate/Exchange lines; a regression
+    // would put them in a `...Join [doc_a#...` line.
+    val pairJoin = "(?m)^.*Join.*doc_[ab]#".r
     for (q <- Seq("d3_lsh_pairs", "d4_jaccard_verify",
                   "x17_incremental_dedup", "x21_atrest_pairs")) {
-      val p = SparkEntry.queries(q)(spark, sfDir)
-        .queryExecution.executedPlan.toString
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      // execute so AQE finalizes — join-type pins on an initial plan are
+      // vacuous (memory 9g); the final plan is where a runtime broadcast
+      // demotion/promotion would show
+      df.queryExecution.toRdd.count(): Unit
+      val p = df.queryExecution.executedPlan.toString
       assert(p.contains("MapGroups"), s"$q lost the grouped band automaton")
-      assert(!p.contains("doc_a#") || !p.toLowerCase.contains("sortmergejoin"),
-        s"$q re-joins pair rows")
+      pairJoin.findFirstIn(p).foreach { line =>
+        fail(s"$q re-joins pair rows — a Join is keyed on doc_a/doc_b: $line")
+      }
+      // any broadcast join in a band plan must be a SEMI join (x17's
+      // batch-proportional touched-bands prefilter) — an INNER
+      // BroadcastHashJoin here means Catalyst built a corpus-sized hashed
+      // relation on the driver (the r16 D3StoreProbe scale-killer: parquet
+      // static stats under-estimate the exploded band stream)
+      "(?m)^.*BroadcastHashJoin.*$".r.findAllIn(p).foreach { line =>
+        assert(line.contains("LeftSemi"),
+          s"$q plans a non-semi broadcast join (corpus-sized build side): $line")
+      }
       // r15: the band key is the two source mh longs (bid, k1, k2) —
       // a concat_ws key would put a 25-45B variable-width string back on
       // the d-family's biggest exchange
       assert(!p.contains("concat_ws"),
         s"$q regressed to the string band key")
+    }
+    // positive pin for the r16 merge hints: d3/d4's two corpus-sized
+    // join-backs (bands↔multi on the band key, banded↔shingles on doc_id)
+    // must stay shuffle merge joins whatever the signature input's stats
+    // source — if either line disappears the hint silently reverted
+    for (q <- Seq("d3_lsh_pairs", "d4_jaccard_verify")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.queryExecution.toRdd.count(): Unit
+      val p = df.queryExecution.executedPlan.toString
+      assert("SortMergeJoin \\[bid#".r.findFirstIn(p).isDefined,
+        s"$q lost the merge-hinted band-key join-back")
+      assert("SortMergeJoin \\[doc_id#".r.findFirstIn(p).isDefined,
+        s"$q lost the merge-hinted shingle join-back")
     }
   }
 
