@@ -203,13 +203,25 @@ object TextDedup {
     * connectivity, not the pairs themselves. Public: custom CC consumers
     * (and D7Probe's stage split) want the edge set without the pair
     * list. */
-  def bandStarEdges(mh: DataFrame): DataFrame = {
+  def bandStarEdges(mh: DataFrame, pinMerge: Boolean = false): DataFrame = {
     val bands = bandRows(mh)
     // join-back lands on the keys the aggregate shuffled on — no second
-    // exchange (same layout trick as lshPairs)
+    // exchange (same layout trick as lshPairs). Deliberately NOT
+    // merge-hinted by default, unlike pairScoresGrouped's join-backs
+    // (r17): the build side here is the bc>=2-filtered AGGREGATE sitting
+    // above its own materialized shuffle stage, so AQE sizes the
+    // broadcast decision from RUNTIME stats, not the parquet static
+    // stats that mis-planned d3 (there the broadcast side was a scan-side
+    // stream with no shuffle below it — nothing measured). Small multi
+    // set (the real-corpus low-dup case) → broadcast that skips
+    // re-shuffling the giant exploded band stream; huge multi set → AQE's
+    // re-optimization keeps the merge join. D7EdgesProbe measures the
+    // anti-lever (pinMerge=true) against this adaptive default at the
+    // 100x replica.
     val stats = bands.groupBy("bid", "k1", "k2")
       .agg(count(lit(1)).as("bc"), min("doc_id").as("mindoc"))
-    bands.join(stats, Seq("bid", "k1", "k2"))
+    bands.join(if (pinMerge) stats.hint("merge") else stats,
+        Seq("bid", "k1", "k2"))
       .filter(col("bc") >= 2 && col("doc_id") =!= col("mindoc"))
       .select(col("mindoc").as("doc_a"), col("doc_id").as("doc_b"))
       .distinct()
@@ -477,9 +489,16 @@ object TextDedup {
     // the 32-MB file), so Catalyst planned BuildLeft broadcasts of the
     // full banded stream — a driver-built 0.5-1 GB hashed relation at the
     // 100x replica (store arm 26-50 s vs the memo arm's accurate-stats
-    // SMJ plan at 19.6-30 s, D3StoreProbe). The hint pins the layout-
-    // reusing shuffle plan the operator was designed around, whatever the
-    // input's stats source.
+    // SMJ plan at 19.6-30 s, D3StoreProbe, pre-hint). The hint pins the
+    // layout-reusing shuffle plan the operator was designed around,
+    // whatever the input's stats source. POST-hint r17 measurement
+    // (D3StoreProbe /tmp/sf100, 3 interleaved reps, slow window spin
+    // ~2.0 s): store 27.35/20.74/21.54 s vs memo 21.54/20.03/19.74 s —
+    // the broadcast pathology is gone; the residual ~5% is the parquet
+    // scan the memo arm skips because its signature build shares the
+    // token-hash memo the shingle side already paid for. Checksums
+    // identical every rep (22,574,543 pairs). PlanSpec positively pins
+    // both SMJ join-backs so the hint cannot silently revert.
     val banded = bands.join(multi.hint("merge"), Seq("bid", "k1", "k2"))
       .select(col("doc_id"), col("bid"), col("k1"), col("k2"), col("sig"))
     // flatMapSortedGroups — see the BandPairIterator group-integrity
