@@ -283,27 +283,69 @@ object Curation {
   /** Decision boundary for [[decontaminateAutoAgainstPool]]: the largest
     * pool (distinct shingle hashes) the EXACT broadcast arm may take.
     *
-    * Measured, not guessed (ClusterProbe r15, real 2-executor standalone
-    * cluster, 30M-hash pool, outputs row-identical every rep): exact
-    * broadcast 50.0/63.3 s clean reps vs bloom 214/342/400 s — the bloom
-    * arm loses 4-8× at broadcastable pool sizes because
-    * `pool.stat.bloomFilter` tree-aggregates ~36-MB partial sketches from
-    * EVERY task to the driver, while the exact arm ships one ~300-MB
-    * torrent broadcast once. 30M keys is also the measured EDGE of the
-    * exact arm's safety: one rep timed an executor relaunch after exit-137
-    * kills during the ~300-MB broadcast reads (~54 s reads starving
-    * heartbeat liveness on 16 busy cores). So the cap sits exactly at the
-    * largest pool the probe certified the exact arm winning; past it the
-    * fixed ~9.6 bits/key sketch is the only shippable form (a 10^9-hash
-    * production pool: 1.2 GB sketch vs an unbuildable ~16 GB hashed
-    * relation per executor). */
+    * Measured twice on the real 2-executor standalone cluster at a
+    * 30M-hash pool (outputs row-identical every rep, both rounds).
+    * ClusterProbe r15: exact broadcast 50.0/63.3 s clean reps vs bloom
+    * 214/342/400 s — but r17 found that bloom arm was running a silently
+    * CLAMPED ~94%-FPP sketch (see [[buildPoolBloom]]), so most of its
+    * loss was the verify join eating the unfiltered corpus, not the
+    * partial-shipping mechanism r15 blamed. ClusterProbe r17, sized
+    * sketch [slow noisy window, spin ~2.0]: exact 174/451/148 s vs bloom
+    * 542/350/113 s — comparable same-order arms now, exact winning 2/3
+    * reps. The cap therefore stands on the composite case: exact is
+    * still competitive-to-winning at 30M, and its OTHER leg is safety —
+    * r15 timed executor exit-137 kills during the ~300-MB broadcast
+    * reads (heartbeat starvation on 16 busy cores), so pools much past
+    * this size shouldn't broadcast regardless of speed; past the cap the
+    * fixed ~9.6 bits/key sketch — now a REAL 1%-FPP prefilter — is the
+    * only shippable form (a 10^9-hash production pool: 1.2 GB sketch vs
+    * an unbuildable ~16 GB hashed relation per executor). */
   val EXACT_POOL_CAP: Long = 30L * 1000 * 1000
 
-  /** Tasks used to BUILD the bloom sketch (see the coalesce at the build
-    * site): driver-bound partial traffic is tasks × full-pool sketch
-    * bytes, so this stays small; 4 keeps a 10^9-key build's partial
-    * traffic under ~5 GB where 32 tasks would ship ~38 GB. */
-  val BLOOM_BUILD_TASKS: Int = 4
+  /** Build a CORRECTLY-SIZED Bloom sketch of `pool`'s long `colName` at
+    * full scan parallelism, merging partials executor-side.
+    *
+    * Exists because Spark 4's `df.stat.bloomFilter` silently degrades on
+    * large pools: the DataFrame API routes through the `bloom_filter_agg`
+    * Catalyst aggregate, which CLAMPS its sizing to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
+    * `maxNumBits` (defaults 4,000,000 items / 2^26 bits — tuned for the
+    * optimizer's injected join filters, not user sketches). At a 30M-key
+    * pool and fpp=0.01 the documented sizing is 287.8M bits / 36 MB; the
+    * clamped sketch is 67.1M bits / 8.4 MB with hash count derived from
+    * the clamped 4M items — measured empirical FPP ≈ 0.94 (BloomCapProbe),
+    * i.e. the prefilter passes ~everything precisely in the big-pool
+    * regime the bloom arm exists for. No false negatives either way (the
+    * verify join always erases FPs — output was never wrong), but the
+    * prefilter did no filtering.
+    *
+    * Shape: one BloomFilter.create(n, fpp) PER PARTITION built at scan
+    * parallelism (the measured-fast arm of BloomBuildProbe r17 — hashing
+    * dominates the build, so starving cores loses ~20%), then
+    * `treeReduce` merges partials EXECUTOR-side so the driver never
+    * receives more than ~scale sketches (depth 3 past 256 MB/sketch keeps
+    * the final wave to ~2 partials even at 10^9-key pools where one
+    * sketch is 1.2 GB — the r16 coalesce's 38-GB-driver concern, solved
+    * without serializing the hash work). Precondition: n > 0 and the pool
+    * non-empty (callers dispatch on a measured count). */
+  def buildPoolBloom(pool: DataFrame, colName: String, n: Long,
+      fpp: Double): org.apache.spark.util.sketch.BloomFilter = {
+    import org.apache.spark.util.sketch.BloomFilter
+    require(n > 0, s"buildPoolBloom needs a measured key count, got $n")
+    val partials = pool.select(col(colName).cast("long"))
+      .rdd.map(_.getLong(0))
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val bf = BloomFilter.create(n, fpp)
+          while (it.hasNext) bf.putLong(it.next())
+          Iterator.single(bf)
+        }
+      }
+    val sketchBytes = BloomFilter.optimalNumOfBits(n, fpp) / 8
+    val depth = if (sketchBytes > (256L << 20)) 3 else 2
+    partials.treeReduce((a, b) => a.mergeInPlace(b), depth)
+  }
 
   /** Decontamination with the exact-vs-bloom choice made by the engine on
     * the pool's MEASURED size — the compressAuto/suppressAuto pattern
@@ -365,20 +407,17 @@ object Curation {
     // empty result totally (TextEdgeSpec's adversarial corpus hits this)
     if (nPool == 0)
       return (decontaminateAgainstPool(corpusSh, pool, minShared), None)
-    // Sketch-build task cap (r16): EVERY build task emits a partial sketch
-    // sized for the FULL pool (BloomFilter.create(nPool, fpp) — ~9.6
-    // bits/key regardless of how few keys the task saw), so the
-    // aggregation ships tasks × sketch-bytes toward the driver. ClusterProbe
-    // r15 measured exactly that as bloom's dominant real-cluster cost
-    // (~36-MB partials per task; bloom 214-400 s vs exact 50-63 s at a
-    // 30M-key pool), and at bloom's OWN regime — pools past broadcast
-    // capacity, e.g. 10^9 keys ≈ 1.2-GB sketch — 32 unmerged partials
-    // would be a ~38-GB driver OOM before any heartbeat concern.
-    // Coalescing the build scan to a few tasks cuts that traffic
-    // multiplicatively; the inserts are cheap hashes that just pack onto
-    // fewer cores, and only the sketch build is affected (the verify join
-    // still scans the un-coalesced pool at full parallelism).
-    val bloom = pool.coalesce(BLOOM_BUILD_TASKS).stat.bloomFilter("h", nPool, fpp)
+    // r17: built by hand, NOT stat.bloomFilter — Spark 4's DataFrame API
+    // routes through bloom_filter_agg, which silently clamps the sketch
+    // to the runtime-join-filter config caps (4M items / 2^26 bits), so a
+    // big pool's "1% fpp" sketch actually ran at ~94% measured FPP and
+    // prefiltered nothing (BloomCapProbe; this also mis-priced the bloom
+    // arm in ClusterProbe r15's 214-400 s — most of that was the verify
+    // join eating the unfiltered corpus). buildPoolBloom sizes per the
+    // sketch API contract, builds at full scan parallelism, and
+    // tree-merges partials executor-side (the r16 driver-traffic concern,
+    // without the coalesce's measured ~20% parallelism loss).
+    val bloom = buildPoolBloom(pool, "h", nPool, fpp)
     val bloomB = s.sparkContext.broadcast(bloom)
     val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))
     // NO broadcast hint on the verify join — that would re-ship the full
