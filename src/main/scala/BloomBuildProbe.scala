@@ -35,17 +35,14 @@ object BloomBuildProbe {
     println(s"[bloomprobe] master=$master pool=$n keys (contract sketch " +
       s"~${org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, 0.01) / 8 / 1000000} MB at fpp=0.01)")
 
-    // disjoint probe keys for the empirical FPP: the ClusterProbe pool is
-    // md5-derived longs; fresh negatives = hashes of a salted range that
-    // cannot collide with the pool except by chance (which IS the fpp)
+    // probe keys for the empirical FPP: the pool is md5/modulus-derived
+    // longs; salted-hash negatives collide with a 30M-key pool only at
+    // 64-bit-birthday odds (~30M/2^64 per key), far below the fpp being
+    // measured — no driver-side disjointness scan needed (r17 review:
+    // the old 2M-row collect checked 1/15th of the pool for nothing)
     val inPool = pool.limit(50000).collect().map(_.getLong(0))
-    val notInPool = {
-      val have = pool.select(col("h")).limit(2000000).collect()
-        .map(_.getLong(0)).toSet
-      (1 to 60000).map(i => scala.util.hashing.MurmurHash3
-        .stringHash(s"bloomcap-negative-$i").toLong * 2654435761L + i)
-        .filterNot(have.contains).take(50000).toArray
-    }
+    val notInPool = (1 to 50000).map(i => scala.util.hashing.MurmurHash3
+      .stringHash(s"bloomcap-negative-$i").toLong * 2654435761L + i).toArray
     def scorecard(tag: String,
         bf: org.apache.spark.util.sketch.BloomFilter): Unit = {
       val fn = inPool.count(k => !bf.mightContainLong(k))

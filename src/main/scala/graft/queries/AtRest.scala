@@ -227,7 +227,21 @@ object AtRest {
       while (!committed && waited < 20 && fs.exists(target)) {
         Thread.sleep(100); waited += 1; committed = present(s, path)
       }
-      if (!committed && fs.exists(target)) deleteTable(fs, target, path)
+      // live-mover guard (r17 review): on a store where rename is
+      // emulated as copy+delete, a LARGE concurrent publish can sit in
+      // its data move for far longer than the 2s marker grace — but a
+      // live mover keeps minting fresh objects under the target, while a
+      // genuine corpse (crashed publisher) goes cold. Only delete a
+      // target whose newest object is older than
+      // spark.graft.atrest.corpseMinAgeMs (default 30s). A fresher
+      // unmarked target is left alone: this ensure's rename then fails
+      // and either adopts the mover's commit (grace loop below) or
+      // throws — fail-rather-than-corrupt. Residual unsupported window:
+      // a mover stalled longer than the threshold mid-copy.
+      if (!committed && fs.exists(target) &&
+          System.currentTimeMillis() - newestMtime(fs, target) >=
+            corpseMinAgeMs(s))
+        deleteTable(fs, target, path)
     }
     // delete returning false with the path still present is a real
     // failure; false because the path vanished (a racing overwrite's
@@ -277,6 +291,32 @@ object AtRest {
         s"graft at-rest commit ${java.time.Instant.now()}\n".getBytes("UTF-8"))
       finally out.close()
     }
+  }
+
+  /** Corpse-deletion age threshold (ms): an unmarked target may only be
+    * cleaned once its newest object is at least this old — younger means
+    * a possibly-live concurrent mover (see the guard in [[publish]]).
+    * Tests that fabricate fresh corpses set it to 0. */
+  private def corpseMinAgeMs(s: SparkSession): Long =
+    s.conf.get("spark.graft.atrest.corpseMinAgeMs", "30000").toLong
+
+  /** Newest modification time of any object at or under `target` — the
+    * liveness signal for the corpse-clean guard. One level of recursion
+    * covers parquet's flat layout plus partitioned subdirs. */
+  private def newestMtime(fs: FileSystem, target: Path): Long = {
+    def walk(p: Path): Long =
+      try {
+        val sts = fs.listStatus(p)
+        if (sts.isEmpty) 0L
+        else sts.map { st =>
+          if (st.isDirectory) math.max(st.getModificationTime, walk(st.getPath))
+          else st.getModificationTime
+        }.max
+      } catch { case _: java.io.IOException => 0L }
+    val own =
+      try fs.getFileStatus(target).getModificationTime
+      catch { case _: java.io.IOException => 0L }
+    math.max(own, walk(target))
   }
 
   /** Delete a published table with the marker FIRST: the marker delete is

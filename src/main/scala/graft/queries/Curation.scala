@@ -332,17 +332,32 @@ object Curation {
       fpp: Double): org.apache.spark.util.sketch.BloomFilter = {
     import org.apache.spark.util.sketch.BloomFilter
     require(n > 0, s"buildPoolBloom needs a measured key count, got $n")
-    val partials = pool.select(col(colName).cast("long"))
+    // null keys: the aggregate this replaces skipped them silently — an
+    // external pool with a null h row must not NPE the build (r17 review)
+    val keys = pool.select(col(colName).cast("long"))
+      .filter(col(colName).isNotNull)
       .rdd.map(_.getLong(0))
-      .mapPartitions { it =>
-        if (!it.hasNext) Iterator.empty
-        else {
-          val bf = BloomFilter.create(n, fpp)
-          while (it.hasNext) bf.putLong(it.next())
-          Iterator.single(bf)
-        }
-      }
     val sketchBytes = BloomFilter.optimalNumOfBits(n, fpp) / 8
+    // partial COUNT must not scale with scan parallelism once sketches
+    // get big: every live task holds a full-pool-sized sketch on heap and
+    // every tree level ships partitions × sketchBytes, so cap build
+    // partitions at an ~8 GB total-partial budget. At a 30M-key pool
+    // (36 MB sketch) the cap is ~227 — scan parallelism untouched, the
+    // regime where BloomBuildProbe measured full parallelism winning; at
+    // a 10^9-key pool (1.2 GB sketch) it coalesces to ~6 so the cluster
+    // never materializes more than ~7 GB of partials at once (r17 review:
+    // the r16 driver-traffic concern also applies to executor heap).
+    val maxParts = math.max(4, ((8L << 30) / math.max(sketchBytes, 1L)).toInt)
+    val shaped =
+      if (keys.getNumPartitions > maxParts) keys.coalesce(maxParts) else keys
+    val partials = shaped.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val bf = BloomFilter.create(n, fpp)
+        while (it.hasNext) bf.putLong(it.next())
+        Iterator.single(bf)
+      }
+    }
     val depth = if (sketchBytes > (256L << 20)) 3 else 2
     partials.treeReduce((a, b) => a.mergeInPlace(b), depth)
   }

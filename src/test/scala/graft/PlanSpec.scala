@@ -139,19 +139,17 @@ class PlanSpec extends SparkSpec {
       // the d-family's biggest exchange
       assert(!p.contains("concat_ws"),
         s"$q regressed to the string band key")
-    }
-    // positive pin for the r16 merge hints: d3/d4's two corpus-sized
-    // join-backs (bands↔multi on the band key, banded↔shingles on doc_id)
-    // must stay shuffle merge joins whatever the signature input's stats
-    // source — if either line disappears the hint silently reverted
-    for (q <- Seq("d3_lsh_pairs", "d4_jaccard_verify")) {
-      val df = SparkEntry.queries(q)(spark, sfDir)
-      df.queryExecution.toRdd.count(): Unit
-      val p = df.queryExecution.executedPlan.toString
-      assert("SortMergeJoin \\[bid#".r.findFirstIn(p).isDefined,
-        s"$q lost the merge-hinted band-key join-back")
-      assert("SortMergeJoin \\[doc_id#".r.findFirstIn(p).isDefined,
-        s"$q lost the merge-hinted shingle join-back")
+      // positive pin for the r16 merge hints (d3/d4 only — x17/x21 have
+      // no corpus-sized join-back): the two hinted join-backs (bands↔multi
+      // on the band key, banded↔shingles on doc_id) must stay shuffle
+      // merge joins whatever the signature input's stats source — if
+      // either line disappears the hint silently reverted
+      if (q == "d3_lsh_pairs" || q == "d4_jaccard_verify") {
+        assert("SortMergeJoin \\[bid#".r.findFirstIn(p).isDefined,
+          s"$q lost the merge-hinted band-key join-back")
+        assert("SortMergeJoin \\[doc_id#".r.findFirstIn(p).isDefined,
+          s"$q lost the merge-hinted shingle join-back")
+      }
     }
   }
 

@@ -140,6 +140,10 @@ class AtRestSpec extends SparkSpec {
 
   test("publish commits via marker: an interrupted copy is invisible and rebuilt") {
     val d = writeFixture()
+    // the corpses fabricated below are seconds old; the live-mover guard
+    // (spark.graft.atrest.corpseMinAgeMs, default 30s) would refuse to
+    // clean them — drop it for this test, restore after
+    spark.conf.set("spark.graft.atrest.corpseMinAgeMs", "0")
     val sig = AtRest.ensureSignatures(spark, d)
     // a completed publish carries BOTH gates
     assert(Files.exists(Paths.get(s"$sig/_SUCCESS")))
@@ -174,6 +178,34 @@ class AtRestSpec extends SparkSpec {
     assert(rows(AtRest.queries("x21_atrest_pairs")(spark, d)) ==
       rows(TextDedup.queries("d3_lsh_pairs")(spark, d)))
     assert(AtRest.present(spark, sig), "consumer ensure must re-commit")
+    spark.conf.unset("spark.graft.atrest.corpseMinAgeMs")
+  }
+
+  test("a FRESH unmarked target is not corpse-cleaned (live-mover guard)") {
+    // a concurrent publish on a copy-emulated-rename store can sit in its
+    // data move long past the 2s marker grace; the cleaner must not
+    // delete a target whose newest object is younger than the age
+    // threshold. With the default 30s threshold, an ensure against a
+    // just-fabricated corpse must FAIL (rename blocked by the fresh
+    // debris, never committed) rather than delete it — fail-rather-than-
+    // corrupt. The debris must survive untouched.
+    val d = writeFixture()
+    val sig = AtRest.ensureSignatures(spark, d)
+    Files.delete(Paths.get(s"$sig/${AtRest.CommitMarker}"))
+    val before = new java.io.File(sig).listFiles().map(_.getName).toSet
+    val err = intercept[java.io.IOException] {
+      AtRest.ensureSignatures(spark, d)
+    }
+    assert(err != null)
+    assert(new java.io.File(sig).listFiles().map(_.getName).toSet == before,
+      "the fresh unmarked target must survive the failed ensure untouched")
+    // once the debris is old enough (simulated via threshold 0), the same
+    // ensure cleans and rebuilds
+    spark.conf.set("spark.graft.atrest.corpseMinAgeMs", "0")
+    try {
+      val sig2 = AtRest.ensureSignatures(spark, d)
+      assert(sig2 == sig && AtRest.present(spark, sig))
+    } finally spark.conf.unset("spark.graft.atrest.corpseMinAgeMs")
   }
 
   test("a changed corpus gets a fresh store and the stale one is swept") {
