@@ -15,8 +15,43 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Schema memo (r17): every bare `spark.read.parquet` pays footer-read
+    * schema inference + file-index construction on the DRIVER — measured
+    * 74-100 ms/call vs 6-8 ms with an explicit schema (SchemaProbe,
+    * lineitem at sf0.1), and the bench constructs ~1.5 table frames per
+    * query × 108 queries, so inference alone was >10 s of single-threaded
+    * driver time per bench (guide §7.3's "planning/listing" class; at a
+    * real lake the schema comes from the catalog, not per-query footer
+    * reads — §6). Metadata only: the scan itself still reads the parquet
+    * fresh every query. Guarded by (mtime, length) of the path so an
+    * externally rewritten table re-infers — a stale-schema read is
+    * impossible unless a writer preserves both, which parquet writers
+    * don't. Keyed by path alone: the schema is a property of the FILE,
+    * not the session (all sessions share Spark.session's conf). */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, org.apache.spark.sql.types.StructType)]()
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val st = p.getFileSystem(spark.sessionState.newHadoopConf()).getFileStatus(p)
+      val cached = schemaMemo.get(path)
+      val sch =
+        if (cached != null && cached._1 == st.getModificationTime &&
+            cached._2 == st.getLen) cached._3
+        else {
+          val s = spark.read.parquet(path).schema
+          schemaMemo.put(path, (st.getModificationTime, st.getLen, s))
+          s
+        }
+      spark.read.schema(sch).parquet(path)
+    } catch {
+      // any metadata hiccup (missing file surfaces identically below,
+      // odd FS without getFileStatus semantics): fall back to inference
+      case _: Exception => spark.read.parquet(path)
+    }
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")

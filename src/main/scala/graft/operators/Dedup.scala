@@ -16,10 +16,18 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Below this many nodes, pointer jumping is disabled: each jump costs a
-    * fixed localCheckpoint (~seconds), and at small V the extra plain
-    * rounds it would save are cheaper than the jumps themselves. */
-  val JumpMinNodes: Long = 1L << 18
+  /** Pointer jumping is ON at every size (threshold 0) since r17. The old
+    * 2^18-node floor assumed each jump costs a fixed ~seconds
+    * localCheckpoint; measured at bench scale (CcProbe, sf0.1, V=1140,
+    * 3 interleaved reps) a small-V checkpoint is ~0.2 s while the chain
+    * rounds jumping erases are whole E-sized join+checkpoint rounds:
+    * jump-always converged in 3 propagation rounds vs 5 (changed
+    * 60→1→0 vs 45→15→1→1→0) and won the wall every rep (5.41→4.07,
+    * 3.19→2.46 s; identical label checksums). The 100x evidence already
+    * favored jumping (312→122 s skewed, 128→104 uniform, r11), so the
+    * floor only ever protected a mis-measured regime. Kept as a knob for
+    * A/B probes. */
+  val JumpMinNodes: Long = 0L
 
   /** Lineage-truncating checkpoint per round: RELIABLE (checkpoint-dir
     * parquet round-trip) when the session has a checkpoint dir configured
@@ -153,7 +161,10 @@ object Dedup {
     var labels = cp(edges.groupBy(col("dst"))
       .agg(min(col("src")).as("_nmin"))
       .select(col("dst").as("id"), least(col("dst"), col("_nmin")).as("comp")))
-    val jump = labels.count() >= JumpMinNodes // scan of the checkpoint — cheap
+    // short-circuit at threshold 0: no node-count job at all (one fewer
+    // action per CC invocation; the count is a checkpoint scan, but it is
+    // still a scheduled job × 5 CC calls per bench)
+    val jump = JumpMinNodes <= 0 || labels.count() >= JumpMinNodes
     var iter = 1 // round 1 already ran above
     var converged = false // round 1 always changes the larger end of some pair
     while (iter < maxIter && !converged) {
@@ -173,8 +184,10 @@ object Dedup {
       // without jumps, 122s with; the unskewed 100x graph 128s -> 104s).
       // Applies from overall round 2 on (diameter-<=2 clusters converge
       // without ever paying the extra checkpoint — the fused round 1 above
-      // runs jump-free) and only on >= JumpMinNodes graphs (below that the
-      // fixed checkpoint latency outweighs whole saved rounds).
+      // runs jump-free) and at EVERY graph size since r17: the small-V
+      // exemption assumed a ~seconds fixed checkpoint cost, but CcProbe
+      // measured a small-V checkpoint at ~0.2 s against whole saved
+      // E-sized rounds (see JumpMinNodes).
       if (jump) {
         val j = updated.select(col("id").as("_jid"), col("comp").as("_jcomp"))
         updated = cp(updated.join(j, updated("comp") === j("_jid"), "left")

@@ -450,10 +450,30 @@ object AtRest {
     "x19_atrest_build" -> { (s, d) =>
       val st = resolve(s, d)
       sweepStale(s, st)
-      buildSignatures(s, d, st, overwrite = true)
-      buildTf(s, d, st, overwrite = true)
-      buildDf(s, st, overwrite = true)
-      buildMeta(s, d, st, overwrite = true)
+      // Overlapped independent builds (optimization guide §2.6): the
+      // signature scan, the tf scan and the meta count share no data, so
+      // they are submitted from a 3-thread pool and Spark schedules them
+      // concurrently — each job's straggler tail back-fills the others'
+      // idle cores instead of serializing four full stage barriers. df
+      // still runs strictly AFTER tf lands (it reads the WRITTEN tf
+      // table — the consistency contract). Each build publishes its own
+      // table through the unchanged temp+rename+marker protocol, so
+      // contents are byte-identical to the sequential form.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val builds = Seq(
+          scala.concurrent.Future(buildSignatures(s, d, st, overwrite = true))(ec),
+          scala.concurrent.Future {
+            buildTf(s, d, st, overwrite = true)
+            buildDf(s, st, overwrite = true)
+          }(ec),
+          scala.concurrent.Future(buildMeta(s, d, st, overwrite = true))(ec))
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(builds)(
+            scala.collection.BuildFrom.buildFromIterableOps, ec),
+          scala.concurrent.duration.Duration.Inf): Unit
+      } finally pool.shutdown()
       storeSummary(s, st)
     },
     // ----- X20: TF-IDF top-k from the at-rest tf + df tables + recorded

@@ -552,8 +552,19 @@ object Similarity {
         Tables.embeddings(s, d).select(col("vec_id"), col("label")), Seq("vec_id"))
       val cents = all.filter(col("vec_id") < nCells)
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+      // persist + eager materialize (r17): the pair join consumes `assigned`
+      // on BOTH sides, and the two subtrees are not canonically equal
+      // (different projections), so nothing is reused — each side re-ran the
+      // scan + norm + O(C)-per-row assignment argmax, the query's dominant
+      // stage (the same double-evaluation class as sharp edge #16; at the
+      // dedup sizing C grows with N, so the waste scales). Eager count
+      // avoids the in-flight cache-population race between the join's two
+      // subtree scans. Plan: 2× [Scan+UDF assignment] → 1× + two
+      // InMemoryTableScans.
       val assigned = assignToCellsAuto(all, cents, nCells)
         .select("vec_id", "label", "v", "nrm", "cid")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      assigned.count()
       val b = assigned.select(col("label"), col("cid"), col("vec_id").as("vec_b"),
         col("v").as("vb"), col("nrm").as("nrmb"))
       assigned.join(b, Seq("label", "cid"))

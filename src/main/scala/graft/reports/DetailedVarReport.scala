@@ -182,15 +182,25 @@ object DetailedVarReport {
         col("otp") / (col("otp") + lit(0.5) * col("cfn") + lit(0.5) * col("ofp")))
       .withColumn("orecall", col("otp") / (col("otp") + col("cfn")))
       .withColumn("oprecision", col("otp") / (col("otp") + col("ofp")))
-    // first (lowest tree_score) row attaining the stratum max F1
+    // first (lowest tree_score) row attaining the stratum max F1 — as a
+    // max_by AGGREGATE on the lexicographic key (of1, -tree_score), not a
+    // row_number window (r17, optimization guide §2.3 "aggregate before
+    // you shuffle"): the window form re-SORTED every swept row per
+    // stratum just to keep rank 1, where the aggregate keeps one row per
+    // stratum map-side and reuses the sweep's existing hash partitioning
+    // (plan: Sort+Window+Filter → HashAggregate, zero new exchanges).
+    // Selection is identical: tree_score is per-row unique (the callers'
+    // jitter contract), so (of1 DESC, tree_score ASC) is a total order
+    // and max_by's winner is exactly the old rank-1 row.
     val opt = swept
-      .withColumn("_rk", row_number().over(
-        Window.partitionBy(key.map(col): _*)
-          .orderBy(col("of1").desc, col("tree_score").asc)))
-      .filter(col("_rk") === 1)
+      .groupBy(key.map(col): _*)
+      .agg(max_by(
+        struct(col("orecall"), col("oprecision"), col("of1")),
+        struct(col("of1"), (-col("tree_score")).as("_nts"))).as("_best"))
       .select(col("region"), col("variant"), col("category"),
-        col("orecall").as("recall_opt"), col("oprecision").as("precision_opt"),
-        col("of1").as("f1_opt"))
+        col("_best.orecall").as("recall_opt"),
+        col("_best.oprecision").as("precision_opt"),
+        col("_best.of1").as("f1_opt"))
 
     stat.join(opt, key, "left")
       .select(col("region"), col("variant"), col("category"),
