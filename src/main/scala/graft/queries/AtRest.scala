@@ -459,21 +459,30 @@ object AtRest {
       // table — the consistency contract). Each build publishes its own
       // table through the unchanged temp+rename+marker protocol, so
       // contents are byte-identical to the sequential form.
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
-      val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
-      try {
-        val builds = Seq(
-          scala.concurrent.Future(buildSignatures(s, d, st, overwrite = true))(ec),
-          scala.concurrent.Future {
-            buildTf(s, d, st, overwrite = true)
-            buildDf(s, st, overwrite = true)
-          }(ec),
-          scala.concurrent.Future(buildMeta(s, d, st, overwrite = true))(ec))
-        scala.concurrent.Await.result(
-          scala.concurrent.Future.sequence(builds)(
-            scala.collection.BuildFrom.buildFromIterableOps, ec),
-          scala.concurrent.duration.Duration.Inf): Unit
-      } finally pool.shutdown()
+      // A/B knob (spark.graft.atrest.parallelBuild=false restores the
+      // sequential form) so the overlap stays measurable per window.
+      if (s.conf.get("spark.graft.atrest.parallelBuild", "true").toBoolean) {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+        val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try {
+          val builds = Seq(
+            scala.concurrent.Future(buildSignatures(s, d, st, overwrite = true))(ec),
+            scala.concurrent.Future {
+              buildTf(s, d, st, overwrite = true)
+              buildDf(s, st, overwrite = true)
+            }(ec),
+            scala.concurrent.Future(buildMeta(s, d, st, overwrite = true))(ec))
+          scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(builds)(
+              scala.collection.BuildFrom.buildFromIterableOps, ec),
+            scala.concurrent.duration.Duration.Inf): Unit
+        } finally pool.shutdown()
+      } else {
+        buildSignatures(s, d, st, overwrite = true)
+        buildTf(s, d, st, overwrite = true)
+        buildDf(s, st, overwrite = true)
+        buildMeta(s, d, st, overwrite = true)
+      }
       storeSummary(s, st)
     },
     // ----- X20: TF-IDF top-k from the at-rest tf + df tables + recorded

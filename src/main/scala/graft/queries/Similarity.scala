@@ -93,8 +93,15 @@ object Similarity {
       .otherwise(aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v))
   }
 
-  private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+  /** sqrt(Σ a_i²) via the native fused [[graft.functions.DotProduct]] loop
+    * (r17): the composed `aggregate(transform(...))` form is an
+    * INTERPRETED two-sweep HOF per row (sharp edge #17's class) sitting on
+    * the vecs() scan hot path of e1/e2/e3/e4/d6 — every vector pays it at
+    * ingest of every query. dot(a,a) is the same ascending-index
+    * left-associated sum (x*x per element), so the value is bit-identical;
+    * the no-extension fallback inside [[dot]] composes the same builtins
+    * as before. */
+  private def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** embeddings with double vector + precomputed norm. */
   private[queries] def vecs(s: SparkSession, d: String): DataFrame =
