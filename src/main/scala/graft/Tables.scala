@@ -23,11 +23,15 @@ object Tables {
     * driver time per bench (guide §7.3's "planning/listing" class; at a
     * real lake the schema comes from the catalog, not per-query footer
     * reads — §6). Metadata only: the scan itself still reads the parquet
-    * fresh every query. Guarded by (mtime, length) of the path so an
-    * externally rewritten table re-infers — a stale-schema read is
-    * impossible unless a writer preserves both, which parquet writers
-    * don't. Keyed by path alone: the schema is a property of the FILE,
-    * not the session (all sessions share Spark.session's conf). */
+    * fresh every query. Guarded by (mtime, length) of the path and
+    * restricted to FILE-shaped tables (every driver table and replica is
+    * a single parquet file): for a file, a rewrite that preserves both
+    * mtime and length is not something parquet writers do; a DIRECTORY's
+    * status can miss an in-place part-file rewrite (dir len is 0 and its
+    * mtime only tracks child add/remove — r17 review), so directories
+    * always re-infer. Keyed by path alone: the schema is a property of
+    * the file, not the session (all sessions share Spark.session's
+    * conf). */
   private val schemaMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, org.apache.spark.sql.types.StructType)]()
 
@@ -35,7 +39,12 @@ object Tables {
     val path = s"$sfDir/$name.parquet"
     try {
       val p = new org.apache.hadoop.fs.Path(path)
-      val st = p.getFileSystem(spark.sessionState.newHadoopConf()).getFileStatus(p)
+      // the shared context conf, not sessionState.newHadoopConf(): the
+      // latter copies the full hadoop+SQL entry set per call — per-call
+      // driver cost on exactly the hot path this memo shaves (r17 review)
+      val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p)
+      if (st.isDirectory) return spark.read.parquet(path)
       val cached = schemaMemo.get(path)
       val sch =
         if (cached != null && cached._1 == st.getModificationTime &&

@@ -18,13 +18,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * bit-identical. SURVEY §2.11's "custom Expression where perf matters"
   * case, same as [[Hash32]].
   *
-  * Elements must be non-null doubles (embedding vectors are); length
-  * mismatch folds over the shorter prefix.
+  * A null ELEMENT in either consumed prefix makes the result null (r17):
+  * the expression previously read null slots as primitive garbage, which
+  * was safe only because every call site sat behind vecs()'s nrm gate —
+  * but norm() itself now routes through this expression, so it must
+  * reproduce the composed fold's null-propagation (`acc + null = null`)
+  * rather than fabricate a value. Null-free vectors (every tested
+  * corpus) take the identical arithmetic path. Length mismatch folds
+  * over the shorter prefix.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+  // nullable even over non-null array columns: a null ELEMENT nulls the
+  // result, which child-column nullability cannot express
+  override def nullable: Boolean = true
 
   // wrong-typed SQL args fail at ANALYSIS time with the expected
   // signature instead of ClassCastException / silent garbage at runtime;
@@ -54,6 +63,7 @@ case class DotProduct(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       s += xv * yv
@@ -73,6 +83,7 @@ case class DotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $s += ${get(a, left)} * ${get(b, right)};
          |}
          |${ev.value} = $s;

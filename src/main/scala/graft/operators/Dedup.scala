@@ -25,8 +25,10 @@ object Dedup {
     * 60→1→0 vs 45→15→1→1→0) and won the wall every rep (5.41→4.07,
     * 3.19→2.46 s; identical label checksums). The 100x evidence already
     * favored jumping (312→122 s skewed, 128→104 uniform, r11), so the
-    * floor only ever protected a mis-measured regime. Kept as a knob for
-    * A/B probes. */
+    * floor only ever protected a mis-measured regime. This is a
+    * compile-time constant, not a runtime knob: restoring the threshold
+    * means editing this value (the count branch below it is then live
+    * again); CcProbe carries its own loop replica for runtime A/Bs. */
   val JumpMinNodes: Long = 0L
 
   /** Lineage-truncating checkpoint per round: RELIABLE (checkpoint-dir

@@ -472,10 +472,17 @@ object AtRest {
               buildDf(s, st, overwrite = true)
             }(ec),
             scala.concurrent.Future(buildMeta(s, d, st, overwrite = true))(ec))
-          scala.concurrent.Await.result(
-            scala.concurrent.Future.sequence(builds)(
-              scala.collection.BuildFrom.buildFromIterableOps, ec),
-            scala.concurrent.duration.Duration.Inf): Unit
+          // await EVERY future before propagating any failure (r17 review):
+          // a fail-fast Future.sequence rethrows while sibling builds are
+          // still overwrite-publishing — orphan threads would then race the
+          // caller's NEXT query (e.g. x20's tf ensure inside an orphan
+          // delete→rename window) and their Spark jobs would pollute every
+          // subsequently timed query. With all builds joined, failure
+          // leaves no in-flight work; first error wins.
+          val outcomes = builds.map(f =>
+            scala.util.Try(scala.concurrent.Await.result(
+              f, scala.concurrent.duration.Duration.Inf)))
+          outcomes.collectFirst { case scala.util.Failure(e) => throw e }: Unit
         } finally pool.shutdown()
       } else {
         buildSignatures(s, d, st, overwrite = true)

@@ -500,6 +500,20 @@ object Similarity {
       },
       unpersist = e => { e._1.unpersist(false); e._2.unpersist(false) })
 
+  /** d6's (label, cid)-assigned frame, memoized with the one-owner
+    * eviction lifecycle every other session persist has (r17 review: the
+    * original in-query persist leaked one full-vector cached frame per
+    * d6 invocation — the exact accumulation class ReportGrid's jcAgg memo
+    * fixed). Contents deterministic per (session, dir). */
+  private val d6AssignMemo = new LruFrameMemo[(Int, String), DataFrame](
+    max = 4,
+    ensurePersisted = df =>
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.count(): Unit
+      },
+    unpersist = _.unpersist(false))
+
   private[queries] def annIndex(s: SparkSession, d: String)
       : (DataFrame, DataFrame, Long) =
     annIndexMemo.getOrBuild((System.identityHashCode(s), d)) {
@@ -554,24 +568,30 @@ object Similarity {
     // every vector to its nearest deterministic centroid first bounds each
     // block; the cell count is the knob that scales with data.
     "d6_cosine_dedup" -> { (s, d) =>
-      val nCells = cellCountForDedup(Tables.embeddings(s, d).count())
-      val all = vecs(s, d).join(
-        Tables.embeddings(s, d).select(col("vec_id"), col("label")), Seq("vec_id"))
-      val cents = all.filter(col("vec_id") < nCells)
-        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-      // persist + eager materialize (r17): the pair join consumes `assigned`
-      // on BOTH sides, and the two subtrees are not canonically equal
-      // (different projections), so nothing is reused — each side re-ran the
-      // scan + norm + O(C)-per-row assignment argmax, the query's dominant
-      // stage (the same double-evaluation class as sharp edge #16; at the
-      // dedup sizing C grows with N, so the waste scales). Eager count
+      // persist + eager materialize via the session memo (r17): the pair
+      // join consumes `assigned` on BOTH sides, and the two subtrees are
+      // not canonically equal (different projections), so nothing is
+      // reused — each side re-ran the scan + norm + O(C)-per-row
+      // assignment argmax, the query's dominant stage (the same
+      // double-evaluation class as sharp edge #16; at the dedup sizing C
+      // grows with N, so the waste scales). The memo (not a bare
+      // per-invocation persist — r17 review) gives the frame the
+      // one-owner unpersist lifecycle; eager count inside ensurePersisted
       // avoids the in-flight cache-population race between the join's two
       // subtree scans. Plan: 2× [Scan+UDF assignment] → 1× + two
       // InMemoryTableScans.
-      val assigned = assignToCellsAuto(all, cents, nCells)
-        .select("vec_id", "label", "v", "nrm", "cid")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      assigned.count()
+      val assigned = d6AssignMemo.getOrBuild((System.identityHashCode(s), d)) {
+        val nCells = cellCountForDedup(Tables.embeddings(s, d).count())
+        val all = vecs(s, d).join(
+          Tables.embeddings(s, d).select(col("vec_id"), col("label")), Seq("vec_id"))
+        val cents = all.filter(col("vec_id") < nCells)
+          .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+        val fresh = assignToCellsAuto(all, cents, nCells)
+          .select("vec_id", "label", "v", "nrm", "cid")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        fresh.count()
+        fresh
+      }
       val b = assigned.select(col("label"), col("cid"), col("vec_id").as("vec_b"),
         col("v").as("vb"), col("nrm").as("nrmb"))
       assigned.join(b, Seq("label", "cid"))
