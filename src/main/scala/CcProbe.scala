@@ -24,7 +24,12 @@ object CcProbe {
       r
     }
 
-    def replica(jump: Boolean): (Long, Long, Double) = {
+    /** mode: "nojump" | "jumpCur" (r17 shipped: jump via the CURRENT round's
+      * freshly checkpointed table — 2 checkpoints/round) | "jumpPrev" (r18
+      * candidate: jump via the PREVIOUS round's already-materialized table,
+      * folded into the same projection — 1 checkpoint/round). */
+    def replica(mode: String): (Long, Long, Double) = {
+      val jump = mode != "nojump"
       val t0 = System.nanoTime()
       val mh = spark.read.parquet(graft.queries.AtRest.ensureSignatures(spark, d))
       val pairs = graft.queries.TextDedup.bandStarEdges(mh)
@@ -53,11 +58,24 @@ object CcProbe {
         val (updated, changed) = t(s"round ${iter + 1} join+cp+count") {
           val neighborMin = edges.join(labels, edges("dst") === labels("id"))
             .groupBy(col("src")).agg(min("comp").as("ncomp"))
-          var u = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
-            .select(col("id"), col("comp").as("_old"),
-              least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-            .localCheckpoint()
-          if (jump) {
+          var u =
+            if (mode == "jumpPrev") {
+              // jump through the PREVIOUS labels table (already
+              // materialized) inside the SAME round projection — one
+              // checkpoint per round instead of two
+              val cand = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+                .select(col("id"), col("comp").as("_old"),
+                  least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("_c1"))
+              val j = labels.select(col("id").as("_jid"), col("comp").as("_jcomp"))
+              cand.join(j, cand("_c1") === j("_jid"), "left")
+                .select(col("id"), col("_old"),
+                  least(col("_c1"), coalesce(col("_jcomp"), col("_c1"))).as("comp"))
+                .localCheckpoint()
+            } else labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+              .select(col("id"), col("comp").as("_old"),
+                least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+              .localCheckpoint()
+          if (mode == "jumpCur") {
             val j = u.select(col("id").as("_jid"), col("comp").as("_jcomp"))
             u = u.join(j, u("comp") === j("_jid"), "left")
               .select(u("id"), u("_old"),
@@ -79,14 +97,14 @@ object CcProbe {
     for (rep <- 1 to reps) {
       println(s"[ccprobe] --- rep $rep ---")
       graft.Bench.coldReset(spark)
-      println("[ccprobe] ARM no-jump (shipped small-V behavior)")
-      val (n, sum1, wallNo) = replica(jump = false)
+      println("[ccprobe] ARM jump-cur (r17 shipped: 2 cp/round)")
+      val (n, sum1, wallCur) = replica("jumpCur")
       graft.Bench.coldReset(spark)
-      println("[ccprobe] ARM jump-always")
-      val (nJ, sumJ, wallJ) = replica(jump = true)
+      println("[ccprobe] ARM jump-prev (1 cp/round)")
+      val (nJ, sumJ, wallPrev) = replica("jumpPrev")
       assert(n == nJ && sum1 == sumJ,
-        s"jump arm diverged: ($n,$sum1) vs ($nJ,$sumJ)")
-      println(f"[ccprobe] walls: no-jump $wallNo%.2f s  jump $wallJ%.2f s")
+        s"jump-prev arm diverged: ($n,$sum1) vs ($nJ,$sumJ)")
+      println(f"[ccprobe] walls: jump-cur $wallCur%.2f s  jump-prev $wallPrev%.2f s")
       graft.Bench.coldReset(spark)
       val (n2, sum2) = t("library CC end-to-end") {
         val mh2 = spark.read.parquet(graft.queries.AtRest.ensureSignatures(spark, d))

@@ -28,11 +28,13 @@ import scala.collection.mutable
   *   - failures land in an `"errors"` map, never silently in the timing
   *     map, with all control characters JSON-escaped.
   *
-  * The decision logic lives in pure functions (`suspicious`, `heal`) so
-  * BenchHealSpec can prove the heal fires on a poisoned timing with idle
-  * endpoint load stamps — the exact mode that corrupted BENCH_r05/r06.
-  * `BENCH_PROFILE.json` is committed and never written by this process
-  * (the per-run artifact goes to BENCH_LOCAL.json / SPARK_GRAFT_BENCH_OUT).
+  * The decision logic lives in pure functions (`suspicious`, `heal`,
+  * `renderBench`) so BenchHealSpec can prove the heal fires on a poisoned
+  * timing with idle endpoint load stamps — the exact mode that corrupted
+  * BENCH_r05/r06 — and that the stdout line obeys the driver's tail-capture
+  * budget ([[MaxStdoutLine]], round 18). `BENCH_PROFILE.json` is committed
+  * and never written by this process (the per-run artifact goes to
+  * BENCH_LOCAL_<sf>_c<cores>.json / SPARK_GRAFT_BENCH_OUT).
   */
 object Bench {
   private def systemLoad(): Double =
@@ -146,10 +148,72 @@ object Bench {
     graft.queries.FrameMemos.clearAll()
   }
 
+  /** Max stdout-line length. The driver keeps only a ~2,000-char tail of
+    * stdout (an sbt "[success] ..." line eats ~80 of it); every BENCH_rNN
+    * artifact from r10 to r17 had `parsed: null` because the full one-line
+    * JSON grew to ~6 KB (full-precision doubles + two 108-entry load maps)
+    * and reached the driver front-truncated. 108 per-query entries are
+    * >= ~2.5 KB even rounded and bare (sum of the query-name lengths alone
+    * is 1,666 chars), so the per-query map CANNOT fit: per VERDICT r17
+    * item 1 the stdout line carries the summary (metric/value/errors/
+    * reran/heal_floor/cores/cpus_env/sf) plus an "artifact" path to the
+    * complete per-query file, and inlines the queries map only when the
+    * whole line still fits. BenchHealSpec pins the emitted length against
+    * this cap with the real 108-name inventory. */
+  val MaxStdoutLine: Int = 1900
+
+  private def jmap(m: Iterable[(String, String)]): String =
+    m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+  private def jarr(xs: Seq[String]): String =
+    xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+  private def r3(v: Double): String =
+    if (v.isInfinite || v.isNaN) "null" else f"$v%.3f"
+
+  /** Render (full file artifact JSON, stdout line). The file keeps the
+    * complete historical format (queries + load maps, times rounded to
+    * 1 ms); the stdout line is the file line when it fits [[MaxStdoutLine]]
+    * and otherwise the summary form with the `artifact` pointer. Pure so
+    * BenchHealSpec can prove the length contract offline. */
+  def renderBench(
+      results: scala.collection.Map[String, Double],
+      errors: scala.collection.Map[String, String],
+      reran: Seq[String], healFloor: Seq[String],
+      loadAt: scala.collection.Map[String, Double],
+      loadRerun: scala.collection.Map[String, Double],
+      loadBefore: Double, loadAfter: Double,
+      cores: Int, cpusEnv: String, jvmProcs: Int,
+      profileUsed: Boolean, sf: String, artifact: String): (String, String) = {
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val errJson = jmap(errors.map { case (k, v) => k -> ("\"" + escapeJson(v) + "\"") })
+    val common =
+      s""""errors":$errJson,"reran":${jarr(reran)},"heal_floor":${jarr(healFloor)},""" +
+      s""""cores":$cores,"cpus_env":"${escapeJson(cpusEnv)}","jvm_procs":$jvmProcs,""" +
+      s""""profile_used":$profileUsed,"artifact":"${escapeJson(artifact)}","sf":"${escapeJson(sf)}""""
+    val qs = jmap(results.map { case (k, v) => k -> r3(v) })
+    val loadJson = jmap(loadAt.map { case (k, v) => k -> f"$v%.2f" })
+    val loadRerunJson = jmap(loadRerun.map { case (k, v) => k -> f"$v%.2f" })
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
+      common +
+      s""","load":$loadJson,"load_rerun":$loadRerunJson,"load_before":$loadBefore,"load_after":$loadAfter}"""
+    val stdout =
+      if (full.length <= MaxStdoutLine) full
+      else {
+        val inline = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,$common,"n_queries":${results.size}}"""
+        if (inline.length <= MaxStdoutLine) inline
+        else s"""{"metric":"total","value":${r3(total)},"unit":"sec",$common,"n_queries":${results.size}}"""
+      }
+    (full, stdout)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // the session's actual parallelism (master local[N]) — NOT
+    // availableProcessors(), which reported 32 under SPARK_GRAFT_CPUS=8 and
+    // would mislead any driver-side scaling heuristic (VERDICT r17 #3)
+    val cpusEnv = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Spark.session("graft-bench")
-    val cores = Runtime.getRuntime.availableProcessors()
+    val cores = scala.util.Try(cpusEnv.trim.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
     val loadBefore = systemLoad()
     // warm-up: shuffle + codegen + parquet reader paths
     spark.range(1000000).selectExpr("id % 97 AS k", "id AS v")
@@ -223,24 +287,22 @@ object Bench {
       })
     results = healed
 
-    def jmap(m: Iterable[(String, String)]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = jmap(results.map { case (k, v) => k -> v.toString })
-    val errJson = jmap(errors.map { case (k, v) => k -> ("\"" + escapeJson(v) + "\"") })
-    val loadJson = jmap(loadAt.map { case (k, v) => k -> f"$v%.2f" })
-    val loadRerunJson = jmap(loadRerun.map { case (k, v) => k -> f"$v%.2f" })
-    val reranJson = reran.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val floorJson = healFloor.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,""" +
-      s""""load":$loadJson,"load_rerun":$loadRerunJson,"load_before":$loadBefore,"load_after":$loadAfter,"cores":$cores,""" +
-      s""""profile_used":${profile.nonEmpty},"reran":$reranJson,"heal_floor":$floorJson,"sf":"$sfDir"}"""
-    println(json)
-    // the stdout line is the driver contract, but tail-capture can truncate
-    // it (BENCH_r03 lost half its per-query map) — persist the complete
-    // artifact to a file as the re-runnable record
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    // out path carries the run config (sf + cores) by default so a driver
+    // rerun at another core count can never clobber a committed same-name
+    // artifact (VERDICT r17 #2); SPARK_GRAFT_BENCH_OUT still overrides
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"/root/repo/BENCH_LOCAL_${new java.io.File(sfDir).getName}_c$cores.json")
+    val (fullJson, stdoutLine) = renderBench(
+      results, errors, reran, healFloor, loadAt, loadRerun,
+      loadBefore, loadAfter, cores, cpusEnv,
+      Runtime.getRuntime.availableProcessors(),
+      profile.nonEmpty, sfDir, out)
+    // stdout is the driver contract and the driver keeps only a ~2,000-char
+    // tail — renderBench emits the summary form (with the "artifact"
+    // pointer) whenever the full per-query line cannot fit; the file below
+    // is the complete record the pointer names
+    println(stdoutLine)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullJson + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out: ${e.getMessage}") }
     spark.stop()
   }

@@ -174,28 +174,34 @@ object Dedup {
         .groupBy(col("src")).agg(min("comp").as("ncomp"))
       // carry the previous label through the checkpoint so convergence is
       // a scan of the materialized rows — not an extra join + shuffle
-      var updated = cp(labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+      val cand = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(col("id"), col("comp").as("_old"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp")))
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("_c1"))
       // pointer jumping between the E-sized propagations: comp := comp(comp),
-      // a LABEL-table self-join (V-sized — cheap relative to the edge
-      // round). A label is always a reachable node's id, so following it
-      // stays within the component and is monotone toward the min; chains
-      // that would cost one heavy edge round per hop collapse geometrically
+      // a LABEL-table join (V-sized — cheap relative to the edge round).
+      // A label is always a reachable node's id, so following it stays
+      // within the component and is monotone toward the min; chains that
+      // would cost one heavy edge round per hop collapse geometrically
       // instead (the skewed-replica probe's boilerplate chains: d7 312s
       // without jumps, 122s with; the unskewed 100x graph 128s -> 104s).
-      // Applies from overall round 2 on (diameter-<=2 clusters converge
-      // without ever paying the extra checkpoint — the fused round 1 above
-      // runs jump-free) and at EVERY graph size since r17: the small-V
-      // exemption assumed a ~seconds fixed checkpoint cost, but CcProbe
-      // measured a small-V checkpoint at ~0.2 s against whole saved
-      // E-sized rounds (see JumpMinNodes).
-      if (jump) {
-        val j = updated.select(col("id").as("_jid"), col("comp").as("_jcomp"))
-        updated = cp(updated.join(j, updated("comp") === j("_jid"), "left")
-          .select(updated("id"), updated("_old"),
-            coalesce(col("_jcomp"), updated("comp")).as("comp")))
-      }
+      // Round 18: the jump follows the PREVIOUS round's labels table —
+      // already materialized, so it folds into the SAME projection and the
+      // round pays ONE checkpoint instead of two (on a reliable checkpoint
+      // store that halves the per-round V-sized write+read). Correctness
+      // is unchanged: convergence is decided by `changed == 0`, any
+      // monotone within-component map keeps every comp >= its component
+      // min, and a stable labeling under the neighbor round alone is
+      // already constant-per-component (the r17 argument). CcProbe A/B
+      // (sf0.1 + /tmp/sf100): identical round counts and checksums, each
+      // round cheaper locally. Applies from overall round 2 on and at
+      // EVERY graph size since r17 (see JumpMinNodes).
+      val updated = cp(
+        if (jump) {
+          val j = labels.select(col("id").as("_jid"), col("comp").as("_jcomp"))
+          cand.join(j, cand("_c1") === j("_jid"), "left")
+            .select(col("id"), col("_old"),
+              least(col("_c1"), coalesce(col("_jcomp"), col("_c1"))).as("comp"))
+        } else cand.select(col("id"), col("_old"), col("_c1").as("comp")))
       val changed = updated.filter(col("comp") =!= col("_old")).count()
       labels = updated.select("id", "comp")
       converged = changed == 0
@@ -216,18 +222,77 @@ object Dedup {
     * the same argument as TextDedup.bandStarEdges), and component
     * equivalence is preserved under union with the same extra edges, so
     * CC(labels-as-edges ∪ new) == CC(old-edges ∪ new) as a partition —
-    * and min-id canonicals depend only on the partition. Why it is cheap:
-    * the label edges are V-sized (not E-sized) and every old cluster
-    * enters as a depth-1 star, so propagation converges in the rounds the
-    * NEW edges need, not the old graph's diameter. Self-rows (id == comp)
-    * ride along as self-loops — the symmetrized explode handles them —
-    * so singleton labelings survive into the output unchanged.
-    * DedupSpec pins equality to the from-scratch CC on merge /
-    * new-node / untouched-cluster cases. */
+    * and min-id canonicals depend only on the partition. The label edges
+    * are V-sized (not E-sized) and every old cluster enters as a depth-1
+    * star, so propagation converges in the rounds the NEW edges need, not
+    * the old graph's diameter. Self-rows (id == comp) ride along as
+    * self-loops; singleton labelings survive into the output unchanged.
+    * DedupSpec pins equality to the from-scratch CC on merge / new-node /
+    * untouched-cluster cases plus a randomized fuzz.
+    *
+    * Round 18 note: the cluster-contraction form
+    * ([[incrementalComponentsContracted]]) was built and measured against
+    * this (IncProbe, checksum-asserted): at the 100x replica it won only
+    * 5-9% inside the probe's noise band, and at bench scale (sf0.1) it
+    * REGRESSED x18/x23 by ~0.9 s each — the extra endpoint/relabel joins
+    * cost more than the batch-proportional CC saves on a box where a
+    * V-sized round is already sub-second. Kept as the documented
+    * alternative for genuinely corpus >> batch deployments; this union
+    * form stays the registered operator on measurement. */
   def incrementalComponents(labels: DataFrame, newEdges: DataFrame): DataFrame =
     connectedComponents(
       labels.select(col("id").as("doc_a"), col("comp").as("doc_b"))
         .unionByName(newEdges.select("doc_a", "doc_b")))
+
+  /** CLUSTER-CONTRACTION alternative to [[incrementalComponents]] (round
+    * 18, VERDICT r17 #3) — measured and NOT registered; see the note
+    * there. Instead of a second full CC over the V-sized union it:
+    *
+    *   1. maps each new edge's endpoints through the old labeling
+    *      (left join ×2; an endpoint absent from `labels` is its own rep);
+    *   2. drops contracted self-loops (within-cluster batch pairs cannot
+    *      change the partition);
+    *   3. runs CC over the contracted (repA, repB) edges — nodes are
+    *      touched cluster reps and new doc ids, so the iterative rounds
+    *      scale with the BATCH, never the corpus;
+    *   4. relabels: base = old rows ∪ new-endpoint singletons; one join of
+    *      base.comp against the merged labeling, coalesce keeps untouched
+    *      clusters verbatim.
+    *
+    * Exactness (the union proof, quotiented): quotient CC(stars ∪ new) by
+    * the old clusters — two nodes share a component iff their reps are
+    * connected in the contracted graph (within-cluster hops are free under
+    * contraction; new edges map to rep edges). Each rep IS its cluster's
+    * min id and each new node is its own rep, so min-reachable over the
+    * contracted component equals the union component's min id; reps in no
+    * surviving contracted edge keep their old comp via the left-join
+    * coalesce. Self-rows and batch self-pairs survive as base singletons.
+    * DedupSpec pins partition equality to from-scratch CC (rep chains,
+    * self-pairs, new-only batches, randomized fuzz); IncProbe asserts
+    * checksum identity to the union form and carries the A/B numbers. */
+  def incrementalComponentsContracted(labels: DataFrame, newEdges: DataFrame): DataFrame = {
+    val l = labels.select(col("id"), col("comp"))
+    val contracted = newEdges.select("doc_a", "doc_b")
+      .join(l.select(col("id").as("doc_a"), col("comp").as("_ca")), Seq("doc_a"), "left")
+      .join(l.select(col("id").as("doc_b"), col("comp").as("_cb")), Seq("doc_b"), "left")
+      .select(coalesce(col("_ca"), col("doc_a")).as("doc_a"),
+        coalesce(col("_cb"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    // deliberately NOT .distinct()'d: contraction does collapse many batch
+    // pairs onto one rep edge, but CC's edge persist repartitions the rows
+    // anyway, and the measured distinct arm (IncProbe, /tmp/sf100) paid its
+    // extra blocking shuffle without beating the plain form
+    val merged = connectedComponents(contracted)
+      .select(col("id").as("_rid"), col("comp").as("_rcomp"))
+    val newNodes = newEdges.select(col("doc_a").as("id"))
+      .unionByName(newEdges.select(col("doc_b").as("id")))
+      .distinct()
+      .join(l, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("comp"))
+    val base = l.unionByName(newNodes)
+    base.join(merged, base("comp") === col("_rid"), "left")
+      .select(base("id"), coalesce(col("_rcomp"), base("comp")).as("comp"))
+  }
 
   /** Every document mapped to its canonical id: cluster minimum for members
     * of a duplicate cluster, itself otherwise. `docs` needs a `doc_id`. */
