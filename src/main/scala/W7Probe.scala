@@ -62,13 +62,21 @@ object W7Probe {
           li, "l_returnflag", Seq("l_orderkey", "l_linenumber"), 100))
       }
       // round 14: packed-key selection — the shuffle carries (cell, long),
-      // per-cell ranking is a primitive sort + direct k-th emission
-      timed("alt:packed") {
-        sink(graft.operators.Ordered.everyKthPacked(li, "l_returnflag",
-            col("l_orderkey") * 8 + col("l_linenumber"), 100)
-          .select(col("g").as("l_returnflag"),
-            expr("p div 8").as("l_orderkey"),
-            pmod(col("p"), lit(8L)).cast("int").as("l_linenumber")))
+      // per-cell ranking is a primitive sort + direct k-th emission.
+      // round 18 (VERDICT r17 #7): A/B the cell sizing (buckets/partition)
+      // with row-identity asserted against the shipped default every rep.
+      var ref: Seq[Any] = null
+      for (bpp <- Seq(2, 4, 8, 16)) {
+        graft.Bench.coldReset(spark)
+        val t0 = System.nanoTime()
+        val out = graft.operators.Ordered.everyKthPacked(li, "l_returnflag",
+            col("l_orderkey") * 8 + col("l_linenumber"), 100,
+            bucketsPerPart = bpp)
+        val sums = out.agg(count(lit(1)), sum(col("p")),
+          sum(hash(col("g"), col("p")).cast("long"))).collect()(0).toSeq
+        println(f"[w7probe] packed bpp=$bpp%-3d ${(System.nanoTime() - t0) / 1e9}%7.2f s  sums=$sums")
+        if (ref == null) ref = sums
+        else assert(ref == sums, s"bpp=$bpp diverged: $ref vs $sums")
       }
     }
     spark.stop()

@@ -116,7 +116,11 @@ object IntervalOps {
     // of ~10) collapses to a 12-byte/row shuffle + per-cell primitive
     // Arrays.sort + direct emission of the k-th ranks. Same-window
     // 3-rep A/B at 100x: uniform-bounds window 8.3-11.0 s, packed
-    // 3.5-6.6 s; skew replica 13.3 vs 5.3-6.1 s. Exactness unchanged
+    // 3.5-6.6 s; skew replica 13.3 vs 5.3-6.1 s. r18 cell-sizing A/B
+    // (W7Probe, row-identity asserted): buckets/partition 2/4/8/16 =
+    // 5.1/4.7/3.7/3.6 s cold, 3.8/3.4/3.4/3.4 s warm -> default now 8
+    // (balance win; 16 only doubles the driver cell inventory for ~2%).
+    // Exactness unchanged
     // (bounds steer only balance; counts are exact; spec fuzzes
     // duplicates, skew, null keys, and both fallbacks). History: plain
     // 3-partition window 41-52 s at 100x (parallelism = group count),

@@ -410,10 +410,20 @@ object Relational {
     // 5% (2.5x the configured 2% rsd) + a small-group absolute slack. The
     // oracle computes the exact counts and expects every group in bound —
     // a real correctness gate on the sketch, deterministic on both sides.
+    // Round 18 (DistinctProbe, /tmp/sf100, interleaved, checksum-identical
+    // sums): pre-deduplicate (event_type, user_id) BEFORE the aggregate —
+    // 2.0-3.0 s -> 0.8-1.8 s. The mixed exact-distinct + HLL form paid one
+    // HLL register update per EVENT ROW; after the distinct the sketch and
+    // the exact count both run over distinct pairs only (fact-row count /
+    // dup factor). Results are bit-identical: count(user_id) over distinct
+    // pairs IS count_distinct (both skip nulls), and HLL is duplicate-
+    // idempotent (same hash -> same register max), so the estimate — and
+    // the oracle-gated sketch_ok — cannot move.
     "a18_approx_distinct" -> { (s, d) =>
       Tables.events(s, d)
+        .select(col("event_type"), col("user_id")).distinct()
         .groupBy("event_type")
-        .agg(count_distinct(col("user_id")).as("exact_users"),
+        .agg(count(col("user_id")).as("exact_users"),
              approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
         .select(col("event_type"), col("exact_users"),
           (abs(col("approx_users") - col("exact_users")) <=
