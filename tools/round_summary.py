@@ -9,7 +9,10 @@ def load(p):
     return json.load(open(p))
 
 
-loc = load("BENCH_LOCAL.json")
+try:  # r18: the bench stamps sf + cores into the artifact name
+    loc = load("BENCH_LOCAL_sf0.1_c32.json")
+except FileNotFoundError:
+    loc = load("BENCH_LOCAL.json")
 uni = load("BENCH_UNIFORM100.json")
 skw = load("BENCH_SKEW100.json")
 # BENCH_r01.json stores the driver's truncated tail; recover the queries
