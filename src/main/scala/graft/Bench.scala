@@ -166,8 +166,12 @@ object Bench {
     m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
   private def jarr(xs: Seq[String]): String =
     xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+  // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
   private def r3(v: Double): String =
-    if (v.isInfinite || v.isNaN) "null" else f"$v%.3f"
+    if (v.isInfinite || v.isNaN) "null"
+    else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+  private[graft] def r2(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
 
   /** Render (full file artifact JSON, stdout line). The file keeps the
     * complete historical format (queries + load maps, times rounded to
@@ -190,8 +194,8 @@ object Bench {
       s""""cores":$cores,"cpus_env":"${escapeJson(cpusEnv)}","jvm_procs":$jvmProcs,""" +
       s""""profile_used":$profileUsed,"artifact":"${escapeJson(artifact)}","sf":"${escapeJson(sf)}""""
     val qs = jmap(results.map { case (k, v) => k -> r3(v) })
-    val loadJson = jmap(loadAt.map { case (k, v) => k -> f"$v%.2f" })
-    val loadRerunJson = jmap(loadRerun.map { case (k, v) => k -> f"$v%.2f" })
+    val loadJson = jmap(loadAt.map { case (k, v) => k -> r2(v) })
+    val loadRerunJson = jmap(loadRerun.map { case (k, v) => k -> r2(v) })
     val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
       common +
       s""","load":$loadJson,"load_rerun":$loadRerunJson,"load_before":$loadBefore,"load_after":$loadAfter}"""
