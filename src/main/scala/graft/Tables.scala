@@ -31,7 +31,13 @@ object Tables {
     * mtime only tracks child add/remove — r17 review), so directories
     * always re-infer. Keyed by path alone: the schema is a property of
     * the file, not the session (all sessions share Spark.session's
-    * conf). */
+    * conf). Known window (ADVICE r17): on a filesystem with coarse
+    * (e.g. 1 s) mtime granularity, a same-length rewrite landing within
+    * one tick of the cached stat serves the stale schema; the driver's
+    * tables are written once per SF and never rewritten in place, and
+    * ext4/tmpfs report ns mtimes, so the window is theoretical here —
+    * a deployment on a coarse-mtime store should add a content signal
+    * (etag/checksum) to this key. */
   private val schemaMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, org.apache.spark.sql.types.StructType)]()
 

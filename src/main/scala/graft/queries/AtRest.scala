@@ -482,7 +482,15 @@ object AtRest {
           val outcomes = builds.map(f =>
             scala.util.Try(scala.concurrent.Await.result(
               f, scala.concurrent.duration.Duration.Inf)))
-          outcomes.collectFirst { case scala.util.Failure(e) => throw e }: Unit
+          // first error wins; sibling failures ride along as suppressed
+          // so a double-fault run keeps both diagnostics (ADVICE r17)
+          val failures = outcomes.collect { case scala.util.Failure(e) => e }
+          failures.headOption.foreach { first =>
+            failures.drop(1).foreach { e =>
+              if (e ne first) first.addSuppressed(e)
+            }
+            throw first
+          }
         } finally pool.shutdown()
       } else {
         buildSignatures(s, d, st, overwrite = true)

@@ -591,7 +591,15 @@ object Similarity {
       // avoids the in-flight cache-population race between the join's two
       // subtree scans. Plan: 2× [Scan+UDF assignment] → 1× + two
       // InMemoryTableScans.
-      val assigned = d6AssignMemo.getOrBuild((System.identityHashCode(s), d)) {
+      // freshness token in the memo key (ADVICE r17): an in-session rewrite
+      // of the embeddings table changes (mtime, len) and misses the memo,
+      // restoring the pre-r17 recompute-per-invocation behavior for stale
+      // state instead of serving old cell assignments
+      val embStat = try {
+        val f = new java.io.File(s"$d/embeddings.parquet")
+        s"${f.lastModified}:${f.length}"
+      } catch { case _: Exception => "" }
+      val assigned = d6AssignMemo.getOrBuild((System.identityHashCode(s), s"$d|$embStat")) {
         val nCells = cellCountForDedup(Tables.embeddings(s, d).count())
         val all = vecs(s, d).join(
           Tables.embeddings(s, d).select(col("vec_id"), col("label")), Seq("vec_id"))

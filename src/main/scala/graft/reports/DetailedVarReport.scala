@@ -111,7 +111,15 @@ object DetailedVarReport {
     * notebook's config list: (label, membership column), e.g.
     * `Seq("Exome" -> col("exome_twist"))`; "All" is always included.
     * Only non-empty strata appear (the pandas loop also emits all-NaN
-    * rows for empty combinations — dropped here as noise). */
+    * rows for empty combinations — dropped here as noise).
+    *
+    * PRECONDITION (ADVICE r17): the best-operating-point selection is a
+    * `max_by` over (of1, -tree_score), which is only deterministic when
+    * `tree_score` is unique per row within a stratum — the jitter contract
+    * ReportGrid's synthetic source enforces. A caller feeding data with
+    * exact (of1, tree_score) ties gets an arbitrary winner with no runtime
+    * signal (the pre-r17 window form was equally tie-order-dependent);
+    * jitter ties before calling. */
   def detailedVars(data: DataFrame, regions: Seq[(String, Column)]): DataFrame = {
     // the static aggregate and the optimized sweep are two independent
     // consumers of the tagged rows; without a persist each re-runs the
